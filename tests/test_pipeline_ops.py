@@ -1,0 +1,137 @@
+"""End-to-end Pipeline DSL goldens, mirroring the reference's operator tests
+(tests/unittests/runtime/test_*_node.py and pipeline.py docstring examples).
+Run in parity mode (run_rows: one invocation per input row)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from towhee_spark.pipeline import Pipeline
+
+
+def test_map_plus_one(spark):
+    # pipeline.py:86-91 — p(1).get() == [2]
+    p = Pipeline.input("a").map("a", "b", lambda x: x + 1).output("b")
+    assert p.run_rows(spark, [1, 5]) == [(2,), (6,)]
+
+
+def test_map_multi_output(spark):
+    p = (
+        Pipeline.input("a", "b")
+        .map(("a", "b"), ("c", "d"), lambda x, y: (x + y, x - y))
+        .output("c", "d")
+    )
+    assert p.run_rows(spark, [(3, 1)]) == [(4, 2)]
+
+
+def test_map_python_fallback(spark):
+    # a genuinely-Python fn (string manipulation not expressible on Columns)
+    p = (
+        Pipeline.input("a")
+        .map("a", "b", lambda x: f"<{x}>", out_types=[T.StringType()])
+        .output("b")
+    )
+    assert p.run_rows(spark, [(1,), (2,)]) == [("<1>",), ("<2>",)]
+
+
+def test_flat_map_unroll(spark):
+    # pipeline.py:198-209 — flat_map unrolls [x, x+1, x+2]
+    p = (
+        Pipeline.input("a")
+        .flat_map("a", "b", lambda x: [x, x + 1, x + 2], out_types=[T.LongType()])
+        .output("b")
+    )
+    assert p.run_rows(spark, [0]) == [(0,), (1,), (2,)]
+
+
+def test_filter_pass_block(spark):
+    # pipeline.py:246-255 — filter num > 10
+    p = (
+        Pipeline.input("a")
+        .filter("a", "out", "a", lambda x: x > 10)
+        .output("out")
+    )
+    assert p.run_rows(spark, [5, 11, 3, 30]) == [(11,), (30,)]
+
+
+def test_reduce_sum(spark):
+    # pipeline.py:381-388 — flat_map then reduce sums to [10, 14]
+    p = (
+        Pipeline.input("a", "b")
+        .flat_map(("a", "b"), ("a", "b"), lambda x, y: list(zip(x, y)),
+                  out_types=[T.LongType(), T.LongType()])
+        .reduce(("a", "b"), ("a_sum", "b_sum"), lambda a, b: (sum(a), sum(b)),
+                out_types=[T.LongType(), T.LongType()])
+        .output("a_sum", "b_sum")
+    )
+    assert p.run_rows(spark, [([1, 2, 3, 4], [2, 3, 4, 5])]) == [(10, 14)]
+
+
+def test_concat_branches(spark):
+    # pipeline.py:153-161 — p0.input(a,b,c); p1: d=a+1; p2: e=b-c;
+    # p2.concat(p1).output(d,e) on (1,2,3) → [2, -1]
+    p0 = Pipeline.input("a", "b", "c")
+    p1 = p0.map("a", "d", lambda x: x + 1)
+    p2 = p0.map(("b", "c"), "e", lambda x, y: x - y)
+    p = p2.concat(p1).output("d", "e")
+    assert p.run_rows(spark, [(1, 2, 3)]) == [(2, -1)]
+
+
+def test_window_all(spark):
+    p = (
+        Pipeline.input("a")
+        .flat_map("a", "b", lambda x: x, out_types=[T.LongType()])
+        .window_all("b", "s", lambda b: sum(b), out_types=[T.LongType()])
+        .output("s")
+    )
+    assert p.run_rows(spark, [([1, 2, 3],)]) == [(6,)]
+
+
+@pytest.mark.parametrize(
+    "size,step,expected",
+    [
+        (2, 2, [[1, 2], [3, 4], [5, 6], [7, 8], [9]]),
+        (3, 2, [[1, 2, 3], [3, 4, 5], [5, 6, 7], [7, 8, 9], [9]]),
+        (2, 5, [[1, 2], [6, 7]]),
+    ],
+)
+def test_count_window_goldens(spark, size, step, expected):
+    # reference goldens: tests/unittests/runtime/test_window_node.py:36-118
+    p = (
+        Pipeline.input("a")
+        .flat_map("a", "n", lambda x: x, out_types=[T.LongType()])
+        .window("n", "w", size, step, lambda n: list(n),
+                out_types=[T.ArrayType(T.LongType())])
+        .output("w")
+    )
+    got = [list(r[0]) for r in p.run_rows(spark, [(list(range(1, 10)),)])]
+    assert got == expected
+
+
+def test_time_window_doc_example(spark):
+    # pipeline.py:430-443 doc example: sums ([3,6],[8,9],[19,21])
+    rows = [(i, i + 1, i * 1000) for i in range(11) if i < 3 or i > 7]
+    p = (
+        Pipeline.input("d")
+        .flat_map("d", ("n1", "n2", "t"), lambda d: d,
+                  out_types=[T.LongType(), T.LongType(), T.LongType()])
+        .time_window(("n1", "n2"), ("s1", "s2"), "t", 3, 3,
+                     lambda n1, n2: (sum(n1), sum(n2)),
+                     out_types=[T.LongType(), T.LongType()])
+        .output("s1", "s2")
+    )
+    assert p.run_rows(spark, [(rows,)]) == [(3, 6), (8, 9), (19, 21)]
+
+
+def test_table_mode_on_parquet(spark):
+    """Table mode: same DSL applied to a driver parquet table."""
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = (
+        Pipeline.input("event_type", "value")
+        .map("value", "v2", lambda v: v * 2)
+        .filter(("event_type", "v2"), ("event_type", "v2"), "v2", lambda v: v > 100)
+        .output("event_type", "v2")
+    )
+    out = p.apply(df)
+    rows = out.collect()
+    assert all(r.v2 > 100 for r in rows)
+    assert out.columns == ["event_type", "v2"]

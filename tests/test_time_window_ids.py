@@ -1,0 +1,68 @@
+"""Pure-function goldens for the Towhee time-window buffer semantics.
+
+Inputs/expected copied from the reference's own tests
+(tests/unittests/runtime/test_time_window_node.py:31-96) and the doc
+example (towhee/runtime/pipeline.py:430-443) — see FIXTURES.md §3.
+"""
+
+from towhee_spark.pipeline import towhee_time_window_ids
+
+
+def windows_of(values, ts_ms, size, step):
+    return [[values[i] for i in idxs] for idxs in towhee_time_window_ids(ts_ms, size, step)]
+
+
+def test_dense_tumbling():
+    ts = [i * 1000 for i in range(10)]
+    vals = list(range(10))
+    assert windows_of(vals, ts, 2, 2) == [[0, 1], [2, 3], [4, 5], [6, 7], [8, 9]]
+
+
+def test_dense_sliding_overlap():
+    ts = [i * 1000 for i in range(10)]
+    vals = list(range(10))
+    # size=3, step=2: starts 0,2,4,6,8
+    assert windows_of(vals, ts, 3, 2) == [
+        [0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8], [8, 9]]
+
+
+def test_step_gt_size():
+    ts = [i * 1000 for i in range(10)]
+    vals = list(range(10))
+    # size=2, step=5: windows [0,2),[5,7)
+    assert windows_of(vals, ts, 2, 5) == [[0, 1], [5, 6]]
+
+
+def test_discontinuous_gap_realign():
+    # reference test_time_window_node.py:74-96: i<3 or i>91, range 10 step 5
+    idx = [i for i in range(100) if i < 3 or i > 91]
+    ts = [i * 1000 for i in idx]
+    got = windows_of(idx, ts, 10, 5)
+    assert got == [[0, 1, 2], [92, 93, 94, 95, 96, 97, 98, 99],
+                   [95, 96, 97, 98, 99]]
+
+
+def test_doc_example_pipeline_py_430():
+    rows = [(i, i + 1, i * 1000) for i in range(11) if i < 3 or i > 7]
+    ts = [r[2] for r in rows]
+    wins = towhee_time_window_ids(ts, 3, 3)
+    sums = [(sum(rows[i][0] for i in w), sum(rows[i][1] for i in w)) for w in wins]
+    assert sums == [(3, 6), (8, 9), (19, 21)]
+
+
+def test_exhaustive_grid_vs_reference_sim():
+    """Reference sweep (test_time_window_node.py:46-70 style): dense stream
+    0..99s over a (size, step) grid — every window must cover exactly
+    [k*step, k*step+size) ∩ [0, 100)."""
+    ts = [i * 1000 for i in range(100)]
+    for size in range(1, 12):
+        for step in range(1, 12):
+            got = towhee_time_window_ids(ts, size, step)
+            expected = []
+            k = 0
+            while k * step < 100:
+                w = [i for i in range(100) if k * step <= i < k * step + size]
+                if w:
+                    expected.append(w)
+                k += 1
+            assert got == expected, (size, step)

@@ -1,0 +1,86 @@
+"""Physical layout: hash repartitioning by conversation + hot-key salting.
+
+The north_rule requires explicit partition/shuffle/skew handling:
+conversations hash-repartitioned by conv_id, secondary-sorted by
+(ts, turn_idx), hot conversations salted.  AQE handles join-side skew, but
+``groupBy().applyInPandas`` groups are not split by AQE — a single
+mega-conversation serializes one task — hence explicit salting here.
+
+Salting changes per-group semantics at salt boundaries, so windowed ops
+must either run before salting or carry overlap rows across salt splits
+(SURVEY.md §7.3.4); ``salted_keys`` therefore only feeds operators that are
+salt-safe (pure per-row kernels, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repartition_by_key(
+    df: DataFrame,
+    key: str | Sequence[str] = "conv_id",
+    num_partitions: int | None = None,
+    sort_within: Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Hash-repartition on the key and secondary-sort within partitions.
+
+    Establishes the canonical physical layout: every per-conversation
+    operator downstream (windows, applyInPandas kernels) reuses this
+    partitioning without an extra shuffle; the within-partition sort gives
+    order-dependent ops their stable (ts, turn_idx) ordering.
+    """
+    keys = [F.col(k) for k in ([key] if isinstance(key, str) else key)]
+    out = df.repartition(num_partitions, *keys) if num_partitions else df.repartition(*keys)
+    if sort_within:
+        out = out.sortWithinPartitions(*keys, *sort_within)
+    return out
+
+
+def hot_keys(
+    df: DataFrame, key: str = "conv_id", threshold: int = 100_000
+) -> DataFrame:
+    """Cheap skew sketch: keys whose row count exceeds ``threshold``.
+
+    One partial-aggregated count — at 100 TB this is a map-side-combined
+    scan producing a tiny driver-broadcastable table of offenders.
+    """
+    return df.groupBy(key).count().filter(F.col("count") > threshold).select(key, "count")
+
+
+def add_salt(
+    df: DataFrame,
+    key: str = "conv_id",
+    hot: DataFrame | None = None,
+    buckets: int = 16,
+    salt_col: str = "__salt",
+    salted_key_col: str = "salted_key",
+) -> DataFrame:
+    """Append a salt bucket to hot keys so one conversation spreads over
+    ``buckets`` tasks; cold keys get salt 0 (their salted_key == key#0).
+
+    ``hot`` is broadcast (it is small by construction); the salt itself is a
+    deterministic hash of stable row identity (turn_idx if present, else ts)
+    so re-runs land rows in identical buckets (checkpoint resumability).
+    """
+    id_col = "turn_idx" if "turn_idx" in df.columns else "ts"
+    if hot is None:
+        hot = hot_keys(df, key)
+    flagged = df.join(
+        F.broadcast(hot.select(F.col(key).alias("__hk"), F.lit(True).alias("__is_hot"))),
+        on=F.col(key) == F.col("__hk"),
+        how="left",
+    ).drop("__hk")
+    salted = flagged.withColumn(
+        salt_col,
+        F.when(
+            F.col("__is_hot").isNotNull(),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("__is_hot")
+    return salted.withColumn(
+        salted_key_col, F.concat_ws("#", F.col(key), F.col(salt_col).cast("string"))
+    )

@@ -1,0 +1,509 @@
+"""Towhee-parity Pipeline DSL compiled to Spark DataFrame plans.
+
+Mirrors the 9 node types of towhee/runtime/pipeline.py (input/output/map/
+flat_map/filter/window/time_window/window_all/reduce/concat) with the same
+signatures and row semantics (golden tests reuse the reference's own
+expected outputs), but each node compiles to a declarative DataFrame
+transformation — Catalyst does the planning that Towhee's thread-per-node
+DataQueue runtime (towhee/runtime/runtime_pipeline.py) did by hand.
+
+Function dispatch: every user callable is first tried NATIVELY — called
+with ``pyspark.sql.Column`` arguments; if it returns Column(s) (e.g.
+``lambda x: x + 1``), the node stays entirely JVM-side inside whole-stage
+codegen.  Only genuinely-Python callables fall back to Arrow-batched
+execution (``mapInPandas`` / ``applyInPandas``) — batched transfer, no
+per-row serialization (the compat layer applies the scalar fn per element
+within a batch, mirroring Towhee's per-row call contract exactly; use
+``towhee_spark.kernels`` for vectorized hot-path kernels).
+
+A Towhee pipeline invocation ``p(a, b)`` pushes one logical row through the
+DAG; a table-mode run treats the whole input DataFrame as the batch of all
+invocations (SURVEY.md §1.1).  Group-scoped nodes (window/time_window/
+window_all/reduce) act per ``by`` key — the invocation id in parity mode,
+``conv_id`` in transcript pipelines.
+"""
+
+from __future__ import annotations
+
+import copy
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ROW_ORDER = "__row_order"
+_INVOCATION = "__invocation"
+
+
+def _tup(x) -> tuple[str, ...]:
+    if x is None:
+        return ()
+    return (x,) if isinstance(x, str) else tuple(x)
+
+
+def _default_type() -> T.DataType:
+    return T.StringType()
+
+
+def _try_native(fn: Callable, in_cols: Sequence[str]):
+    """Probe fn with Column args; a Column(-tuple) result means the node can
+    run JVM-side. Returns list[Column] or None."""
+    try:
+        res = fn(*[F.col(c) for c in in_cols])
+    except Exception:
+        return None
+    if isinstance(res, Column):
+        return [res]
+    if isinstance(res, (tuple, list)) and res and all(isinstance(c, Column) for c in res):
+        return list(res)
+    return None
+
+
+def _out_fields(out_cols, out_types) -> list[T.StructField]:
+    types = list(out_types) if out_types else [_default_type() for _ in out_cols]
+    if len(types) != len(out_cols):
+        raise ValueError("out_types length must match out_cols")
+    types = [t if isinstance(t, T.DataType) else T._parse_datatype_string(t) for t in types]
+    return [T.StructField(c, t, True) for c, t in zip(out_cols, types)]
+
+
+def _replaced_schema(df: DataFrame, out_fields: list[T.StructField]) -> T.StructType:
+    names = {f.name for f in out_fields}
+    kept = [f for f in df.schema.fields if f.name not in names]
+    return T.StructType(kept + out_fields)
+
+
+@dataclass
+class _Node:
+    kind: str
+    in_cols: tuple[str, ...] = ()
+    out_cols: tuple[str, ...] = ()
+    fn: Any = None
+    params: dict = field(default_factory=dict)
+
+
+class Pipeline:
+    """Immutable builder (each call deep-copies, mirroring
+    towhee/runtime/pipeline.py:104-141's dag copy) of a node list that
+    :meth:`apply` compiles onto a DataFrame."""
+
+    def __init__(self, nodes: list[_Node] | None = None, input_cols: tuple[str, ...] = ()):
+        self._nodes: list[_Node] = nodes or []
+        self._input_cols = input_cols
+
+    # -- builders ---------------------------------------------------------
+    @classmethod
+    def input(cls, *cols: str) -> "Pipeline":
+        return cls([_Node("input", in_cols=tuple(cols))], tuple(cols))
+
+    def _append(self, node: _Node) -> "Pipeline":
+        return Pipeline(copy.deepcopy(self._nodes) + [node], self._input_cols)
+
+    def map(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
+        return self._append(_Node("map", _tup(in_cols), _tup(out_cols), fn,
+                                  {"out_types": out_types}))
+
+    def flat_map(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
+        return self._append(_Node("flat_map", _tup(in_cols), _tup(out_cols), fn,
+                                  {"out_types": out_types}))
+
+    def filter(self, in_cols, out_cols, filter_cols, fn) -> "Pipeline":
+        if len(_tup(in_cols)) != len(_tup(out_cols)):
+            raise ValueError("filter: len(in_cols) must equal len(out_cols)")
+        return self._append(_Node("filter", _tup(in_cols), _tup(out_cols), fn,
+                                  {"filter_cols": _tup(filter_cols)}))
+
+    def window(self, in_cols, out_cols, size: int, step: int, fn, out_types=None) -> "Pipeline":
+        return self._append(_Node("window", _tup(in_cols), _tup(out_cols), fn,
+                                  {"size": size, "step": step, "out_types": out_types}))
+
+    def time_window(self, in_cols, out_cols, timestamp_col: str, size: int, step: int,
+                    fn, out_types=None, exact: bool = True) -> "Pipeline":
+        return self._append(_Node("time_window", _tup(in_cols), _tup(out_cols), fn,
+                                  {"ts": timestamp_col, "size": size, "step": step,
+                                   "out_types": out_types, "exact": exact}))
+
+    def window_all(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
+        return self._append(_Node("window_all", _tup(in_cols), _tup(out_cols), fn,
+                                  {"out_types": out_types}))
+
+    def reduce(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
+        if isinstance(fn, Pipeline):
+            raise ValueError("pipelines are not allowed as reduce fn")  # pipeline.py:390-391
+        return self._append(_Node("reduce", _tup(in_cols), _tup(out_cols), fn,
+                                  {"out_types": out_types}))
+
+    def concat(self, *others: "Pipeline") -> "Pipeline":
+        """Merge sibling branches forked from a common ancestor.  In the
+        DataFrame model branch columns coexist on one plan, so concat
+        appends the non-shared suffix of each branch (_concat.py:30-58's
+        positional zip is the degenerate case of same-cardinality rows)."""
+        merged = copy.deepcopy(self._nodes)
+        for o in others:
+            prefix_len = 0
+            for a, b in zip(self._nodes, o._nodes):
+                if a.kind == b.kind and a.in_cols == b.in_cols and a.out_cols == b.out_cols:
+                    prefix_len += 1
+                else:
+                    break
+            merged += copy.deepcopy(o._nodes[prefix_len:])
+        return Pipeline(merged, self._input_cols)
+
+    def output(self, *cols: str) -> "Pipeline":
+        return self._append(_Node("output", in_cols=tuple(cols)))
+
+    # -- execution --------------------------------------------------------
+    def apply(self, df: DataFrame, by: str | None = None) -> DataFrame:
+        """Compile the node list onto ``df`` (table mode).  ``by`` scopes
+        group nodes (window/time_window/window_all/reduce); None = global."""
+        out = df
+        for node in self._nodes:
+            out = _COMPILERS[node.kind](out, node, by)
+        return out
+
+    __call__ = apply
+
+    def run_rows(self, spark: SparkSession, rows: list[tuple], schema=None) -> list[tuple]:
+        """Towhee parity mode: each element of ``rows`` is one pipeline
+        invocation (``p.batch()``, runtime_pipeline.py:179-202). Returns the
+        output rows in invocation order."""
+        cols = list(self._input_cols)
+        rows = [r if isinstance(r, tuple) else (r,) for r in rows]
+        pdf = pd.DataFrame([
+            dict(zip(cols, r), **{_INVOCATION: i, _ROW_ORDER: 0}) for i, r in enumerate(rows)
+        ])
+        df = spark.createDataFrame(pdf, schema=schema) if schema else spark.createDataFrame(pdf)
+        res = self.apply(df, by=_INVOCATION)
+        out_cols = [c for c in res.columns if not c.startswith("__")]
+        order = [c for c in (_INVOCATION, _ROW_ORDER) if c in res.columns]
+        collected = res.orderBy(*order).select(*out_cols).collect()
+        return [tuple(r) for r in collected]
+
+
+def pipe() -> type[Pipeline]:
+    return Pipeline
+
+
+# -- node compilers --------------------------------------------------------
+
+def _compile_input(df: DataFrame, node: _Node, by) -> DataFrame:
+    missing = [c for c in node.in_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"input columns not in DataFrame: {missing}")
+    return df
+
+
+def _compile_output(df: DataFrame, node: _Node, by) -> DataFrame:
+    keep = [c for c in df.columns if c.startswith("__")]  # engine bookkeeping
+    return df.select(*node.in_cols, *keep)
+
+
+def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
+    native = _try_native(node.fn, node.in_cols)
+    if native is not None and len(native) == len(node.out_cols):
+        for name, col in zip(node.out_cols, native):
+            df = df.withColumn(name, col)
+        return df
+    fields = _out_fields(node.out_cols, node.params.get("out_types"))
+    schema = _replaced_schema(df, fields)
+    in_cols, out_cols, fn = list(node.in_cols), list(node.out_cols), node.fn
+    names = [f.name for f in schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                results = [fn(*args) for args in zip(*[pdf[c] for c in in_cols])]
+                if len(out_cols) == 1:
+                    pdf = pdf.assign(**{out_cols[0]: pd.Series(results, index=pdf.index, dtype=object)})
+                else:
+                    for j, oc in enumerate(out_cols):
+                        pdf = pdf.assign(**{oc: pd.Series([r[j] for r in results], index=pdf.index, dtype=object)})
+            else:
+                for oc in out_cols:
+                    pdf = pdf.assign(**{oc: pd.Series([], dtype=object)})
+            yield pdf[names]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _compile_filter(df: DataFrame, node: _Node, by) -> DataFrame:
+    fcols = node.params["filter_cols"]
+    native = _try_native(node.fn, fcols)
+    if native is not None and len(native) == 1:
+        df = df.filter(native[0])
+    else:
+        fn, fcl = node.fn, list(fcols)
+
+        @F.pandas_udf(T.BooleanType())
+        def pred(*series: pd.Series) -> pd.Series:
+            return pd.Series([bool(fn(*args)) for args in zip(*series)])
+
+        df = df.filter(pred(*[F.col(c) for c in fcl]))
+    for i_c, o_c in zip(node.in_cols, node.out_cols):
+        if i_c != o_c:
+            df = df.withColumn(o_c, F.col(i_c))
+    return df
+
+
+def _compile_flat_map(df: DataFrame, node: _Node, by) -> DataFrame:
+    # Native path: fn of Columns returning one array Column → explode.
+    native = _try_native(node.fn, node.in_cols)
+    if native is not None and len(native) == 1 and len(node.out_cols) == 1:
+        df = df.withColumn(node.out_cols[0], F.explode(native[0]))
+        return _renumber(df)
+    fields = _out_fields(node.out_cols, node.params.get("out_types"))
+    schema = _replaced_schema(df, fields)
+    if _ROW_ORDER in df.columns and _ROW_ORDER not in [f.name for f in fields]:
+        pass
+    in_cols, out_cols, fn = list(node.in_cols), list(node.out_cols), node.fn
+    names = [f.name for f in schema.fields]
+
+    def run(batches):
+        import numpy as np  # noqa: PLC0415
+
+        def as_outputs(item):
+            if len(out_cols) == 1:
+                return (item,)
+            if isinstance(item, (tuple, list, np.ndarray)):
+                return tuple(item)
+            raise TypeError(f"flat_map fn item {item!r} not splittable into {out_cols}")
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for item in fn(*[row[c] for c in in_cols]):
+                    d = row.to_dict()
+                    d.update(dict(zip(out_cols, as_outputs(item))))
+                    rows.append(d)
+            yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in names}
+            )
+
+    return _renumber(df.mapInPandas(run, schema=schema))
+
+
+def _renumber(df: DataFrame) -> DataFrame:
+    """Re-derive per-invocation row order after a fan-out (parity mode)."""
+    if _ROW_ORDER in df.columns and _INVOCATION in df.columns:
+        w = Window.partitionBy(_INVOCATION).orderBy(F.col(_ROW_ORDER))
+        df = df.withColumn(_ROW_ORDER, F.row_number().over(w))
+    return df
+
+
+def _group_cols(df: DataFrame, by: str | None) -> list[str]:
+    if by:
+        return [by]
+    return []
+
+
+def _order_cols(df: DataFrame) -> list[str]:
+    if _ROW_ORDER in df.columns:
+        return [_ROW_ORDER]
+    if "ts" in df.columns:
+        return [c for c in ("ts", "turn_idx") if c in df.columns]
+    return []
+
+
+def _apply_grouped(df, node, by, assign_extra_cols, out_extra_fields):
+    """Shared skeleton for window-family nodes: assign group/window ids,
+    then applyInPandas the list-taking fn per (by, window) group."""
+    in_cols, out_cols, fn = list(node.in_cols), list(node.out_cols), node.fn
+    fields = _out_fields(node.out_cols, node.params.get("out_types"))
+    keys = _group_cols(df, by)
+    order = _order_cols(df)
+    df2, win_keys = assign_extra_cols(df, keys, order)
+    group_keys = keys + win_keys
+    schema = T.StructType(
+        [df2.schema[k] for k in group_keys] + out_extra_fields + fields
+    )
+    names = [f.name for f in schema.fields]
+    sort_cols = [c for c in order if c in df2.columns]
+
+    def run(key, pdf):
+        if sort_cols:
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        args = [list(pdf[c]) for c in in_cols]
+        res = fn(*args)
+        res = res if isinstance(res, tuple) else (res,)
+        d = dict(zip(group_keys, key))
+        for f_ in out_extra_fields:
+            d[f_.name] = pdf[f_.name].iloc[0] if f_.name in pdf.columns else None
+        d.update(dict(zip(out_cols, res)))
+        return pd.DataFrame([d], columns=names)
+
+    if group_keys:
+        res = df2.groupBy(*group_keys).applyInPandas(run, schema=schema)
+    else:  # global group: single partition fold
+        res = df2.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+            lambda key, pdf: run((), pdf), schema=schema
+        )
+    return res
+
+
+def _compile_window(df: DataFrame, node: _Node, by) -> DataFrame:
+    size, step = node.params["size"], node.params["step"]
+
+    def assign(df, keys, order):
+        w = (
+            Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+            if keys
+            else Window.orderBy(*order) if order else Window.orderBy(F.monotonically_increasing_id())
+        )
+        df = df.withColumn("__idx", F.row_number().over(w) - 1)
+        idx = F.col("__idx")
+        lo = F.greatest(F.lit(0), F.ceil((idx - F.lit(size - 1)) / F.lit(step))).cast("long")
+        hi = F.floor(idx / F.lit(step)).cast("long")
+        # step>size leaves inter-window rows with lo>hi → member of no window
+        # (Spark sequence(lo,hi) would generate a DESCENDING range there).
+        wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
+        df = df.withColumn("__wid", F.explode(wids)).drop("__idx")
+        return df, ["__wid"]
+
+    res = _apply_grouped(df, node, by, assign, []).drop("__g")
+    if _ROW_ORDER not in res.columns:  # window id is the new row order
+        res = res.withColumnRenamed("__wid", _ROW_ORDER)
+    return res.drop("__wid")
+
+
+class _TwBuf:
+    """Semantics model of the reference's chained time-window buffer
+    (towhee/runtime/nodes/_time_window.py:54-99): a window [start, start+size)
+    that routes rows crossing start+step into a lazily-created successor;
+    an *empty* window completing at row t realigns itself to t//step*step
+    (rows missing the realigned window are dropped, step>size case)."""
+
+    __slots__ = ("start", "size", "step", "rows", "nxt")
+
+    def __init__(self, start: int, size: int, step: int):
+        self.start, self.size, self.step = start, size, step
+        self.rows: list[int] = []
+        self.nxt: "_TwBuf | None" = None
+
+    def feed(self, i: int, t: int) -> bool:
+        """Returns True when this window is complete (flushable)."""
+        if t < self.start:
+            return False
+        if t < self.start + self.size:
+            self.rows.append(i)
+            if t >= self.start + self.step:
+                if self.nxt is None:
+                    self.nxt = _TwBuf(self.start + self.step, self.size, self.step)
+                self.nxt.feed(i, t)
+            return False
+        if not self.rows:
+            self.start = t // self.step * self.step
+            if self.start <= t < self.start + self.size:
+                return self.feed(i, t)
+            return False
+        if self.nxt is None:
+            self.nxt = _TwBuf(self.start + self.step, self.size, self.step)
+        self.nxt.feed(i, t)
+        return True
+
+
+def towhee_time_window_ids(ts_ms: list[int], size_sec: int, step_sec: int) -> list[list[int]]:
+    """Per emitted window, the indices of the ts-ordered rows it holds —
+    exact Towhee time_window semantics including gap realignment
+    (_time_window.py:81-87; _window_base.py:53-80 flush protocol)."""
+    head = _TwBuf(0, size_sec * 1000, step_sec * 1000)
+    out: list[list[int]] = []
+    for i, t in enumerate(ts_ms):
+        if head.feed(i, int(t)) and head.rows:
+            out.append(head.rows)
+            head = head.nxt
+    while head is not None and head.rows:  # seal: flush chain until empty buf
+        out.append(head.rows)
+        head = head.nxt
+    return out
+
+
+def _compile_time_window(df: DataFrame, node: _Node, by) -> DataFrame:
+    size, step, ts_col = node.params["size"], node.params["step"], node.params["ts"]
+    exact = node.params.get("exact", True)
+    in_cols, out_cols, fn = list(node.in_cols), list(node.out_cols), node.fn
+    fields = _out_fields(node.out_cols, node.params.get("out_types"))
+    keys = _group_cols(df, by)
+
+    if not exact:
+        # Fast scale path: all non-empty step-aligned windows (Spark
+        # F.window semantics); coincides with Towhee on gap-free streams.
+        ms = F.col(ts_col).cast("double") * 1000 if dict(df.dtypes)[ts_col].startswith("timestamp") else F.col(ts_col).cast("double")
+        lo = (F.floor((ms / 1000 - F.lit(size)) / F.lit(step)) + 1).cast("long")
+        lo = F.greatest(lo, F.lit(0).cast("long"))
+        hi = F.floor(ms / 1000 / F.lit(step)).cast("long")
+        wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
+        df2 = df.withColumn("__wstart", F.explode(wids) * F.lit(step))
+        schema = T.StructType([df2.schema[k] for k in keys]
+                              + [T.StructField("__wstart", T.LongType())] + fields)
+        names = [f.name for f in schema.fields]
+
+        def run(key, pdf):
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            res = fn(*[list(pdf[c]) for c in in_cols])
+            res = res if isinstance(res, tuple) else (res,)
+            d = dict(zip(names, list(key) + list(res)))
+            return pd.DataFrame([d], columns=names)
+
+        return df2.groupBy(*keys, "__wstart").applyInPandas(run, schema=schema).drop("__wstart")
+
+    # Exact Towhee-buffer path: one applyInPandas per key group running the
+    # buffer chain (per-group python over a sorted pandas frame — parity
+    # surface; throughput path is exact=False).
+    schema = T.StructType([df.schema[k] for k in keys]
+                          + [T.StructField(_ROW_ORDER, T.LongType())] + fields)
+    names = [f.name for f in schema.fields]
+    is_ts = dict(df.dtypes)[ts_col].startswith("timestamp")
+
+    def run_exact(key, pdf):
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        tsv = pdf[ts_col]
+        ms = ((tsv.astype("int64") // 10**6) if is_ts else tsv.astype("int64")).tolist()
+        out_rows = []
+        for wi, idxs in enumerate(towhee_time_window_ids(ms, size, step)):
+            sub = pdf.iloc[idxs]
+            res = fn(*[list(sub[c]) for c in in_cols])
+            res = res if isinstance(res, tuple) else (res,)
+            out_rows.append(dict(zip(names, list(key) + [wi] + list(res))))
+        return pd.DataFrame(out_rows, columns=names)
+
+    if keys:
+        return df.groupBy(*keys).applyInPandas(run_exact, schema=schema)
+    return (
+        df.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(lambda key, pdf: run_exact((), pdf), schema=schema)
+        .drop("__g")
+    )
+
+
+def _compile_window_all(df: DataFrame, node: _Node, by) -> DataFrame:
+    def assign(df, keys, order):
+        return df, []
+
+    res = _apply_grouped(df, node, by, assign, [])
+    return res.drop("__g") if "__g" in res.columns else res
+
+
+def _compile_reduce(df: DataFrame, node: _Node, by) -> DataFrame:
+    # Same table semantics as window_all (fold whole group → one row); the
+    # reference feeds generators instead of lists (_reduce.py:57-76) — the
+    # fn contract (iterable per column) is identical.
+    return _compile_window_all(df, node, by)
+
+
+_COMPILERS = {
+    "input": _compile_input,
+    "output": _compile_output,
+    "map": _compile_map,
+    "filter": _compile_filter,
+    "flat_map": _compile_flat_map,
+    "window": _compile_window,
+    "time_window": _compile_time_window,
+    "window_all": _compile_window_all,
+    "reduce": _compile_reduce,
+}

@@ -1,0 +1,264 @@
+"""Temporal relational core: as-of join, lag/lead, LOCF/backfill, sessionize.
+
+These are the operators Towhee lacks entirely (its only multi-input node is
+positional `concat`, towhee/runtime/nodes/_concat.py:20-66; it has no joins,
+no keyed windows — SURVEY.md §2.2) and that the north_rule requires.
+
+Design notes (scale-first):
+
+* ``asof_join`` uses the union-tag + single-window sweep strategy: tag both
+  sides, union, and compute ``last(value, ignorenulls=True)`` over a window
+  partitioned by the join keys and ordered by (ts, side-tag).  This costs
+  exactly ONE shuffle (the window partition), stays entirely JVM-side
+  (whole-stage codegen; zero Python), and AQE handles partition-size skew.
+  A cogrouped `pd.merge_asof` variant exists for very wide right sides
+  (`asof_join_cogroup`) where duplicating right columns through the union
+  would be wasteful.
+* All window-based ops share one canonical ordering — ``(ts, turn_idx)`` by
+  default — so a single sort per stage serves every operator fused into it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SRC = "__asof_src"
+_RTS = "__asof_rts"
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "",
+    matched_ts_col: str | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) join: for each left row, attach the value columns
+    of the temporally nearest right row with the same key.
+
+    direction='backward': nearest right row with ``r.ts <= l.ts``
+    (``<`` when ``allow_exact_matches=False``); 'forward': nearest right row
+    with ``r.ts >= l.ts``.  ``tolerance`` (seconds) nulls the match when the
+    time distance exceeds it.  Semantics mirror ``pd.merge_asof``.
+
+    Ties on (key, ts) within the right side resolve to the greatest row under
+    a deterministic ordering of (ts, value-columns); keep the right side
+    unique per (key, ts) for oracle-exact results.
+
+    Implementation: union-tag + one window sweep — one shuffle, no Python.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _as_list(on)
+    rcols = list(right_cols) if right_cols else [
+        c for c in right.columns if c not in set(keys) | {ts}
+    ]
+    out_names = {c: c + suffix for c in rcols}
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ts_type = right.schema[ts].dataType
+
+    lcols = left.columns
+    # Left rows: tag 1, null placeholders for the right value columns.
+    lhs = left.withColumn(_SRC, F.lit(1)).withColumn(_RTS, F.lit(None).cast(ts_type))
+    for c in rcols:
+        lhs = lhs.withColumn(out_names[c], F.lit(None).cast(rtypes[c]))
+    # Right rows: tag 0, null placeholders for every non-key left column.
+    rhs = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts),
+        F.lit(0).alias(_SRC),
+        F.col(ts).alias(_RTS),
+        *[F.col(c).alias(out_names[c]) for c in rcols],
+    )
+    for c in lcols:
+        if c not in set(keys) | {ts}:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    ordered = [ts, _SRC, _RTS] + [out_names[c] for c in rcols]
+    u = lhs.select(*keys, *ordered, *[c for c in lcols if c not in set(keys) | {ts}]).unionByName(
+        rhs.select(*keys, *ordered, *[c for c in lcols if c not in set(keys) | {ts}])
+    )
+
+    # Ordering: at equal ts, the right row must land in the left row's
+    # preceding frame iff exact matches are allowed.
+    asc = direction == "backward"
+    tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
+    order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie]
+    # Deterministic tie-break among duplicate right (key, ts) rows.
+    order += [F.col(out_names[c]).asc_nulls_first() for c in rcols]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    filled = u
+    for c in rcols:
+        filled = filled.withColumn(out_names[c], F.last(out_names[c], ignorenulls=True).over(w))
+    filled = filled.withColumn(_RTS, F.last(_RTS, ignorenulls=True).over(w))
+
+    res = filled.filter(F.col(_SRC) == 1)
+    if tolerance is not None:
+        dist = (
+            (F.col(ts).cast("double") - F.col(_RTS).cast("double"))
+            if direction == "backward"
+            else (F.col(_RTS).cast("double") - F.col(ts).cast("double"))
+        )
+        ok = F.col(_RTS).isNotNull() & (dist <= F.lit(float(tolerance)))
+        for c in rcols:
+            res = res.withColumn(out_names[c], F.when(ok, F.col(out_names[c])))
+        res = res.withColumn(_RTS, F.when(ok, F.col(_RTS)))
+
+    keep = lcols + [out_names[c] for c in rcols]
+    if matched_ts_col:
+        res = res.withColumn(matched_ts_col, F.col(_RTS))
+        keep.append(matched_ts_col)
+    return res.select(*keep)
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` running ``pd.merge_asof``
+    per key group (Arrow-batched, never per-row Python).
+
+    Preferable to :func:`asof_join` when the right side is very wide (the
+    union-tag sweep materializes right columns across the whole union) or
+    when exact pandas tie semantics are required. One shuffle per side.
+    """
+    import pandas as pd  # noqa: PLC0415 — imported on driver & executors
+
+    keys = _as_list(on)
+    rcols = [c for c in right.columns if c not in set(keys) | {ts}]
+    out_schema = left.schema
+    for f in right.schema.fields:
+        if f.name in rcols:
+            out_schema = out_schema.add(f.name, f.dataType, True)
+    lcols = left.columns
+    tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=lcols + rcols)
+        ldf = ldf.sort_values(ts, kind="mergesort")
+        rdf = rdf.sort_values(ts, kind="mergesort")
+        out = pd.merge_asof(
+            ldf,
+            rdf[keys + [ts] + rcols] if not rdf.empty else rdf,
+            on=ts,
+            by=keys,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return out[lcols + rcols]
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def _order_window(key: str | Sequence[str], order: str | Sequence[str]):
+    return Window.partitionBy(*_as_list(key)).orderBy(*_as_list(order))
+
+
+def lag_lead(
+    df: DataFrame,
+    cols: Sequence[str],
+    offsets: Sequence[int],
+    key: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Add lag/lead columns: positive offset = lag (past), negative = lead.
+
+    Output names: ``{col}_lag{k}`` / ``{col}_lead{k}``. Single window spec →
+    single sort, all offsets computed in one pass.
+    """
+    w = _order_window(key, order)
+    for c in cols:
+        for k in offsets:
+            if k == 0:
+                continue
+            if k > 0:
+                df = df.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+            else:
+                df = df.withColumn(f"{c}_lead{-k}", F.lead(c, -k).over(w))
+    return df
+
+
+def locf(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("ts", "turn_idx"),
+    suffix: str = "_ff",
+) -> DataFrame:
+    """Last-observation-carried-forward: fill nulls from the most recent
+    non-null earlier row within the key. ``suffix=''`` overwrites in place."""
+    w = _order_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c in cols:
+        df = df.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
+    return df
+
+
+def bfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = ("ts", "turn_idx"),
+    suffix: str = "_bf",
+) -> DataFrame:
+    """Backward fill: fill nulls from the nearest non-null later row."""
+    w = _order_window(key, order).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    for c in cols:
+        df = df.withColumn(c + suffix, F.first(c, ignorenulls=True).over(w))
+    return df
+
+
+def sessionize(
+    df: DataFrame,
+    gap: float = 1800.0,
+    key: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    out: str = "session_id",
+    seq_out: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the time since
+    the previous row in the key exceeds ``gap`` seconds.
+
+    ``out`` gets ``{key}#{session_seq}``; pass ``seq_out`` to also keep the
+    integer sequence. lag → boundary flag → running sum, one window sort.
+    """
+    keys = _as_list(key)
+    w = Window.partitionBy(*keys).orderBy(ts, *order_extra)
+    sec = F.col(ts).cast("double")
+    prev = F.lag(sec).over(w)
+    is_new = F.when(prev.isNull() | ((sec - prev) > F.lit(float(gap))), 1).otherwise(0)
+    seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tmp = "__sess_seq"
+    df = df.withColumn(tmp, seq)
+    df = df.withColumn(out, F.concat_ws("#", *[F.col(k) for k in keys], F.col(tmp).cast("string")))
+    if seq_out:
+        df = df.withColumn(seq_out, F.col(tmp).cast("long"))
+    return df.drop(tmp)
