@@ -1,0 +1,171 @@
+"""Temporal core parity vs the single-node pandas oracle (FIXTURES.md §5):
+asof_join ≡ pd.merge_asof (backward/forward, tolerance, exact-match),
+lag_lead ≡ groupby.shift, locf ≡ ffill, sessionize ≡ lag-gap-cumsum —
+plus the zero-temporal-leakage property (BASELINE.json north_rule)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from towhee_spark import asof_join, bfill, lag_lead, locf, sessionize
+from towhee_spark.schema import CONTEXT_SCHEMA, TRANSCRIPT_SCHEMA
+from towhee_spark.synth import context_pdf, transcripts_pdf
+from towhee_spark.temporal import asof_join_cogroup
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = transcripts_pdf(n_convs=40, seed=42)
+    c = context_pdf(t, seed=43)
+    return t, c
+
+
+@pytest.fixture(scope="module")
+def sdfs(spark, corpus):
+    t, c = corpus
+    return (
+        spark.createDataFrame(t, schema=TRANSCRIPT_SCHEMA),
+        spark.createDataFrame(c, schema=CONTEXT_SCHEMA),
+    )
+
+
+def oracle_asof(t, c, direction="backward", tolerance=None, allow_exact=True):
+    tl = t.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    cl = c.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    out = pd.merge_asof(
+        tl,
+        cl,
+        on="ts",
+        by="conv_id",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+        allow_exact_matches=allow_exact,
+    )
+    return out.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+
+def collect_sorted(df):
+    pdf = df.orderBy("conv_id", "ts", "turn_idx").toPandas()
+    return pdf.reset_index(drop=True)
+
+
+def assert_asof_matches(got, exp):
+    assert len(got) == len(exp)
+    assert list(got.conv_id) == list(exp.conv_id)
+    assert list(got.turn_idx) == list(exp.turn_idx)
+    np.testing.assert_allclose(
+        got.ctx_score.astype(float).to_numpy(),
+        exp.ctx_score.astype(float).to_numpy(),
+        equal_nan=True,
+    )
+    assert list(got.ctx_label.fillna("∅")) == list(exp.ctx_label.fillna("∅"))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 600.0])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_join_matrix(spark, corpus, sdfs, direction, tolerance, allow_exact):
+    t, c = corpus
+    st, sc = sdfs
+    got = collect_sorted(
+        asof_join(st, sc, direction=direction, tolerance=tolerance,
+                  allow_exact_matches=allow_exact)
+    )
+    exp = oracle_asof(t, c, direction, tolerance, allow_exact)
+    assert_asof_matches(got, exp)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_cogroup_matches_oracle(spark, corpus, sdfs, direction):
+    t, c = corpus
+    st, sc = sdfs
+    got = collect_sorted(asof_join_cogroup(st, sc, direction=direction, tolerance=900.0))
+    exp = oracle_asof(t, c, direction, tolerance=900.0)
+    assert_asof_matches(got, exp)
+
+
+def test_no_temporal_leakage(spark, corpus, sdfs):
+    """Ablation check: dropping all context rows later than a turn's ts must
+    not change that turn's backward-asof features (north_rule)."""
+    t, c = corpus
+    st, sc = sdfs
+    full = collect_sorted(asof_join(st, sc))
+    probe = full.iloc[len(full) // 3]
+    cutoff = probe.ts
+    c_ablate = c[c.ts <= cutoff]
+    sc2 = st.sparkSession.createDataFrame(c_ablate, schema=CONTEXT_SCHEMA)
+    ablated = collect_sorted(asof_join(st, sc2))
+    mask = full.ts <= cutoff
+    a, b = full[mask], ablated[mask]
+    np.testing.assert_allclose(
+        a.ctx_score.astype(float).to_numpy(),
+        b.ctx_score.astype(float).to_numpy(),
+        equal_nan=True,
+    )
+
+
+def test_lag_lead_vs_shift(spark, corpus, sdfs):
+    t, _ = corpus
+    st, _ = sdfs
+    got = collect_sorted(lag_lead(st, ["turn_idx"], [1, 2, -1]))
+    g = t.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").groupby("conv_id")
+    exp_lag1 = g.turn_idx.shift(1)
+    exp_lag2 = g.turn_idx.shift(2)
+    exp_lead1 = g.turn_idx.shift(-1)
+    for got_col, exp in [
+        (got.turn_idx_lag1, exp_lag1),
+        (got.turn_idx_lag2, exp_lag2),
+        (got.turn_idx_lead1, exp_lead1),
+    ]:
+        np.testing.assert_allclose(
+            got_col.astype(float).to_numpy(),
+            exp.reset_index(drop=True).astype(float).to_numpy(),
+            equal_nan=True,
+        )
+
+
+def test_locf_bfill_vs_pandas(spark, corpus, sdfs):
+    t, _ = corpus
+    st, _ = sdfs
+    got = collect_sorted(bfill(locf(st, ["tool"]), ["tool"]))
+    srt = t.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    exp_ff = srt.groupby("conv_id").tool.ffill().reset_index(drop=True)
+    exp_bf = srt.groupby("conv_id").tool.bfill().reset_index(drop=True)
+    assert list(got.tool_ff.fillna("∅")) == list(exp_ff.fillna("∅"))
+    assert list(got.tool_bf.fillna("∅")) == list(exp_bf.fillna("∅"))
+
+
+def test_sessionize_vs_pandas(spark, corpus, sdfs):
+    t, _ = corpus
+    st, _ = sdfs
+    gap = 1800.0
+    got = collect_sorted(sessionize(st, gap=gap, seq_out="sess_seq"))
+    srt = t.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    prev = srt.groupby("conv_id").ts.shift(1)
+    is_new = prev.isna() | ((srt.ts - prev).dt.total_seconds() > gap)
+    exp_seq = is_new.groupby(srt.conv_id).cumsum().reset_index(drop=True)
+    np.testing.assert_array_equal(got.sess_seq.to_numpy(), exp_seq.to_numpy())
+    # at least some conversations split into >1 session (generator contract)
+    assert got.groupby("conv_id").sess_seq.max().gt(1).any()
+
+
+def test_asof_exact_ties(spark):
+    """Context rows at exactly a turn's ts: matched when allow_exact, the
+    strictly-earlier row otherwise."""
+    t = pd.DataFrame(
+        {"conv_id": ["c"] * 2, "turn_idx": np.array([0, 1], dtype="int32"),
+         "role": ["user"] * 2, "text": ["a", "b"], "tool": [None, None],
+         "ts": pd.to_datetime(["2026-01-01 00:00:10", "2026-01-01 00:00:20"]).astype("datetime64[us]")}
+    )
+    c = pd.DataFrame(
+        {"conv_id": ["c"] * 2,
+         "ts": pd.to_datetime(["2026-01-01 00:00:05", "2026-01-01 00:00:20"]).astype("datetime64[us]"),
+         "ctx_score": [1.0, 2.0], "ctx_label": ["x", "y"]}
+    )
+    st = t.pipe(lambda p: pytest.importorskip("pyspark") and None) or None
+    spark_t = spark.createDataFrame(t, schema=TRANSCRIPT_SCHEMA)
+    spark_c = spark.createDataFrame(c, schema=CONTEXT_SCHEMA)
+    exact = collect_sorted(asof_join(spark_t, spark_c))
+    assert list(exact.ctx_score) == [1.0, 2.0]
+    strict = collect_sorted(asof_join(spark_t, spark_c, allow_exact_matches=False))
+    assert list(strict.ctx_score) == [1.0, 1.0]

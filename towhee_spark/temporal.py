@@ -146,12 +146,14 @@ def asof_join_cogroup(
     """
     import pandas as pd  # noqa: PLC0415 — imported on driver & executors
 
+    from pyspark.sql import types as T  # noqa: PLC0415
+
     keys = _as_list(on)
     rcols = [c for c in right.columns if c not in set(keys) | {ts}]
-    out_schema = left.schema
-    for f in right.schema.fields:
-        if f.name in rcols:
-            out_schema = out_schema.add(f.name, f.dataType, True)
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f.name, f.dataType, True) for f in right.schema.fields if f.name in rcols]
+    )
     lcols = left.columns
     tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
 
