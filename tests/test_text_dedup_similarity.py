@@ -1,0 +1,169 @@
+"""Training-data ops over the driver's documents/embeddings tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import dedup, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_count_matches_python(docs):
+    rows = docs.select("text", text.token_count("text").alias("tc")).collect()
+    for r in rows[:200]:
+        expected = len(r.text.split()) if r.text and r.text.strip() else 0
+        assert r.tc == expected, r.text
+
+
+def test_lang_id_buckets(docs):
+    got = docs.select(text.lang_id("text").alias("lang")).groupBy("lang").count().collect()
+    langs = {r.lang for r in got}
+    assert langs <= {"en", "de", "fr", "es", "und"}
+    assert len(langs) >= 2  # heuristics must discriminate on the corpus
+
+
+def test_quality_score_range(docs):
+    mm = docs.select(
+        F.min(text.quality_score("text")).alias("lo"),
+        F.max(text.quality_score("text")).alias("hi"),
+    ).first()
+    assert 0.0 <= mm.lo <= mm.hi <= 1.0
+
+
+def test_fingerprint_dedup_consistency(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")], ["doc_id", "text"]
+    )
+    fps = df.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    by_id = {r.doc_id: r.fp for r in fps}
+    assert by_id[1] == by_id[2] != by_id[3]
+    kept = dedup.dedup_exact(df).collect()
+    assert {(r.doc_id, r.dup_count) for r in kept} == {(1, 2), (3, 1)}
+
+
+def test_ngram_jaccard_oracle(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely unrelated sentence about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5, n=3, max_shingle_freq=None).collect()
+    }
+    # python oracle
+    def sh(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)} or {t}
+
+    for (a, ta), (b, tb) in [(texts[0], texts[1]), (texts[0], texts[3]), (texts[0], texts[2])]:
+        j = len(sh(ta) & sh(tb)) / len(sh(ta) | sh(tb))
+        if j >= 0.5:
+            assert abs(pairs[(a, b)] - j) < 1e-6
+        else:
+            assert (a, b) not in pairs
+    assert pairs[(1, 4)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(docs, spark):
+    """LSH must recover the high-Jaccard pairs that exact ngram finds."""
+    sample = docs.limit(150)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(sample, threshold=0.8, max_shingle_freq=None).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(sample, threshold=0.6, num_hashes=64, bands=16).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, (recall, len(exact), len(approx))
+
+
+def test_simhash_identical_texts(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engines process data fast"), (2, "spark engines process data fast"),
+         (3, "unrelated words entirely here now")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
+
+
+def test_brute_force_topk_vs_numpy(embs):
+    qs = embs.limit(5)
+    got = similarity.brute_force_topk(qs, embs, k=5).collect()
+    ep = embs.toPandas()
+    mat = np.stack([np.asarray(v, dtype="float32") for v in ep.embedding])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = ep.vec_id.to_numpy()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        qv = mat[ids == qid][0]
+        sims = mat @ qv
+        order = [int(ids[i]) for i in np.argsort(-sims) if ids[i] != qid][:5]
+        got_ids = [r.match_id for r in sorted(rows, key=lambda r: r.rank)]
+        # allow tie-order differences: compare score sets
+        exp_scores = sorted(np.sort(sims)[::-1][1:6].round(4), reverse=True)
+        got_scores = sorted((r.score for r in rows), reverse=True)
+        np.testing.assert_allclose(got_scores, exp_scores, atol=1e-3)
+        assert got_ids[0] == order[0]
+
+
+def test_lsh_topk_recall_planted(spark, embs):
+    """LSH recall on its actual use case: high-cosine neighbors. The driver
+    embeddings are near-uniform random (top-1 cos ≈ 0.35 — no locality for
+    ANY sublinear index), so plant perturbed copies as queries and require
+    the planted source as top-1."""
+    ep = embs.limit(200).toPandas()
+    rng = np.random.default_rng(1)
+    qrows = []
+    for i in range(10):
+        v = np.asarray(ep.embedding.iloc[i], dtype="float32")
+        qrows.append((10_000 + int(ep.vec_id.iloc[i]), (v + rng.normal(0, 0.01, len(v)).astype("float32")).tolist()))
+    qs = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+    approx = similarity.lsh_topk(qs, embs, k=3, planes=10, probes=8).collect()
+    top1 = {r.query_id: r.match_id for r in approx if r.rank == 1}
+    hits = sum(1 for qid, mid in top1.items() if mid == qid - 10_000)
+    assert hits >= 8, top1
+
+
+def test_lsh_topk_subset_of_valid_scores(embs):
+    """On unstructured data LSH results must still be valid cosine rows
+    bounded by the exact top-1."""
+    qs = embs.limit(5)
+    exact = similarity.brute_force_topk(qs, embs, k=1).collect()
+    approx = similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4).collect()
+    best = {r.query_id: r.score for r in exact}
+    for r in approx:
+        assert r.score <= best[r.query_id] + 1e-6
+
+
+def test_embedding_neardup_pairs(spark):
+    base = np.random.default_rng(0).normal(size=(20, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    #近-duplicates: ids 100+i are tiny perturbations of i<3
+    for i in range(3):
+        rows.append((100 + i, [float(x) for x in base[i] + 1e-3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_neardup_pairs(df, threshold=0.99).collect()}
+    assert {(0, 100), (1, 101), (2, 102)} <= pairs

@@ -1,0 +1,293 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, increasing scale-friendliness:
+
+* exact        — hash groupBy on normalized text (one shuffle, map-side combine)
+* ngram-Jaccard— exact set similarity via shingle self-join (the oracle for
+                 the approximate tiers; frequency-capped to survive scale)
+* MinHash+LSH  — signature → banded buckets → candidate join → exact verify;
+                 shuffle cost O(docs × bands), never O(docs²)
+* SimHash      — 64-bit sketch, hamming-distance blocks
+
+All stages are native DataFrame ops (explode/groupBy/join); hashing uses
+xxhash64 (JVM, codegen). Nothing here crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from towhee_spark.functions.text import normalize_text
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each exact (normalized) text.
+    Returns (id, text, dup_count). Single hash aggregation."""
+    return (
+        df.select(F.col(id_col), F.col(text_col), normalize_text(text_col).alias("__norm"))
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word-level n-gram shingles of the
+    normalized text. Documents shorter than n words yield their full text
+    as a single shingle (so trivially-short docs still compare)."""
+    toks = F.split(normalize_text(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard ≥
+    threshold).
+
+    Scale levers: the self-join runs on the (shingle → ids) inverted index;
+    ``max_shingle_freq`` drops boilerplate shingles that occur in more than
+    that many docs (a frequency cap — the standard defence against the
+    O(freq²) pair blow-up of stop-shingles at corpus scale). None disables
+    the cap (exact semantics; used by the sf0.01 oracle check)."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    a = sh.select(F.col("shingle"), F.col("id").alias("id_a"))
+    b = sh.select(F.col("shingle"), F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures: sig[i] = min over
+    shingles of xxhash64(shingle, seed=i). One explode + one groupBy —
+    map-side partial min keeps the shuffle tiny."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Approximate Jaccard near-dup pairs via MinHash + banded LSH:
+    signature sliced into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band bucket become candidates; candidates are verified
+    with the estimated Jaccard (signature agreement rate) ≥ threshold.
+
+    Never materializes O(n²): candidate generation is a groupBy on
+    (band, band_hash) buckets."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    bands_df = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        bands_df.alias("x")
+        .join(bands_df.alias("y"), ["band", "bh"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    est = (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda m: m))
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def simhash_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) 64-bit SimHash over word tokens: per-bit
+    majority vote of token hashes, built natively from bitwise expressions."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(63)  # bit 63 excluded: keeps the sketch positive
+        ]
+    )
+    sketch = votes.select(
+        "id",
+        sum(
+            [F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(63)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sketch
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via block-key
+    LSH: split the 64-bit sketch into ``blocks`` segments — any pair within
+    hamming k < blocks must agree on ≥1 segment (pigeonhole) → candidates
+    from segment-bucket joins, verified with bit_count(xor)."""
+    seg_bits = 64 // blocks
+    sk = simhash_sketch(df, id_col, text_col).cache()
+    segs = sk.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("seg"),
+                    F.shiftrightunsigned(F.col("simhash"), s * seg_bits)
+                    .bitwiseAND(F.lit((1 << seg_bits) - 1))
+                    .alias("seg_val"),
+                )
+                for s in range(blocks)
+            ])
+        ).alias("ss"),
+    ).select("id", "simhash", "ss.seg", "ss.seg_val")
+    cand = (
+        segs.alias("x")
+        .join(segs.alias("y"), ["seg", "seg_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold) blocked by
+    random-hyperplane signatures so the self-join never goes O(n²): vectors
+    agreeing on all ``block_planes`` sign bits land in the same bucket
+    (high-cosine pairs almost always do); exact cosine verifies candidates."""
+    from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
+
+    dim = len(df.select(vec_col).first()[0])
+    import numpy as np  # noqa: PLC0415
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(block_planes, dim))
+    sig = sum(
+        [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(block_planes)
+        ],
+        F.lit(0),
+    )
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.vec").alias("va"),
+            F.col("y.vec").alias("vb"),
+        )
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

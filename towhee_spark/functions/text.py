@@ -1,0 +1,84 @@
+"""Text analysis over document/transcript text columns — all native
+Spark expressions (whole-stage codegen, no Python): language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+Every function returns a Column so it composes into any select/agg and the
+filter/scan pushdown stays intact. Designed to be ANSI-SQL-mirrorable so
+the DuckDB oracle can verify each one exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny public marker-word lists (stopword-frequency language heuristic).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "you", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "vous"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "para"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "in", "for", "on", "with", "as", "are"]
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count; empty/null-safe (0 for '' and NULL)."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+def word_regex_count(text: Column | str, pattern: str = r"[A-Za-z0-9']+") -> Column:
+    """BPE-ish token proxy: count of regex word pieces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(pattern)).cast("int")
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    # \b word \b occurrences over the lowercased text
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(F.coalesce(c, F.lit(""))), F.lit(pat))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language heuristic → 'en'|'de'|'fr'|'es'|'und'
+    (undetermined when no marker hits). Pure regexp_count + greatest."""
+    c = F.col(text) if isinstance(text, str) else text
+    hits = {lang: _marker_hits(c, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    result = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es
+    for lang in ("es", "fr", "de", "en"):
+        result = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    stopword presence − punctuation excess. Deterministic, SQL-mirrorable."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.coalesce(c, F.lit(""))
+    n = F.length(t).cast("double")
+    toks = token_count(t).cast("double")
+    alpha = F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("double")
+    punct = F.regexp_count(t, F.lit(r"[!?#*>{}\[\]|\\~^]")).cast("double")
+    stop = _marker_hits(t, STOPWORDS_EN).cast("double")
+    len_band = F.when((toks >= 5) & (toks <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, F.least(F.lit(0.3), 0.3 * alpha / n)).otherwise(F.lit(0.0))
+    stop_part = F.when(toks > 0, F.least(F.lit(0.3), 0.3 * (stop * 5.0) / toks)).otherwise(F.lit(0.0))
+    punct_pen = F.when(n > 0, F.least(F.lit(0.2), punct / n)).otherwise(F.lit(0.0))
+    return F.round(F.greatest(F.lit(0.0), len_band + alpha_ratio + stop_part - punct_pen), 6)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (md5 exists verbatim in DuckDB → exact oracle.)"""
+    return F.md5(normalize_text(text))
