@@ -1,38 +1,553 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() + oracle_sql() pairs for the correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each query is a Spark DataFrame plan from towhee_spark; each oracle is the
+equivalent ANSI SQL run by DuckDB on the same parquet views. Transcript
+queries run over a transcripts/context pair *derived deterministically from
+the events table* (towhee_spark/sources/tables.py) so both engines see
+byte-identical inputs of the BASELINE.json input_hint shape.
+
+Column names are aliased identically on both sides; value columns avoid
+engine-specific float math (integer µs timestamps, rounded doubles).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from towhee_spark import asof_join, lag_lead, locf, sessionize
+from towhee_spark.temporal import epoch_us
+from towhee_spark.functions import dedup, similarity, text
+from towhee_spark.kernels import cosine_expr
+from towhee_spark.sources.tables import (
+    CONTEXT_SQL,
+    TRANSCRIPTS_SQL,
+    context_from_events,
+    load_events,
+    transcripts_from_events,
+)
+
+_CTE = f"WITH transcripts AS ({TRANSCRIPTS_SQL}), context AS ({CONTEXT_SQL})"
+
+
+def _t_c(spark: SparkSession, sf_dir: str):
+    ev = load_events(spark, sf_dir)
+    return transcripts_from_events(ev), context_from_events(ev)
+
+
+# --------------------------------------------------------------------------
+# temporal core
+
+
+def q_asof_backward(spark, sf_dir):
+    t, c = _t_c(spark, sf_dir)
+    j = asof_join(t, c, on="conv_id", ts="ts", direction="backward")
+    return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
+
+
+def q_asof_forward(spark, sf_dir):
+    t, c = _t_c(spark, sf_dir)
+    j = asof_join(t, c, on="conv_id", ts="ts", direction="forward")
+    return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
+
+
+def q_asof_tolerance(spark, sf_dir):
+    t, c = _t_c(spark, sf_dir)
+    j = asof_join(t, c, direction="backward", tolerance=1800.0)
+    return j.select("conv_id", "turn_idx", "ctx_score")
+
+
+def q_asof_strict(spark, sf_dir):
+    t, c = _t_c(spark, sf_dir)
+    j = asof_join(t, c, direction="backward", allow_exact_matches=False)
+    return j.select("conv_id", "turn_idx", "ctx_score")
+
+
+def q_lag_lead(spark, sf_dir):
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("text_len", F.length("text"))
+    out = lag_lead(t, ["text_len"], [1, 2, -1])
+    return out.select(
+        "conv_id", "turn_idx", "text_len",
+        F.col("text_len_lag1").alias("len_lag1"),
+        F.col("text_len_lag2").alias("len_lag2"),
+        F.col("text_len_lead1").alias("len_lead1"),
+    )
+
+
+def q_locf_backfill(spark, sf_dir):
+    t, _ = _t_c(spark, sf_dir)
+    return locf(t, ["tool"]).select("conv_id", "turn_idx", F.col("tool_ff"))
+
+
+def q_sessionize(spark, sf_dir):
+    t, _ = _t_c(spark, sf_dir)
+    out = sessionize(t, gap=1800.0, seq_out="session_seq")
+    return out.select("conv_id", "turn_idx", "session_seq")
+
+
+def q_session_stats(spark, sf_dir):
+    t, _ = _t_c(spark, sf_dir)
+    s = sessionize(t, gap=1800.0, seq_out="session_seq")
+    return s.groupBy("conv_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max(epoch_us("ts")) - F.min(epoch_us("ts"))).alias("duration_us"),
+        F.count("tool").alias("n_tool_calls"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Towhee operator parity on driver tables
+
+
+def q_towhee_map(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("tok_cnt"),
+        F.length("text").cast("int").alias("len_chars"),
+    )
+
+
+def q_towhee_filter(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.filter(text.token_count("text") >= 5).select("doc_id", "lang", "source")
+
+
+def q_towhee_flat_map(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(text.normalize_text("text"), " ")
+    return docs.select("doc_id", F.explode(toks).alias("token"))
+
+
+def q_towhee_window_count(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = F.row_number().over(w) - 1
+    return (
+        ev.withColumn("wid", F.floor(idx / 10).cast("int"))
+        .groupBy("user_id", "wid")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_towhee_time_window(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    hour = F.floor(epoch_us("ts") / F.lit(3_600_000_000)).alias("hour_id")
+    return ev.groupBy("user_id", hour).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+def q_towhee_reduce(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+def q_towhee_concat(spark, sf_dir):
+    # two sibling branches on one input → columns coexist (concat is a no-op)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("tok_cnt"),
+        F.upper("source").alias("src_upper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational coverage (Spark built-ins; TPC-H-style)
+
+
+def _rev_sum():
+    """Exact revenue aggregate: DECIMAL math in both engines so the sum is
+    order-insensitive (float accumulation order flips round(2) boundaries)."""
+    amt = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return F.round(F.sum(amt), 2).cast("double")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").alias("sum_base_price"),
+            _rev_sum().alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3ish(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_rev_sum().alias("revenue"))
+        .select("l_orderkey", epoch_us("o_orderdate").alias("orderdate_us"), "revenue")
+    )
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev_sum().alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_exact(docs)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3, max_shingle_freq=None)
+
+
+def q_text_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        text.lang_id("text").alias("lang_guess"),
+        text.token_count("text").alias("tok_cnt"),
+        text.fingerprint("text").alias("fp"),
+    )
+
+
+def q_embedding_norms(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return embs.select("vec_id", F.round(norm, 4).alias("l2_norm"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(qs, embs, k=3)
+    # compare on rounded score; rank order may differ on exact ties
+    return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
+
+
+# non-SQL-expressible (hash-dependent) — rows-only oracle
+def q_minhash_lsh(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+def q_lsh_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4)
+
+
+def q_embed_text(spark, sf_dir):
+    from towhee_spark.kernels import embed_text_udf  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", embed_text_udf(dim=32)(F.col("text")).alias("embedding"))
+
+
+# --------------------------------------------------------------------------
+# flagship: full transcript feature pipeline
+
+
+def flagship(spark, sf_dir):
+    t, c = _t_c(spark, sf_dir)
+    j = asof_join(t, c, direction="backward")
+    j = j.withColumn("text_len", F.length("text"))
+    j = lag_lead(j, ["text_len"], [1])
+    j = locf(j, ["tool"])
+    j = sessionize(j, gap=1800.0, seq_out="session_seq")
+    return j.select(
+        "conv_id", "turn_idx", "role",
+        "text_len",
+        F.col("text_len_lag1").alias("len_lag1"),
+        F.col("tool_ff"),
+        "session_seq",
+        "ctx_score",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "asof_backward": q_asof_backward,
+        "asof_forward": q_asof_forward,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_strict": q_asof_strict,
+        "lag_lead": q_lag_lead,
+        "locf_backfill": q_locf_backfill,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "towhee_map": q_towhee_map,
+        "towhee_filter": q_towhee_filter,
+        "towhee_flat_map": q_towhee_flat_map,
+        "towhee_window_count": q_towhee_window_count,
+        "towhee_time_window": q_towhee_time_window,
+        "towhee_reduce": q_towhee_reduce,
+        "towhee_concat": q_towhee_concat,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "embedding_norms": q_embedding_norms,
+        "similarity_topk": q_similarity_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "embed_text": q_embed_text,
+        "flagship": flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tok_cnt = (
+        "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    norm = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+    sess_seq = f"""
+        SELECT conv_id, turn_idx, ts, tool, role, text,
+               CAST(SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM (
+            SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+            FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        )
     """
-    return {}
+    return {
+        "asof_backward": f"""{_CTE}
+            SELECT t.conv_id, t.turn_idx, c.ctx_score, c.ctx_label
+            FROM transcripts t ASOF LEFT JOIN context c
+              ON t.conv_id = c.conv_id AND t.ts >= c.ts""",
+        "asof_forward": f"""{_CTE}
+            SELECT t.conv_id, t.turn_idx, c.ctx_score, c.ctx_label
+            FROM transcripts t ASOF LEFT JOIN context c
+              ON t.conv_id = c.conv_id AND t.ts <= c.ts""",
+        "asof_tolerance": f"""{_CTE}
+            SELECT t.conv_id, t.turn_idx,
+                   CASE WHEN c.ts IS NOT NULL
+                             AND epoch_us(t.ts) - epoch_us(c.ts) <= 1800000000
+                        THEN c.ctx_score END AS ctx_score
+            FROM transcripts t ASOF LEFT JOIN context c
+              ON t.conv_id = c.conv_id AND t.ts >= c.ts""",
+        "asof_strict": f"""{_CTE}
+            SELECT t.conv_id, t.turn_idx, c.ctx_score
+            FROM transcripts t ASOF LEFT JOIN context c
+              ON t.conv_id = c.conv_id AND t.ts > c.ts""",
+        "lag_lead": f"""{_CTE}
+            SELECT conv_id, turn_idx, CAST(length(text) AS INT) AS text_len,
+                   lag(CAST(length(text) AS INT), 1) OVER w AS len_lag1,
+                   lag(CAST(length(text) AS INT), 2) OVER w AS len_lag2,
+                   lead(CAST(length(text) AS INT), 1) OVER w AS len_lead1
+            FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)""",
+        "locf_backfill": f"""{_CTE}
+            SELECT conv_id, turn_idx,
+                   last_value(tool IGNORE NULLS) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS tool_ff
+            FROM transcripts""",
+        "sessionize": f"""{_CTE}
+            SELECT conv_id, turn_idx, session_seq FROM ({sess_seq})""",
+        "session_stats": f"""{_CTE}
+            SELECT conv_id, session_seq,
+                   COUNT(*) AS n_turns,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+                   COUNT(tool) AS n_tool_calls
+            FROM ({sess_seq}) GROUP BY conv_id, session_seq""",
+        "towhee_map": f"""
+            SELECT doc_id, CAST({tok_cnt} AS INT) AS tok_cnt,
+                   CAST(length(text) AS INT) AS len_chars
+            FROM documents""",
+        "towhee_filter": f"""
+            SELECT doc_id, lang, source FROM documents WHERE {tok_cnt} >= 5""",
+        "towhee_flat_map": f"""
+            SELECT doc_id, unnest(string_split({norm}, ' ')) AS token FROM documents""",
+        "towhee_window_count": """
+            SELECT user_id, CAST(floor((rn - 1) / 10) AS INT) AS wid,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            GROUP BY user_id, wid""",
+        "towhee_time_window": """
+            SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY user_id, hour_id""",
+        "towhee_reduce": """
+            SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+                   ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+            FROM events GROUP BY user_id""",
+        "towhee_concat": f"""
+            SELECT doc_id, CAST({tok_cnt} AS INT) AS tok_cnt, upper(source) AS src_upper
+            FROM documents""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3ish": """
+            SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate""",
+        "tpch_q5ish": """
+            SELECT n_name,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name""",
+        "dedup_exact": f"""
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY {norm}""",
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+                )
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""",
+        "text_stats": _text_stats_sql(),
+        "embedding_norms": """
+            SELECT vec_id,
+                   ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+            FROM embeddings""",
+        "similarity_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS match_id,
+                       list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))) AS score
+                FROM q, embeddings e WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, match_id, ROUND(ROUND(score, 6), 4) AS score4,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ROUND(score, 6) DESC, match_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3""",
+        "flagship": f"""{_CTE},
+            asof_j AS (
+                SELECT t.*, c.ctx_score
+                FROM transcripts t ASOF LEFT JOIN context c
+                  ON t.conv_id = c.conv_id AND t.ts >= c.ts
+            ),
+            feat AS (
+                SELECT conv_id, turn_idx, role, ts, ctx_score,
+                       CAST(length(text) AS INT) AS text_len,
+                       lag(CAST(length(text) AS INT), 1) OVER w AS len_lag1,
+                       last_value(tool IGNORE NULLS) OVER (
+                           PARTITION BY conv_id ORDER BY ts, turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS tool_ff
+                FROM asof_j WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            sess AS (
+                SELECT *, CAST(SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM (SELECT *, CASE WHEN lag(ts) OVER w2 IS NULL
+                                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w2) > 1800000000
+                                THEN 1 ELSE 0 END AS is_new
+                      FROM feat WINDOW w2 AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+            )
+            SELECT conv_id, turn_idx, role, text_len, len_lag1, tool_ff,
+                   session_seq, ctx_score
+            FROM sess""",
+    }
+
+
+def _text_stats_sql() -> str:
+    def hits(words):
+        pat = r"\b(" + "|".join(words) + r")\b"
+        return f"len(regexp_extract_all(lower(coalesce(text,'')), '{pat}'))"
+
+    from towhee_spark.functions.text import LANG_MARKERS  # noqa: PLC0415
+
+    h = {lang: hits(words) for lang, words in LANG_MARKERS.items()}
+    best = f"greatest({h['en']}, {h['de']}, {h['fr']}, {h['es']})"
+    lang_case = "'und'"
+    for lang in ("es", "fr", "de", "en"):
+        lang_case = (
+            f"CASE WHEN {h[lang]} > 0 AND {h[lang]} = {best} THEN '{lang}' "
+            f"ELSE {lang_case} END"
+        )
+    tok_cnt = (
+        "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    norm = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+    return f"""
+        SELECT doc_id, {lang_case} AS lang_guess,
+               CAST({tok_cnt} AS INT) AS tok_cnt,
+               md5({norm}) AS fp
+        FROM documents"""

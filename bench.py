@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The flagship measurement is the north-star pipeline (as-of join + lag/lead +
+sessionize + backfill + Arrow embedding kernel) over a synthetic transcript
+corpus generated distributed-side (towhee_spark.synth.transcripts_spark),
+reported as turns/sec. Driver-table queries cover the relational/dedup/
+similarity surface. Every timing forces full computation through the noop
+sink (count() would let Catalyst prune the feature columns away).
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/bench_scaling.py, which shells out to this file per parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "60000"))  # ≈1.2M turns
+
+    from towhee_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+
+    import __spark_entry__ as entry
+
+    from towhee_spark import asof_join, lag_lead, locf, sessionize
+    from towhee_spark.kernels import embed_text_udf
+    from towhee_spark.layout import repartition_by_key
+    from towhee_spark.synth import transcripts_spark
+
+    from pyspark.sql import functions as F
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- north-star: synthetic transcript feature pipeline ---------------
+    corpus = transcripts_spark(spark, n_convs=n_convs, partitions=cpus * 2)
+    corpus = repartition_by_key(corpus, "conv_id", num_partitions=cpus * 2).cache()
+    n_turns = corpus.count()  # materialize cache outside the timing
+
+    ctx = corpus.filter(F.col("turn_idx") % 5 == 0).select(
+        "conv_id", "ts", F.length("text").cast("double").alias("ctx_score")
+    )
+
+    def flagship_pipeline():
+        j = asof_join(corpus, ctx, direction="backward", tolerance=3600.0)
+        j = j.withColumn("text_len", F.length("text"))
+        j = lag_lead(j, ["text_len"], [1, 2, -1])
+        j = locf(j, ["tool"])
+        j = sessionize(j, gap=1800.0, seq_out="session_seq")
+        j = j.withColumn("emb", embed_text_udf(dim=32)(F.col("text")))
+        force(j)
+
+    timed("flagship_synth", flagship_pipeline)
+    turns_per_sec = round(n_turns / timings["flagship_synth"], 1)
+
+    # --- driver-table headline queries ------------------------------------
+    qs = entry.queries()
+    for name in [
+        "asof_backward",
+        "lag_lead",
+        "sessionize",
+        "session_stats",
+        "towhee_time_window",
+        "tpch_q1",
+        "tpch_q5ish",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "minhash_lsh",
+        "similarity_topk",
+        "embed_text",
+        "text_stats",
+    ]:
+        timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "turns/sec feature-engineering throughput (flagship pipeline)",
+                "value": turns_per_sec,
+                "unit": "turns/sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "total_sec": total,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

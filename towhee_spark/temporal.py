@@ -33,6 +33,24 @@ def _as_list(x: str | Sequence[str]) -> list[str]:
     return [x] if isinstance(x, str) else list(x)
 
 
+def epoch_us(col: Column | str) -> Column:
+    """Exact integer epoch-µs from TIMESTAMP or TIMESTAMP_NTZ (parquet scans
+    yield NTZ, which unix_micros rejects; session tz is UTC so the cast is
+    an identity reinterpretation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _time_value(col: Column, dtype) -> Column:
+    """Numeric time for tolerance/gap math: µs for timestamps (exact int),
+    the raw value for numeric ts columns."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return epoch_us(col)
+    return col.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -111,12 +129,14 @@ def asof_join(
 
     res = filled.filter(F.col(_SRC) == 1)
     if tolerance is not None:
-        dist = (
-            (F.col(ts).cast("double") - F.col(_RTS).cast("double"))
-            if direction == "backward"
-            else (F.col(_RTS).cast("double") - F.col(ts).cast("double"))
-        )
-        ok = F.col(_RTS).isNotNull() & (dist <= F.lit(float(tolerance)))
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        is_time = isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType))
+        tl = _time_value(F.col(ts), ts_type)
+        tr = _time_value(F.col(_RTS), ts_type)
+        tol = F.lit(int(tolerance * 1_000_000)) if is_time else F.lit(float(tolerance))
+        dist = (tl - tr) if direction == "backward" else (tr - tl)
+        ok = F.col(_RTS).isNotNull() & (dist <= tol)
         for c in rcols:
             res = res.withColumn(out_names[c], F.when(ok, F.col(out_names[c])))
         res = res.withColumn(_RTS, F.when(ok, F.col(_RTS)))
@@ -254,9 +274,14 @@ def sessionize(
     """
     keys = _as_list(key)
     w = Window.partitionBy(*keys).orderBy(ts, *order_extra)
-    sec = F.col(ts).cast("double")
-    prev = F.lag(sec).over(w)
-    is_new = F.when(prev.isNull() | ((sec - prev) > F.lit(float(gap))), 1).otherwise(0)
+    # exact integer µs for timestamps (oracle-parity-safe; float epoch-seconds
+    # carries 16 significant digits — off-by-ulp at gap boundaries)
+    if dict(df.dtypes)[ts].startswith("timestamp"):
+        tcol, gap_v = epoch_us(ts), F.lit(int(gap * 1_000_000))
+    else:
+        tcol, gap_v = F.col(ts).cast("double"), F.lit(float(gap))
+    prev = F.lag(tcol).over(w)
+    is_new = F.when(prev.isNull() | ((tcol - prev) > gap_v), 1).otherwise(0)
     seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     tmp = "__sess_seq"
     df = df.withColumn(tmp, seq)
