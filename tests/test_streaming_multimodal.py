@@ -1,0 +1,107 @@
+"""Streaming ops (validated batch-side + a real micro-stream) and the
+multimodal decode plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import multimodal
+from towhee_spark.schema import TRANSCRIPT_SCHEMA
+from towhee_spark.streaming import stream_sessionize, stream_time_window_agg
+from towhee_spark.synth import transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(transcripts_pdf(15, seed=5), schema=TRANSCRIPT_SCHEMA)
+
+
+def test_stream_time_window_batch_semantics(corpus_df):
+    out = stream_time_window_agg(
+        corpus_df, {"n": F.count(F.lit(1))}, size="1 hour"
+    ).collect()
+    assert sum(r.n for r in out) == corpus_df.count()
+    for r in out:
+        assert (r.window_end - r.window_start).total_seconds() == 3600
+
+
+def test_stream_sessionize_agrees_with_batch(corpus_df):
+    from towhee_spark import sessionize
+
+    batch = sessionize(corpus_df, gap=1800.0, seq_out="seq")
+    n_batch = batch.select("conv_id", "seq").distinct().count()
+    stream = stream_sessionize(corpus_df, {"n": F.count(F.lit(1))}, gap="30 minutes")
+    assert stream.count() == n_batch
+
+
+def test_real_microstream(spark, corpus_df, tmp_path):
+    """End-to-end structured stream: file source → windowed agg → memory sink."""
+    src = str(tmp_path / "stream_src")
+    corpus_df.write.parquet(src)
+    stream_df = spark.readStream.schema(corpus_df.schema).parquet(src)
+    agg = stream_time_window_agg(stream_df, {"n": F.count(F.lit(1))}, size="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tw_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("select sum(n) as s from tw_test").first().s
+    # append mode only emits windows past the watermark; with a bounded
+    # availableNow run the final windows stay open, so emitted <= total rows
+    assert total is None or total <= corpus_df.count()
+    spark.catalog.dropTempView("tw_test")
+
+
+def test_decode_images_plumbing(spark):
+    rows = [("a.jpg", b"rawbytes-a"), ("b.jpg", b"rawbytes-b")]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = multimodal.decode_images(df, height=4, width=4).collect()
+    assert len(out) == 2
+    img = out[0].image
+    assert img.mode == "RGB" and img.height == 4 and img.width == 4
+    arr = np.frombuffer(img.data, dtype=np.uint8)
+    assert arr.shape == (4 * 4 * 3,)
+    # determinism: same content → same fake pixels
+    again = multimodal.decode_images(df, height=4, width=4).collect()
+    assert again[0].image.data == out[0].image.data
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(df, strict=True)
+
+
+def test_video_frame_sampling_fanout(spark):
+    df = spark.createDataFrame([("v.mp4", b"vid")], "path string, content binary")
+    frames = multimodal.sample_video_frames(df, n_frames=3).collect()
+    assert len(frames) == 3
+    assert [f.frame_idx for f in frames] == [0, 1, 2]
+    assert frames[0].frame.key_frame == 1 and frames[1].frame.key_frame == 0
+    assert frames[2].frame.ts_ms == 80
+
+
+def test_image_embed_shape(spark):
+    df = spark.createDataFrame([("a", b"x"), ("b", b"y")], "path string, content binary")
+    out = multimodal.image_embed(multimodal.decode_images(df), dim=16).collect()
+    for r in out:
+        v = np.array(r.embedding)
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_registry_ops():
+    from towhee_spark.registry import ops, register, resolve
+
+    assert resolve("text/token-count") is not None
+    col = ops.text.token_count("text")
+    from pyspark.sql import Column
+
+    assert isinstance(col, Column)
+
+    @register("custom/double")
+    def double(x):
+        return x * 2
+
+    assert ops.custom.double(4) == 8
+    with pytest.raises(KeyError):
+        resolve("missing/op")

@@ -1,0 +1,149 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Mirrors Towhee's payload types (towhee/types/image.py, video_frame.py,
+audio_frame.py — ndarray subclasses carrying mode/timestamp/sample_rate)
+as Spark structs, and its decode ops (hub_ops/image_decode.py,
+video_decode.py:24-64 flat_map→frames, audio_decode.py) as Arrow-batched
+``mapInPandas`` transforms.
+
+The sandbox has no image/audio codecs, so the *decode step* is stubbed with
+a deterministic fake (or raises NotImplementedError when strict=True); the
+Spark-side plumbing — schemas, batch iteration, fan-out explode, partition
+behavior — is real and tested. Swapping in cv2/ffmpeg later only replaces
+the innermost `_fake_decode` call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# struct<data:binary, mode:string> — towhee/types/image.py:18-32
+IMAGE_TYPE = T.StructType([
+    T.StructField("data", T.BinaryType()),
+    T.StructField("mode", T.StringType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+])
+
+# struct<data:binary, ts:long, key_frame:int> — towhee/types/video_frame.py:18-34
+VIDEO_FRAME_TYPE = T.StructType([
+    T.StructField("data", T.BinaryType()),
+    T.StructField("mode", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("key_frame", T.IntegerType()),
+])
+
+# struct<data:binary, sample_rate:int, ts:long, layout:string> — audio_frame.py:18-34
+AUDIO_FRAME_TYPE = T.StructType([
+    T.StructField("data", T.BinaryType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("layout", T.StringType()),
+])
+
+
+def _fake_decode(raw: bytes, h: int, w: int) -> np.ndarray:
+    """STUB: deterministic fake decoder — seeded by content hash so tests
+    are reproducible. Replace with cv2.imdecode for real images."""
+    seed = int.from_bytes(hashlib.sha256(raw or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "image",
+    height: int = 8,
+    width: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """image_decode.cv2 parity: binary column → IMAGE_TYPE struct.
+    Arrow-batched mapInPandas; per-batch numpy, no per-row Python I/O."""
+    if strict:
+        raise NotImplementedError(
+            "real image decoding requires cv2/PIL, unavailable in this environment"
+        )
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, IMAGE_TYPE)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = [
+                {
+                    "data": _fake_decode(raw, height, width).tobytes(),
+                    "mode": "RGB",
+                    "height": height,
+                    "width": width,
+                }
+                for raw in pdf[content_col]
+            ]
+            pdf[out_col] = imgs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("path",),
+    n_frames: int = 4,
+    fps_ms: int = 40,
+    strict: bool = False,
+) -> DataFrame:
+    """video_decode.ffmpeg parity (flat_map → frames): one video row fans
+    out to n sampled VIDEO_FRAME_TYPE rows. The explode happens inside
+    mapInPandas so frame bytes never round-trip through the driver."""
+    if strict:
+        raise NotImplementedError("real video decoding requires ffmpeg")
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame", VIDEO_FRAME_TYPE)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for i in range(n_frames):
+                    frame = _fake_decode((r[content_col] or b"") + bytes([i]), 8, 8)
+                    rows.append(
+                        {**{c: r[c] for c in id_cols},
+                         "frame_idx": i,
+                         "frame": {"data": frame.tobytes(), "mode": "RGB",
+                                   "ts_ms": i * fps_ms, "key_frame": int(i == 0)}}
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_embed(
+    df: DataFrame, image_col: str = "image", out_col: str = "embedding", dim: int = 32
+) -> DataFrame:
+    """image_embedding.timm parity shape: IMAGE struct → array<float>.
+    STUB model = channel-histogram features (deterministic); the real model
+    would be cached per worker via towhee_spark.kernels.worker_singleton."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for img in pdf[image_col]:
+                arr = np.frombuffer(img["data"], dtype=np.uint8).astype(np.float32)
+                hist = np.histogram(arr, bins=dim, range=(0, 256))[0].astype(np.float32)
+                n = np.linalg.norm(hist)
+                embs.append((hist / n if n > 0 else hist).tolist())
+            pdf[out_col] = embs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -37,36 +37,69 @@ def worker_singleton(key: str, factory):
 # ---------------------------------------------------------------------------
 # Deterministic hashed bag-of-tokens embedding
 
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
+def _token_hash(tok: str) -> int:
+    """Deterministic 32-bit token hash (crc32: C-speed, stable across runs
+    and processes — unlike builtin hash()); identical in oracle/engine."""
+    import zlib  # noqa: PLC0415
 
-
-def _fnv1a(token: str) -> int:
-    """FNV-1a 64-bit — tiny, public-domain hash; identical in oracle/engine."""
-    h = _FNV_OFFSET
-    for b in token.encode("utf-8"):
-        h = np.uint64(h ^ np.uint64(b)) * _FNV_PRIME
-    return int(h)
+    return zlib.crc32(tok.encode("utf-8"))
 
 
 def embed_tokens_np(texts: "pd.Series | list[str]", dim: int = 64) -> np.ndarray:
     """Hashed bag-of-tokens embedding, L2-normalized. (n, dim) float32.
 
-    token → bucket h % dim with sign from bit 63 (feature-hashing trick);
-    deterministic accumulation in sorted-row order. Single-node oracle AND
-    the kernel body — the same function runs on both sides of parity.
-    """
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, text in enumerate(texts):
-        if not text:
-            continue
-        for tok in str(text).split():
-            h = _fnv1a(tok)
-            sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
-            out[i, h % dim] += sign
+    token → bucket h % dim with sign from bit 31 (feature-hashing trick).
+    Single-node oracle AND the Arrow kernel body — the same function runs on
+    both sides of parity. Vectorized: one flat token array per batch, crc32
+    through map() (C calls), scatter-add via np.add.at — no per-row Python
+    beyond the tokenizing split."""
+    import zlib  # noqa: PLC0415
+
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float64)
+    toks_per_row = [str(t).split() if t else [] for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=n)
+    if counts.sum():
+        row_ids = np.repeat(np.arange(n), counts)
+        flat = [tok.encode("utf-8") for toks in toks_per_row for tok in toks]
+        hs = np.fromiter(map(zlib.crc32, flat), dtype=np.uint32, count=len(flat))
+        signs = np.where(hs < 0x80000000, 1.0, -1.0)
+        np.add.at(out, (row_ids, hs % dim), signs)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return out.astype(np.float32)
+
+
+def hashed_bow_expr(text_col, dim: int = 32):
+    """Fully-native hashed bag-of-tokens embedding (xxhash64 variant):
+    split → per-token hash → bucket/sign → dense accumulate → L2 normalize
+    as Column expressions — useful where Python workers are unavailable.
+
+    Measured caveat: Spark evaluates higher-order-function lambdas
+    interpreted (not codegen), so at O(tokens × dim) terms this is ~6x
+    SLOWER than the Arrow kernel (47s vs 7.4s on 1.8M rows, dim=32,
+    local[32]). The Arrow `embed_text_udf` is the hot path; this exists for
+    completeness and tiny dims."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.coalesce(c, F.lit("")), r"\s+"), lambda t: t != "")
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0.0), dim)
+    acc = F.aggregate(
+        hs,
+        zeros,
+        lambda a, h: F.transform(
+            a,
+            lambda v, i: v
+            + F.when(
+                F.pmod(h, F.lit(dim)) == i.cast("bigint"),
+                F.when(h >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    norm = F.sqrt(F.aggregate(acc, F.lit(0.0), lambda s, v: s + v * v))
+    return F.when(
+        norm > 0, F.transform(acc, lambda v: (v / norm).cast("float"))
+    ).otherwise(F.transform(acc, lambda v: v.cast("float")))
 
 
 def embed_text_udf(dim: int = 64):
