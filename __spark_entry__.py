@@ -259,7 +259,34 @@ def q_similarity_topk(spark, sf_dir):
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_conv_prompt(spark, sf_dir):
+    from towhee_spark.functions.prompt import conversation_prompt  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return conversation_prompt(t)
+
+
+def q_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", text.quality_score("text").alias("qscore"))
+
+
 # non-SQL-expressible (hash-dependent) — rows-only oracle
+def q_rerank(spark, sf_dir):
+    from towhee_spark.functions.rerank import rerank as _rr  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    cands = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("cand_id"), F.col("text").alias("doc")
+    )
+    return _rr(F.broadcast(qs).crossJoin(cands), k=3).select(
+        "query_id", "cand_id", "rank"
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
@@ -334,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "embedding_norms": q_embedding_norms,
         "similarity_topk": q_similarity_topk,
+        "conv_prompt": q_conv_prompt,
+        "quality_score": q_quality,
+        "rerank": q_rerank,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
@@ -497,6 +527,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3""",
+        "conv_prompt": f"""{_CTE}
+            SELECT conv_id,
+                   string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                              ORDER BY ts, turn_idx) AS prompt
+            FROM transcripts GROUP BY conv_id""",
+        "quality_score": _quality_sql(),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -524,6 +560,25 @@ def oracle_sql() -> dict[str, str]:
                    session_seq, ctx_score
             FROM sess""",
     }
+
+
+def _quality_sql() -> str:
+    n = "CAST(length(coalesce(text,'')) AS DOUBLE)"
+    toks = ("CAST(CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END AS DOUBLE)")
+    alpha = "CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]')) AS DOUBLE)"
+    punct = "CAST(len(regexp_extract_all(coalesce(text,''), '[!?#*>{}\\[\\]|\\\\~^]')) AS DOUBLE)"
+    from towhee_spark.functions.text import STOPWORDS_EN  # noqa: PLC0415
+
+    pat = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    stop = f"CAST(len(regexp_extract_all(lower(coalesce(text,'')), '{pat}')) AS DOUBLE)"
+    return f"""
+        SELECT doc_id, ROUND(greatest(0.0,
+            (CASE WHEN {toks} >= 5 AND {toks} <= 5000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN {n} > 0 THEN least(0.3, 0.3 * {alpha} / {n}) ELSE 0.0 END)
+          + (CASE WHEN {toks} > 0 THEN least(0.3, 0.3 * ({stop} * 5.0) / {toks}) ELSE 0.0 END)
+          - (CASE WHEN {n} > 0 THEN least(0.2, {punct} / {n}) ELSE 0.0 END)), 6) AS qscore
+        FROM documents"""
 
 
 def _text_stats_sql() -> str:

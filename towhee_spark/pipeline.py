@@ -204,6 +204,11 @@ def _compile_output(df: DataFrame, node: _Node, by) -> DataFrame:
 
 
 def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
+    if not node.out_cols:
+        # 0-output map: fn runs for side effects, row passes through
+        # unchanged (_map.py:72-76) — side effects don't belong in a Spark
+        # plan, so this is the identity.
+        return df
     native = _try_native(node.fn, node.in_cols)
     if native is not None and len(native) == len(node.out_cols):
         for name, col in zip(node.out_cols, native):
@@ -215,14 +220,32 @@ def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
     names = [f.name for f in schema.fields]
 
     def run(batches):
+        def is_missing(a):
+            if a is None:
+                return True
+            try:
+                return a != a  # NaN
+            except Exception:
+                return False
+            return False
+
+        def call(*args):
+            # rows with a missing (Empty≈NULL) input skip the fn and emit
+            # NULL outputs (_map.py:58-59)
+            if any(is_missing(a) is True for a in args):
+                return None if len(out_cols) == 1 else (None,) * len(out_cols)
+            return fn(*args)
+
         for pdf in batches:
             if len(pdf):
-                results = [fn(*args) for args in zip(*[pdf[c] for c in in_cols])]
+                results = [call(*args) for args in zip(*[pdf[c] for c in in_cols])]
                 if len(out_cols) == 1:
                     pdf = pdf.assign(**{out_cols[0]: pd.Series(results, index=pdf.index, dtype=object)})
                 else:
                     for j, oc in enumerate(out_cols):
-                        pdf = pdf.assign(**{oc: pd.Series([r[j] for r in results], index=pdf.index, dtype=object)})
+                        pdf = pdf.assign(**{oc: pd.Series(
+                            [r[j] if r is not None else None for r in results],
+                            index=pdf.index, dtype=object)})
             else:
                 for oc in out_cols:
                     pdf = pdf.assign(**{oc: pd.Series([], dtype=object)})

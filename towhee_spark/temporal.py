@@ -122,10 +122,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    filled = u
-    for c in rcols:
-        filled = filled.withColumn(out_names[c], F.last(out_names[c], ignorenulls=True).over(w))
-    filled = filled.withColumn(_RTS, F.last(_RTS, ignorenulls=True).over(w))
+    # one projection → one Window exec + one sort for ALL fills (sequential
+    # withColumn would overwrite the tie-break columns between fills and
+    # defeat the CollapseWindow rule: measured 3 extra sorts)
+    fill_names = {out_names[c] for c in rcols} | {_RTS}
+    filled = u.select(
+        *[c for c in u.columns if c not in fill_names],
+        *[F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c]) for c in rcols],
+        F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
+    )
 
     res = filled.filter(F.col(_SRC) == 1)
     if tolerance is not None:
