@@ -69,7 +69,16 @@ def main() -> None:
         j = j.withColumn("emb", embed_text_udf(dim=32)(F.col("text")))
         force(j)
 
-    timed("flagship_synth", flagship_pipeline)
+    # warmup run boots Python workers + codegen (one-time session cost that
+    # would otherwise be billed to whichever parallelism level runs first),
+    # then report best of 2 measured runs
+    flagship_pipeline()
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        flagship_pipeline()
+        runs.append(time.perf_counter() - t0)
+    timings["flagship_synth"] = round(min(runs), 3)
     turns_per_sec = round(n_turns / timings["flagship_synth"], 1)
 
     # --- driver-table headline queries ------------------------------------
