@@ -1,0 +1,58 @@
+"""Layout (salting/hot keys) + named pipeline registry."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark import pipelines
+from towhee_spark.layout import add_salt, hot_keys, repartition_by_key
+from towhee_spark.schema import TRANSCRIPT_SCHEMA
+from towhee_spark.synth import transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(transcripts_pdf(30, seed=9), schema=TRANSCRIPT_SCHEMA)
+
+
+def test_hot_keys_sketch(spark, corpus_df):
+    hot = hot_keys(corpus_df, threshold=50).collect()
+    counts = {r.conv_id: r["count"] for r in corpus_df.groupBy("conv_id").count().collect()}
+    assert {r.conv_id for r in hot} == {c for c, n in counts.items() if n > 50}
+
+
+def test_add_salt_spreads_hot_only(spark, corpus_df):
+    hot = hot_keys(corpus_df, threshold=50)
+    salted = add_salt(corpus_df, hot=hot, buckets=8)
+    agg = salted.groupBy("conv_id").agg(F.countDistinct("salted_key").alias("n")).collect()
+    hot_ids = {r.conv_id for r in hot.collect()}
+    for r in agg:
+        if r.conv_id in hot_ids:
+            assert r.n > 1, f"hot key {r.conv_id} not spread"
+        else:
+            assert r.n == 1
+    # deterministic: same salt on re-run (checkpoint resumability)
+    again = add_salt(corpus_df, hot=hot, buckets=8)
+    a = {(r.conv_id, r.turn_idx): r.salted_key for r in salted.collect()}
+    b = {(r.conv_id, r.turn_idx): r.salted_key for r in again.collect()}
+    assert a == b
+
+
+def test_repartition_preserves_rows(spark, corpus_df):
+    out = repartition_by_key(corpus_df, num_partitions=4)
+    assert out.count() == corpus_df.count()
+    assert out.rdd.getNumPartitions() == 4
+
+
+def test_named_pipeline_transcript_features(spark, corpus_df):
+    p = pipelines.pipeline("transcript_features", gap=1800.0, embed_dim=8)
+    out = p(corpus_df)
+    assert out.count() == corpus_df.count()
+    assert {"text_len_lag1", "tool_ff", "session_seq", "embedding"} <= set(out.columns)
+
+
+def test_named_pipeline_sentence_embedding(spark, corpus_df):
+    p = pipelines.pipeline("sentence_embedding", dim=8)
+    row = p(corpus_df).select("embedding").first()
+    assert len(row.embedding) == 8
+    with pytest.raises(KeyError):
+        pipelines.pipeline("nope")

@@ -1,0 +1,53 @@
+"""Plan-shape regression tests: pushdown reaches scans, shuffle budgets hold."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark import asof_join, lag_lead, locf, sessionize
+from towhee_spark.plans import assert_max_exchanges, assert_pushed_filters, plan_stats
+from towhee_spark.schema import CONTEXT_SCHEMA, TRANSCRIPT_SCHEMA
+from towhee_spark.synth import context_pdf, transcripts_pdf
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert_pushed_filters(df, "GreaterThan(l_quantity,30.0)")
+    # column pruning: scan reads only the 2 needed columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_flagship_single_shuffle(spark):
+    """The whole temporal chain must reuse ONE conv_id hash exchange."""
+    t = spark.createDataFrame(transcripts_pdf(10), schema=TRANSCRIPT_SCHEMA)
+    c = spark.createDataFrame(context_pdf(transcripts_pdf(10)), schema=CONTEXT_SCHEMA)
+    j = asof_join(t, c, tolerance=3600.0)
+    j = lag_lead(j.withColumn("text_len", F.length("text")), ["text_len"], [1, 2, -1])
+    j = sessionize(locf(j, ["tool"]), gap=1800.0, seq_out="s")
+    assert_max_exchanges(j, 1)
+    stats = plan_stats(j)
+    assert stats["sorts"] <= 2, stats
+    assert stats["python_evals"] == 0  # temporal core is 100% JVM
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_q3ish"](spark, SF)
+    assert plan_stats(df)["broadcasts"] >= 1
+
+
+def test_brute_force_topk_broadcasts_queries(spark):
+    from towhee_spark.functions import similarity
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.brute_force_topk(embs.limit(5), embs, k=3)
+    st = plan_stats(out)
+    assert st["broadcasts"] >= 1
+    assert st["python_evals"] == 0  # cosine is native zip_with/aggregate
