@@ -169,3 +169,35 @@ def test_asof_exact_ties(spark):
     assert list(exact.ctx_score) == [1.0, 2.0]
     strict = collect_sorted(asof_join(spark_t, spark_c, allow_exact_matches=False))
     assert list(strict.ctx_score) == [1.0, 1.0]
+
+
+def test_asof_nearest_row_nulls_preserved(spark):
+    """A NULL inside the matched (nearest) right row must stay NULL — no
+    stale fill from older right rows, no cross-row column mixing (the
+    pd.merge_asof contract; regression for the per-column ignorenulls bug)."""
+    t = pd.DataFrame(
+        {"conv_id": ["c"], "turn_idx": np.array([0], dtype="int32"),
+         "role": ["user"], "text": ["x"], "tool": [None],
+         "ts": pd.to_datetime(["2026-01-01 00:00:30"]).astype("datetime64[us]")}
+    )
+    c = pd.DataFrame(
+        {"conv_id": ["c", "c"],
+         "ts": pd.to_datetime(["2026-01-01 00:00:10", "2026-01-01 00:00:20"]).astype("datetime64[us]"),
+         "ctx_score": [0.5, None], "ctx_label": ["old", None]}
+    )
+    st_ = spark.createDataFrame(t, schema=TRANSCRIPT_SCHEMA)
+    sc_ = spark.createDataFrame(c, schema=CONTEXT_SCHEMA)
+    got = asof_join(st_, sc_).first()
+    # nearest row is ts=20 whose values are NULL — must NOT fall back to 0.5
+    assert got.ctx_score is None and got.ctx_label is None
+    exp = oracle_asof(t, c)
+    assert pd.isna(exp.ctx_score.iloc[0])
+
+
+def test_asof_column_collision_raises(spark, sdfs):
+    st_, sc_ = sdfs
+    with pytest.raises(ValueError, match="suffix"):
+        asof_join(st_, sc_.withColumnRenamed("ctx_score", "text"))
+    # suffix resolves it
+    out = asof_join(st_, sc_.withColumnRenamed("ctx_score", "text"), suffix="_r")
+    assert "text_r" in out.columns

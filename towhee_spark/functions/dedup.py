@@ -243,38 +243,29 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     block_planes: int = 12,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) blocked by
     random-hyperplane signatures so the self-join never goes O(n²): vectors
     agreeing on all ``block_planes`` sign bits land in the same bucket
-    (high-cosine pairs almost always do); exact cosine verifies candidates."""
-    from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
+    (high-cosine pairs almost always do); exact cosine verifies candidates.
 
-    dim = len(df.select(vec_col).first()[0])
+    Pass ``dim`` to keep plan construction lazy; otherwise one row is
+    sampled to infer it (errors clearly on an empty frame)."""
     import numpy as np  # noqa: PLC0415
 
+    from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
+    from towhee_spark.functions.similarity import _bucket_expr  # noqa: PLC0415
+
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError("cannot infer embedding dim from empty input; pass dim=")
+        dim = len(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(block_planes, dim))
-    sig = sum(
-        [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in planes[p]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit(1 << p),
-            ).otherwise(F.lit(0))
-            for p in range(block_planes)
-        ],
-        F.lit(0),
-    )
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                  _bucket_expr(F.col(vec_col), planes).alias("bucket"))
     cand = (
         b.alias("x")
         .join(b.alias("y"), "bucket")

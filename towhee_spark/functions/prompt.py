@@ -24,7 +24,8 @@ def template(tmpl: str, **cols: Column | str) -> Column:
     missing = [n for n in names if n not in cols]
     if missing:
         raise ValueError(f"template placeholders without columns: {missing}")
-    fmt = re.sub(r"\{[A-Za-z_][A-Za-z_0-9]*\}", "%s", tmpl)
+    # literal % must survive format_string's Java Formatter
+    fmt = re.sub(r"\{[A-Za-z_][A-Za-z_0-9]*\}", "%s", tmpl.replace("%", "%%"))
     args = [F.col(cols[n]) if isinstance(cols[n], str) else cols[n] for n in names]
     return F.format_string(fmt, *args)
 

@@ -31,12 +31,16 @@ def brute_force_topk(
     i_id: str = "vec_id",
     i_vec: str = "embedding",
     broadcast_queries: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, match_id, score, rank).
 
     The smaller side must be broadcast — default assumes the query set is
     small (the common batch-lookup shape); the scan side streams through
-    without a shuffle, so this scales with the index size linearly."""
+    without a shuffle, so this scales with the index size linearly.
+    ``exclude_self`` drops match_id == query_id rows — correct for
+    self-search (queries ⊆ index); pass False when queries and index are
+    DIFFERENT tables whose id spaces merely overlap."""
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
     ix = index.select(F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"))
     joined = ix.join(F.broadcast(q)) if broadcast_queries else q.join(F.broadcast(ix))
@@ -44,7 +48,9 @@ def brute_force_topk(
         "query_id",
         "match_id",
         F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
-    ).filter(F.col("query_id") != F.col("match_id"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -87,6 +93,7 @@ def lsh_topk(
     probes: int = 4,
     dim: int | None = None,
     seed: int = 7,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact rerank.
 
@@ -119,9 +126,10 @@ def lsh_topk(
             "query_id", "match_id",
             F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
         )
-        .filter(F.col("query_id") != F.col("match_id"))
         .dropDuplicates(["query_id", "match_id"])
     )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -92,8 +92,15 @@ def write_with_lineage(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    # stats come from the data JUST WRITTEN (read-back), not from
+    # re-executing the upstream plan — a nondeterministic upstream (new
+    # source files, sampling) would otherwise make manifests describe
+    # different data than what is on disk
+    written_df = spark.read.parquet(os.path.join(base, "data")).filter(
+        F.col(BUCKET_COL).isin([int(b) for b in missing])
+    )
     stats = (
-        todo.groupBy(BUCKET_COL)
+        written_df.groupBy(BUCKET_COL)
         .agg(F.count(F.lit(1)).alias("rows"), row_checksum(checksum_cols))
         .collect()
     )

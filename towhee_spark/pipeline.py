@@ -50,17 +50,25 @@ def _default_type() -> T.DataType:
     return T.StringType()
 
 
-def _try_native(fn: Callable, in_cols: Sequence[str]):
+def _try_native(fn: Callable, in_cols: Sequence[str], mode=None):
     """Probe fn with Column args; a Column(-tuple) result means the node can
-    run JVM-side. Returns list[Column] or None."""
+    run JVM-side. Returns list[Column] or None. ``mode``: None=auto probe,
+    False=never (force Python path), True=require (raise if not
+    compilable)."""
+    if mode is False:
+        return None
     try:
         res = fn(*[F.col(c) for c in in_cols])
     except Exception:
+        if mode is True:
+            raise ValueError("native=True but fn raised when probed with Columns")
         return None
     if isinstance(res, Column):
         return [res]
     if isinstance(res, (tuple, list)) and res and all(isinstance(c, Column) for c in res):
         return list(res)
+    if mode is True:
+        raise ValueError("native=True but fn did not compile to Column expressions")
     return None
 
 
@@ -104,19 +112,28 @@ class Pipeline:
     def _append(self, node: _Node) -> "Pipeline":
         return Pipeline(copy.deepcopy(self._nodes) + [node], self._input_cols)
 
-    def map(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
+    def map(self, in_cols, out_cols, fn, out_types=None, native=None) -> "Pipeline":
+        """1-row→1-row projection.
+
+        Dispatch: ``native=None`` (default) probes fn with Column args and
+        compiles JVM-side when it returns Column(s). CAVEAT: a Python fn
+        whose operators also mean something on Columns compiles to SQL
+        semantics (``lambda s: s * 2`` on a string column → numeric multiply
+        → NULL, not ``'abab'``) — pass ``native=False`` to force the Arrow
+        Python path, ``native=True`` to require JVM compilation (errors if
+        the probe fails)."""
         return self._append(_Node("map", _tup(in_cols), _tup(out_cols), fn,
-                                  {"out_types": out_types}))
+                                  {"out_types": out_types, "native": native}))
 
-    def flat_map(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
+    def flat_map(self, in_cols, out_cols, fn, out_types=None, native=None) -> "Pipeline":
         return self._append(_Node("flat_map", _tup(in_cols), _tup(out_cols), fn,
-                                  {"out_types": out_types}))
+                                  {"out_types": out_types, "native": native}))
 
-    def filter(self, in_cols, out_cols, filter_cols, fn) -> "Pipeline":
+    def filter(self, in_cols, out_cols, filter_cols, fn, native=None) -> "Pipeline":
         if len(_tup(in_cols)) != len(_tup(out_cols)):
             raise ValueError("filter: len(in_cols) must equal len(out_cols)")
         return self._append(_Node("filter", _tup(in_cols), _tup(out_cols), fn,
-                                  {"filter_cols": _tup(filter_cols)}))
+                                  {"filter_cols": _tup(filter_cols), "native": native}))
 
     def window(self, in_cols, out_cols, size: int, step: int, fn, out_types=None) -> "Pipeline":
         return self._append(_Node("window", _tup(in_cols), _tup(out_cols), fn,
@@ -199,7 +216,14 @@ def _compile_input(df: DataFrame, node: _Node, by) -> DataFrame:
 
 
 def _compile_output(df: DataFrame, node: _Node, by) -> DataFrame:
-    keep = [c for c in df.columns if c.startswith("__")]  # engine bookkeeping
+    # bookkeeping columns survive only in parity mode (run_rows needs them
+    # for invocation ordering and filters them itself); table-mode output is
+    # exactly the declared columns
+    keep = (
+        [c for c in df.columns if c.startswith("__")]
+        if _INVOCATION in df.columns
+        else []
+    )
     return df.select(*node.in_cols, *keep)
 
 
@@ -209,7 +233,7 @@ def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
         # unchanged (_map.py:72-76) — side effects don't belong in a Spark
         # plan, so this is the identity.
         return df
-    native = _try_native(node.fn, node.in_cols)
+    native = _try_native(node.fn, node.in_cols, node.params.get("native"))
     if native is not None and len(native) == len(node.out_cols):
         for name, col in zip(node.out_cols, native):
             df = df.withColumn(name, col)
@@ -256,7 +280,7 @@ def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
 
 def _compile_filter(df: DataFrame, node: _Node, by) -> DataFrame:
     fcols = node.params["filter_cols"]
-    native = _try_native(node.fn, fcols)
+    native = _try_native(node.fn, fcols, node.params.get("native"))
     if native is not None and len(native) == 1:
         df = df.filter(native[0])
     else:
@@ -274,10 +298,12 @@ def _compile_filter(df: DataFrame, node: _Node, by) -> DataFrame:
 
 
 def _compile_flat_map(df: DataFrame, node: _Node, by) -> DataFrame:
-    # Native path: fn of Columns returning one array Column → explode.
-    native = _try_native(node.fn, node.in_cols)
+    # Native path: fn of Columns returning one array Column → posexplode
+    # (the position column keeps within-parent emission order well-defined).
+    native = _try_native(node.fn, node.in_cols, node.params.get("native"))
     if native is not None and len(native) == 1 and len(node.out_cols) == 1:
-        df = df.withColumn(node.out_cols[0], F.explode(native[0]))
+        others = [c for c in df.columns if c != node.out_cols[0]]
+        df = df.select(*others, F.posexplode(native[0]).alias("__pos", node.out_cols[0]))
         return _renumber(df)
     fields = _out_fields(node.out_cols, node.params.get("out_types"))
     schema = _replaced_schema(df, fields)
@@ -299,23 +325,31 @@ def _compile_flat_map(df: DataFrame, node: _Node, by) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                for item in fn(*[row[c] for c in in_cols]):
+                for j, item in enumerate(fn(*[row[c] for c in in_cols])):
                     d = row.to_dict()
                     d.update(dict(zip(out_cols, as_outputs(item))))
+                    d["__pos"] = j
                     rows.append(d)
             yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
                 {c: pd.Series([], dtype=object) for c in names}
             )
 
+    schema = T.StructType(list(schema.fields) + [T.StructField("__pos", T.IntegerType())])
+    names = [f.name for f in schema.fields]
     return _renumber(df.mapInPandas(run, schema=schema))
 
 
 def _renumber(df: DataFrame) -> DataFrame:
-    """Re-derive per-invocation row order after a fan-out (parity mode)."""
+    """Re-derive per-invocation row order after a fan-out (parity mode).
+    Secondary sort on the fan-out position — row_number over parent order
+    alone would tie all children of one parent and break emission order."""
     if _ROW_ORDER in df.columns and _INVOCATION in df.columns:
-        w = Window.partitionBy(_INVOCATION).orderBy(F.col(_ROW_ORDER))
+        order = [F.col(_ROW_ORDER)]
+        if "__pos" in df.columns:
+            order.append(F.col("__pos"))
+        w = Window.partitionBy(_INVOCATION).orderBy(*order)
         df = df.withColumn(_ROW_ORDER, F.row_number().over(w))
-    return df
+    return df.drop("__pos")
 
 
 def _group_cols(df: DataFrame, by: str | None) -> list[str]:

@@ -61,7 +61,12 @@ def read_jdbc(
     **options,
 ) -> DataFrame:
     """data_source.sql → spark.read.jdbc; Catalyst pushes filters/columns to
-    the database (the reference's cols/where/limit args come for free)."""
+    the database (the reference's cols/where/limit args come for free).
+    ``predicates``: one WHERE fragment per partition → parallel reads."""
+    if predicates:
+        props = {k: str(v) for k, v in options.items()}
+        return spark.read.jdbc(url=url, table=table, predicates=list(predicates),
+                               properties=props)
     reader: DataFrameReader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         reader = reader.option(k, str(v))

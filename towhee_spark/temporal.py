@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 _SRC = "__asof_src"
 _RTS = "__asof_rts"
+_PAY = "__asof_pay"
 
 
 def _as_list(x: str | Sequence[str]) -> list[str]:
@@ -71,11 +72,14 @@ def asof_join(
     with ``r.ts >= l.ts``.  ``tolerance`` (seconds) nulls the match when the
     time distance exceeds it.  Semantics mirror ``pd.merge_asof``.
 
-    Ties on (key, ts) within the right side resolve to the greatest row under
-    a deterministic ordering of (ts, value-columns); keep the right side
-    unique per (key, ts) for oracle-exact results.
+    The nearest right row is attached ATOMICALLY (a null in the matched row
+    stays null — no stale per-column fill). Ties on duplicate right (key, ts)
+    rows resolve deterministically by payload ordering when the value columns
+    are orderable; keep the right side unique per (key, ts) for oracle-exact
+    results.
 
-    Implementation: union-tag + one window sweep — one shuffle, no Python.
+    Implementation: union-tag + one struct-payload window sweep — one
+    shuffle, one sort, no Python.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -84,55 +88,68 @@ def asof_join(
         c for c in right.columns if c not in set(keys) | {ts}
     ]
     out_names = {c: c + suffix for c in rcols}
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    lcols = left.columns
+    clash = [out_names[c] for c in rcols if out_names[c] in lcols]
+    if clash:
+        raise ValueError(
+            f"right value columns collide with left columns: {clash}; "
+            "pass suffix='_r' (or rename) to disambiguate"
+        )
     ts_type = right.schema[ts].dataType
 
-    lcols = left.columns
-    # Left rows: tag 1, null placeholders for the right value columns.
-    lhs = left.withColumn(_SRC, F.lit(1)).withColumn(_RTS, F.lit(None).cast(ts_type))
-    for c in rcols:
-        lhs = lhs.withColumn(out_names[c], F.lit(None).cast(rtypes[c]))
-    # Right rows: tag 0, null placeholders for every non-key left column.
-    rhs = right.select(
-        *[F.col(k) for k in keys],
-        F.col(ts),
-        F.lit(0).alias(_SRC),
-        F.col(ts).alias(_RTS),
-        *[F.col(c).alias(out_names[c]) for c in rcols],
+    # The right row travels as ONE struct payload (matched ts first, then the
+    # value columns) so the sweep attaches the nearest right row ATOMICALLY:
+    # per-column ignorenulls fills would skip a null inside the nearest row
+    # and pull stale values from older rows (pd.merge_asof keeps the nearest
+    # row's own nulls), and could mix columns from different right rows.
+    pay = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(c).alias(out_names[c]) for c in rcols]
     )
+    rhs = right.select(*[F.col(k) for k in keys], F.col(ts),
+                       F.lit(0).alias(_SRC), pay.alias(_PAY))
     for c in lcols:
         if c not in set(keys) | {ts}:
             rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-
-    ordered = [ts, _SRC, _RTS] + [out_names[c] for c in rcols]
-    u = lhs.select(*keys, *ordered, *[c for c in lcols if c not in set(keys) | {ts}]).unionByName(
-        rhs.select(*keys, *ordered, *[c for c in lcols if c not in set(keys) | {ts}])
+    lhs = (
+        left.withColumn(_SRC, F.lit(1))
+        .withColumn(_PAY, F.lit(None).cast(rhs.schema[_PAY].dataType))
     )
+    cols = [*keys, ts, _SRC, _PAY, *[c for c in lcols if c not in set(keys) | {ts}]]
+    u = lhs.select(*cols).unionByName(rhs.select(*cols))
 
     # Ordering: at equal ts, the right row must land in the left row's
-    # preceding frame iff exact matches are allowed.
+    # preceding frame iff exact matches are allowed. The payload struct is
+    # the deterministic tie-break among duplicate right (key, ts) rows
+    # (struct comparison is lexicographic over its fields).
+    from pyspark.sql import types as T  # noqa: PLC0415
+
     asc = direction == "backward"
     tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
     order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie]
-    # Deterministic tie-break among duplicate right (key, ts) rows.
-    order += [F.col(out_names[c]).asc_nulls_first() for c in rcols]
+    # struct tie-break only when orderable (no arrays/maps among right cols)
+    if not any(
+        isinstance(f.dataType, (T.ArrayType, T.MapType, T.BinaryType))
+        for f in rhs.schema[_PAY].dataType.fields
+    ):
+        order.append(F.col(_PAY).asc_nulls_first())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    # one projection → one Window exec + one sort for ALL fills (sequential
-    # withColumn would overwrite the tie-break columns between fills and
-    # defeat the CollapseWindow rule: measured 3 extra sorts)
-    fill_names = {out_names[c] for c in rcols} | {_RTS}
     filled = u.select(
-        *[c for c in u.columns if c not in fill_names],
-        *[F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c]) for c in rcols],
-        F.last(_RTS, ignorenulls=True).over(w).alias(_RTS),
+        *[c for c in u.columns if c != _PAY],
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     )
 
-    res = filled.filter(F.col(_SRC) == 1)
+    res = (
+        filled.filter(F.col(_SRC) == 1)
+        .withColumn(_RTS, F.col(_PAY)["__rts"])
+        .select(
+            "*", *[F.col(_PAY)[out_names[c]].alias(out_names[c]) for c in rcols]
+        )
+    )
     if tolerance is not None:
         from pyspark.sql import types as T  # noqa: PLC0415
 
