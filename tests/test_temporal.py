@@ -201,3 +201,37 @@ def test_asof_column_collision_raises(spark, sdfs):
     # suffix resolves it
     out = asof_join(st_, sc_.withColumnRenamed("ctx_score", "text"), suffix="_r")
     assert "text_r" in out.columns
+
+
+def test_locf_chunked_matches_locf_with_mega_conversation(spark):
+    """Value-chunked two-pass LOCF == window LOCF, including a hot key
+    spanning many chunks (the mega-conversation case plain
+    Window.partitionBy would serialize onto one task)."""
+    from towhee_spark.temporal import locf_chunked
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # one mega conversation (5000 turns) + 20 small ones
+    for conv, n in [("mega", 5000)] + [(f"c{i}", 20) for i in range(20)]:
+        for t in range(n):
+            tool = f"tool{t // 7}" if rng.random() < 0.1 else None
+            rows.append((conv, t, "user", "x", tool,
+                         pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+    exp = {(r.conv_id, r.turn_idx): r.tool_ff for r in locf(df, ["tool"]).collect()}
+    # 600s chunks → the 5000s mega conversation spans ~9 chunks
+    got_df = locf_chunked(df, ["tool"], chunk_seconds=600.0)
+    got = {(r.conv_id, r.turn_idx): r.tool_ff for r in got_df.collect()}
+    assert got == exp
+    from pyspark.sql import functions as SF
+    from towhee_spark.temporal import epoch_us
+    nchunks = (
+        df.filter(SF.col("conv_id") == "mega")
+        .select(SF.floor(epoch_us("ts") / SF.lit(600_000_000)).alias("c"))
+        .distinct().count()
+    )
+    assert nchunks > 1

@@ -311,3 +311,70 @@ def sessionize(
     if seq_out:
         df = df.withColumn(seq_out, F.col(tmp).cast("long"))
     return df.drop(tmp)
+
+
+def locf_chunked(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    chunk_seconds: float = 86400.0,
+    suffix: str = "_ff",
+) -> DataFrame:
+    """LOCF for HOT keys: value-chunked two-pass fill, 100% JVM.
+
+    Plain :func:`locf` windows on the key alone — correct, but one task
+    must process an entire key's rows, so a mega-conversation (the Zipf
+    head at 10^12 turns) serializes on one core. Here the window partitions
+    on (key, time-chunk): ``chunk = floor(epoch_us(ts) / chunk_seconds)``
+    bounds every group regardless of conversation size, and chunking by
+    VALUE (not spark_partition_id) keeps the plan deterministic across
+    re-executions.
+
+    Pass 1: LOCF within (key, chunk) — parallel across chunks of one key.
+    Pass 2: per-(key, chunk) last non-null values (order-independent
+    max-struct aggregate, a few rows per chunk) are LOCF'd ACROSS chunks
+    with a second tiny window, then broadcast-joined back to fill each
+    chunk's leading nulls. Two shuffles total, no Python, no single-key
+    serialization point.
+    """
+    keys = _as_list(key)
+    chunk = "__locf_chunk"
+    us = epoch_us(ts)
+    df2 = df.withColumn(chunk, F.floor(us / F.lit(int(chunk_seconds * 1_000_000))))
+
+    w_local = (
+        Window.partitionBy(*keys, chunk)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = df2
+    for c in cols:
+        filled = filled.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w_local))
+
+    # per-(key, chunk) last non-null per column, order-independent
+    def last_nonnull(c):
+        st = F.when(F.col(c).isNotNull(), F.struct(epoch_us(ts).alias("o"), F.col(c).alias("v")))
+        return F.max(st)["v"].alias(c + "__last")
+
+    chunk_lasts = df2.groupBy(*keys, chunk).agg(*[last_nonnull(c) for c in cols])
+    # carry INTO each chunk = LOCF of lasts over STRICTLY EARLIER chunks
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(chunk)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = chunk_lasts.select(
+        *keys,
+        chunk,
+        *[
+            F.last(c + "__last", ignorenulls=True).over(w_carry).alias(c + "__carry")
+            for c in cols
+        ],
+    )
+    out = filled.join(F.broadcast(carry), on=keys + [chunk], how="left")
+    for c in cols:
+        out = out.withColumn(
+            c + suffix, F.coalesce(F.col(c + suffix), F.col(c + "__carry"))
+        ).drop(c + "__carry")
+    return out.drop(chunk)
