@@ -56,3 +56,26 @@ def test_named_pipeline_sentence_embedding(spark, corpus_df):
     assert len(row.embedding) == 8
     with pytest.raises(KeyError):
         pipelines.pipeline("nope")
+
+
+def test_data_collection_entity(spark):
+    from towhee_spark.collection import DataCollection, Entity, data_loader
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "x long, y string")
+    dc = DataCollection(df)
+    assert len(dc) == 2
+    assert sorted(e.x for e in dc) == [1, 2]
+    dc2 = dc + DataCollection([Entity(x=3, y="c")])
+    assert len(dc2) == 3
+    d = dc.to_dict()
+    assert sorted(d["x"]) == [1, 2] and set(d) == {"x", "y"}
+    rt = DataCollection.from_dict(d)
+    assert sorted(e.x for e in rt) == [1, 2]
+
+    # DataLoader parity: iterable + parser → distributed DataFrame
+    loaded = data_loader(
+        spark, range(10), parser=lambda i: (i, i * i), schema="i long, sq long"
+    )
+    rows = {(r.i, r.sq) for r in loaded.collect()}
+    assert rows == {(i, i * i) for i in range(10)}
+    assert loaded.rdd.getNumPartitions() > 1
