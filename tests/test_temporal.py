@@ -235,3 +235,22 @@ def test_locf_chunked_matches_locf_with_mega_conversation(spark):
         .distinct().count()
     )
     assert nchunks > 1
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_chunked_matches_asof(spark, corpus, sdfs, direction, allow_exact):
+    """Chunked as-of == plain as-of across all modes (1h chunks split the
+    synthetic conversations into several chunks each)."""
+    from towhee_spark.temporal import asof_join_chunked
+
+    st, sc = sdfs
+    base = collect_sorted(
+        asof_join(st, sc, direction=direction, allow_exact_matches=allow_exact,
+                  tolerance=900.0)
+    )
+    chunked = collect_sorted(
+        asof_join_chunked(st, sc, direction=direction, allow_exact_matches=allow_exact,
+                          tolerance=900.0, chunk_seconds=3600.0)
+    )
+    assert_asof_matches(chunked, base)

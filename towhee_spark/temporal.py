@@ -378,3 +378,106 @@ def locf_chunked(
             c + suffix, F.coalesce(F.col(c + suffix), F.col(c + "__carry"))
         ).drop(c + "__carry")
     return out.drop(chunk)
+
+
+def asof_join_chunked(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "",
+    chunk_seconds: float = 86400.0,
+) -> DataFrame:
+    """As-of join for HOT keys: the :func:`asof_join` sweep partitioned on
+    (key, time-chunk) so no single conversation serializes one task, plus a
+    tiny cross-chunk carry (the nearest right payload from earlier/later
+    chunks, LOCF'd over chunk ids and broadcast back).
+
+    Time ties always share a chunk (floor bucketing), so exact/strict tie
+    semantics are handled entirely in the local sweep; the carry only ever
+    supplies strictly-earlier (backward) / strictly-later (forward) rows.
+    Same result as :func:`asof_join`; two shuffles + one broadcast.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _as_list(on)
+    rcols = list(right_cols) if right_cols else [
+        c for c in right.columns if c not in set(keys) | {ts}
+    ]
+    out_names = {c: c + suffix for c in rcols}
+    lcols = left.columns
+    clash = [out_names[c] for c in rcols if out_names[c] in lcols]
+    if clash:
+        raise ValueError(
+            f"right value columns collide with left columns: {clash}; pass suffix="
+        )
+    ts_type = right.schema[ts].dataType
+    chunk = "__asof_chunk"
+    span_us = int(chunk_seconds * 1_000_000)
+
+    pay = F.struct(F.col(ts).alias("__rts"),
+                   *[F.col(c).alias(out_names[c]) for c in rcols])
+    rhs = right.select(*[F.col(k) for k in keys], F.col(ts),
+                       F.lit(0).alias(_SRC), pay.alias(_PAY))
+    for c in lcols:
+        if c not in set(keys) | {ts}:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    lhs = (left.withColumn(_SRC, F.lit(1))
+           .withColumn(_PAY, F.lit(None).cast(rhs.schema[_PAY].dataType)))
+    cols = [*keys, ts, _SRC, _PAY, *[c for c in lcols if c not in set(keys) | {ts}]]
+    u = lhs.select(*cols).unionByName(rhs.select(*cols))
+    u = u.withColumn(chunk, F.floor(epoch_us(ts) / F.lit(span_us)))
+
+    asc = direction == "backward"
+    tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
+    order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie]
+    w_local = (
+        Window.partitionBy(*keys, chunk)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *[c for c in u.columns if c != _PAY],
+        F.last(_PAY, ignorenulls=True).over(w_local).alias(_PAY),
+    )
+
+    # cross-chunk carry: per (key, chunk) the extreme right payload
+    # (latest for backward, earliest for forward) — order-independent
+    # max/min over (ts, payload) structs of RIGHT rows only.
+    rext = F.when(F.col(_SRC) == 0, F.struct(F.col(ts).alias("o"), F.col(_PAY).alias("p")))
+    ext = (F.max(rext) if asc else F.min(rext))["p"].alias("__ext")
+    chunk_ext = u.groupBy(*keys, chunk).agg(ext)
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(chunk).asc() if asc else F.col(chunk).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = chunk_ext.select(
+        *keys, chunk,
+        F.last("__ext", ignorenulls=True).over(w_carry).alias("__carry"),
+    )
+
+    res = (
+        filled.filter(F.col(_SRC) == 1)
+        .join(F.broadcast(carry), on=keys + [chunk], how="left")
+        .withColumn(_PAY, F.coalesce(F.col(_PAY), F.col("__carry")))
+        .drop("__carry", chunk)
+        .withColumn(_RTS, F.col(_PAY)["__rts"])
+        .select("*", *[F.col(_PAY)[out_names[c]].alias(out_names[c]) for c in rcols])
+    )
+    if tolerance is not None:
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        is_time = isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType))
+        tl = _time_value(F.col(ts), ts_type)
+        tr = _time_value(F.col(_RTS), ts_type)
+        tol = F.lit(int(tolerance * 1_000_000)) if is_time else F.lit(float(tolerance))
+        dist = (tl - tr) if direction == "backward" else (tr - tl)
+        ok = F.col(_RTS).isNotNull() & (dist <= tol)
+        for c in rcols:
+            res = res.withColumn(out_names[c], F.when(ok, F.col(out_names[c])))
+    return res.select(*lcols, *[out_names[c] for c in rcols])
