@@ -82,6 +82,32 @@ def q_locf_backfill(spark, sf_dir):
     return locf(t, ["tool"]).select("conv_id", "turn_idx", F.col("tool_ff"))
 
 
+def q_locf_chunked(spark, sf_dir):
+    # hot-key scale path: value-chunked two-pass LOCF — same oracle as locf
+    from towhee_spark.temporal import locf_chunked  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return locf_chunked(t, ["tool"], chunk_seconds=3600.0).select(
+        "conv_id", "turn_idx", F.col("tool_ff")
+    )
+
+
+def q_asof_chunked(spark, sf_dir):
+    # hot-key scale path: chunked as-of sweep — same oracle as asof_backward
+    from towhee_spark.temporal import asof_join_chunked  # noqa: PLC0415
+
+    t, c = _t_c(spark, sf_dir)
+    j = asof_join_chunked(t, c, direction="backward", chunk_seconds=3600.0)
+    return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
+
+
+def q_bfill(spark, sf_dir):
+    from towhee_spark import bfill  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return bfill(t, ["tool"]).select("conv_id", "turn_idx", F.col("tool_bf"))
+
+
 def q_sessionize(spark, sf_dir):
     t, _ = _t_c(spark, sf_dir)
     out = sessionize(t, gap=1800.0, seq_out="session_seq")
@@ -361,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_strict": q_asof_strict,
         "lag_lead": q_lag_lead,
         "locf_backfill": q_locf_backfill,
+        "locf_chunked": q_locf_chunked,
+        "asof_chunked": q_asof_chunked,
+        "bfill": q_bfill,
         "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "towhee_map": q_towhee_map,
@@ -438,6 +467,22 @@ def oracle_sql() -> dict[str, str]:
                    last_value(tool IGNORE NULLS) OVER (
                        PARTITION BY conv_id ORDER BY ts, turn_idx
                        ROWS UNBOUNDED PRECEDING) AS tool_ff
+            FROM transcripts""",
+        "locf_chunked": f"""{_CTE}
+            SELECT conv_id, turn_idx,
+                   last_value(tool IGNORE NULLS) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS tool_ff
+            FROM transcripts""",
+        "asof_chunked": f"""{_CTE}
+            SELECT t.conv_id, t.turn_idx, c.ctx_score, c.ctx_label
+            FROM transcripts t ASOF LEFT JOIN context c
+              ON t.conv_id = c.conv_id AND t.ts >= c.ts""",
+        "bfill": f"""{_CTE}
+            SELECT conv_id, turn_idx,
+                   first_value(tool IGNORE NULLS) OVER (
+                       PARTITION BY conv_id ORDER BY ts, turn_idx
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tool_bf
             FROM transcripts""",
         "sessionize": f"""{_CTE}
             SELECT conv_id, turn_idx, session_seq FROM ({sess_seq})""",

@@ -320,6 +320,7 @@ def locf_chunked(
     ts: str = "ts",
     chunk_seconds: float = 86400.0,
     suffix: str = "_ff",
+    order_extra: Sequence[str] = ("turn_idx",),
 ) -> DataFrame:
     """LOCF for HOT keys: value-chunked two-pass fill, 100% JVM.
 
@@ -343,9 +344,10 @@ def locf_chunked(
     us = epoch_us(ts)
     df2 = df.withColumn(chunk, F.floor(us / F.lit(int(chunk_seconds * 1_000_000))))
 
+    extras = [c for c in order_extra if c in df.columns]
     w_local = (
         Window.partitionBy(*keys, chunk)
-        .orderBy(ts)
+        .orderBy(ts, *extras)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = df2
@@ -354,7 +356,8 @@ def locf_chunked(
 
     # per-(key, chunk) last non-null per column, order-independent
     def last_nonnull(c):
-        st = F.when(F.col(c).isNotNull(), F.struct(epoch_us(ts).alias("o"), F.col(c).alias("v")))
+        ordk = [epoch_us(ts).alias("o")] + [F.col(e).alias(f"o{i}") for i, e in enumerate(extras)]
+        st = F.when(F.col(c).isNotNull(), F.struct(*ordk, F.col(c).alias("v")))
         return F.max(st)["v"].alias(c + "__last")
 
     chunk_lasts = df2.groupBy(*keys, chunk).agg(*[last_nonnull(c) for c in cols])
