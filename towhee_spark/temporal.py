@@ -35,11 +35,24 @@ def _as_list(x: str | Sequence[str]) -> list[str]:
 
 
 def epoch_us(col: Column | str) -> Column:
-    """Exact integer epoch-µs from TIMESTAMP or TIMESTAMP_NTZ (parquet scans
-    yield NTZ, which unix_micros rejects; session tz is UTC so the cast is
-    an identity reinterpretation)."""
+    """Exact integer epoch-µs from the timestamp's WALL-CLOCK fields —
+    session-timezone-independent by construction.
+
+    Parquet scans yield TIMESTAMP_NTZ; ``unix_micros(cast(ntz as
+    timestamp))`` would interpret the naive value in the SESSION timezone
+    (measured: shifts by the tz offset under a non-UTC session), while the
+    DuckDB oracle's epoch_us treats naive values as UTC. Recombining
+    date/hour/minute/second fields matches the oracle under ANY session tz.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c.cast("timestamp"))
+    days = F.unix_date(c.cast("date")).cast("long")
+    sec = F.date_part(F.lit("SECOND"), c)  # decimal(8,6): seconds + µs
+    return (
+        days * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + (sec * F.lit(1_000_000)).cast("long")
+    )
 
 
 def _time_value(col: Column, dtype) -> Column:
