@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from towhee_spark import asof_join, lag_lead, locf, sessionize
 from towhee_spark.temporal import epoch_us
 from towhee_spark.functions import dedup, similarity, text
-from towhee_spark.kernels import cosine_expr
 from towhee_spark.sources.tables import (
     CONTEXT_SQL,
     TRANSCRIPTS_SQL,
