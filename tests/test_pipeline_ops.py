@@ -135,3 +135,23 @@ def test_table_mode_on_parquet(spark):
     rows = out.collect()
     assert all(r.v2 > 100 for r in rows)
     assert out.columns == ["event_type", "v2"]
+
+
+def test_time_window_fast_path_matches_exact_on_dense_stream(spark):
+    """exact=False (aligned-window scale path) == exact=True on gap-free
+    ordered streams — the documented equivalence (SURVEY.md §2.1)."""
+    from pyspark.sql import types as T
+
+    rows = [(i, i * 1000) for i in range(30)]
+    base = (
+        Pipeline.input("d")
+        .flat_map("d", ("n", "t"), lambda d: d, out_types=[T.LongType(), T.LongType()])
+    )
+    def run(exact):
+        p = base.time_window(
+            ("n",), ("s",), "t", 4, 2, lambda n: sum(n),
+            out_types=[T.LongType()], exact=exact,
+        ).output("s")
+        return sorted(r[0] for r in p.run_rows(spark, [(rows,)]))
+
+    assert run(True) == run(False)

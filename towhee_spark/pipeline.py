@@ -494,7 +494,11 @@ def _compile_time_window(df: DataFrame, node: _Node, by) -> DataFrame:
         lo = F.greatest(lo, F.lit(0).cast("long"))
         hi = F.floor(ms / 1000 / F.lit(step)).cast("long")
         wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
-        df2 = df.withColumn("__wstart", F.explode(wids) * F.lit(step))
+        df2 = (
+            df.withColumn("__twid", F.explode(wids))
+            .withColumn("__wstart", F.col("__twid") * F.lit(step))
+            .drop("__twid")
+        )
         schema = T.StructType([df2.schema[k] for k in keys]
                               + [T.StructField("__wstart", T.LongType())] + fields)
         names = [f.name for f in schema.fields]
