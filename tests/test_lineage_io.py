@@ -71,3 +71,46 @@ def test_read_glob(spark, tmp_path):
     assert df.count() == 3
     dfb = io.read_glob(spark, str(tmp_path), pattern="*.txt", binary=True)
     assert set(dfb.columns) >= {"path", "content"}
+
+
+def test_loaders(spark, tmp_path):
+    from towhee_spark.sources import loaders
+
+    (tmp_path / "a.txt").write_text("plain text here")
+    (tmp_path / "b.md").write_text("# Title\nSome [link](http://x) and `code`\n```\nfence\n```")
+    (tmp_path / "c.html").write_text("<html><script>bad()</script><body><p>Hello &amp; world</p></body></html>")
+    (tmp_path / "d.ipynb").write_text(
+        '{"cells": [{"cell_type": "markdown", "source": ["# nb title\\n"]},'
+        '{"cell_type": "code", "source": ["print(1)\\n"]}]}'
+    )
+    txt = {r.path.split("/")[-1]: r.text for r in loaders.text_loader(spark, str(tmp_path)).collect()}
+    assert txt["a.txt"] == "plain text here"
+    md = loaders.markdown_loader(spark, str(tmp_path)).first().text
+    assert "Title" in md and "link" in md and "fence" not in md and "#" not in md
+    html = loaders.html_loader(spark, str(tmp_path)).first().text
+    assert html == "Hello & world"
+    nb = loaders.notebook_loader(spark, str(tmp_path)).first().text
+    assert "nb title" in nb and "print(1)" in nb
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="pypdf"):
+        loaders.pdf_loader(spark, str(tmp_path))
+
+
+def test_audio_and_crop(spark):
+    from towhee_spark.functions import multimodal
+    import numpy as np
+
+    df = spark.createDataFrame([("x.wav", b"audiobytes")], "path string, content binary")
+    out = multimodal.decode_audio(df, n_samples=64).first()
+    assert out.audio.sample_rate == 16000 and out.audio.layout == "mono"
+    assert len(out.audio.data) > 0 and len(out.audio.data) % 2 == 0
+
+    imgs = multimodal.decode_images(
+        spark.createDataFrame([("i.jpg", b"img")], "path string, content binary"),
+        height=8, width=8,
+    )
+    crop = multimodal.image_crop(imgs, box=(2, 2, 4, 4)).first().cropped
+    assert crop.height == 4 and crop.width == 4
+    full = np.frombuffer(imgs.first().image.data, dtype=np.uint8).reshape(8, 8, 3)
+    got = np.frombuffer(crop.data, dtype=np.uint8).reshape(4, 4, 3)
+    assert (got == full[2:6, 2:6]).all()

@@ -147,3 +147,63 @@ def image_embed(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "audio",
+    sample_rate: int = 16000,
+    n_samples: int = 1024,
+    strict: bool = False,
+) -> DataFrame:
+    """audio_decode.ffmpeg parity: binary column → AUDIO_FRAME_TYPE struct.
+    STUB decoder (deterministic content-seeded PCM); real plumbing."""
+    if strict:
+        raise NotImplementedError("real audio decoding requires ffmpeg")
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, AUDIO_FRAME_TYPE)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[out_col] = [
+                {
+                    "data": (_fake_decode(raw, 1, n_samples // 4)[..., :2]
+                             .astype("<i2").tobytes()),
+                    "sample_rate": sample_rate,
+                    "ts_ms": 0,
+                    "layout": "mono",
+                }
+                for raw in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def image_crop(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "cropped",
+    box: tuple[int, int, int, int] = (0, 0, 4, 4),
+) -> DataFrame:
+    """towhee.image_crop parity (hub_ops/utils.py:53): crop an IMAGE struct
+    to box=(y, x, h, w). Pure numpy slicing over the decoded buffer."""
+    y0, x0, h, w = box
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, IMAGE_TYPE)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            crops = []
+            for img in pdf[image_col]:
+                arr = np.frombuffer(img["data"], dtype=np.uint8).reshape(
+                    img["height"], img["width"], 3
+                )
+                sub = arr[y0 : y0 + h, x0 : x0 + w]
+                crops.append(
+                    {"data": sub.tobytes(), "mode": img["mode"],
+                     "height": sub.shape[0], "width": sub.shape[1]}
+                )
+            pdf[out_col] = crops
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
