@@ -47,9 +47,15 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
+        # warm once (codegen + python workers), report best of 2 — cold
+        # compile costs are session artifacts, not plan properties
         fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     # --- north-star: synthetic transcript feature pipeline ---------------
     corpus = transcripts_spark(spark, n_convs=n_convs, partitions=cpus * 2)

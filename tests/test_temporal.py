@@ -254,3 +254,28 @@ def test_asof_chunked_matches_asof(spark, corpus, sdfs, direction, allow_exact):
                           tolerance=900.0, chunk_seconds=3600.0)
     )
     assert_asof_matches(chunked, base)
+
+
+def test_asof_multi_key(spark):
+    """Composite join keys: asof on ['conv_id', 'role']."""
+    t = pd.DataFrame({
+        "conv_id": ["c", "c", "c"], "turn_idx": np.array([0, 1, 2], dtype="int32"),
+        "role": ["user", "tool", "user"], "text": ["a", "b", "d"], "tool": [None] * 3,
+        "ts": pd.to_datetime(["2026-01-01 00:00:10", "2026-01-01 00:00:20",
+                              "2026-01-01 00:00:30"]).astype("datetime64[us]"),
+    })
+    c = pd.DataFrame({
+        "conv_id": ["c", "c"], "role": ["user", "tool"],
+        "ts": pd.to_datetime(["2026-01-01 00:00:05", "2026-01-01 00:00:15"]).astype("datetime64[us]"),
+        "score": [1.0, 2.0],
+    })
+    st_ = spark.createDataFrame(t, schema=TRANSCRIPT_SCHEMA)
+    sc_ = spark.createDataFrame(c, schema="conv_id string, role string, ts timestamp, score double")
+    got = asof_join(st_, sc_, on=["conv_id", "role"], ts="ts").orderBy("turn_idx").collect()
+    # user turns match the user context row; tool turn matches the tool row
+    assert [r.score for r in got] == [1.0, 2.0, 1.0]
+    exp = pd.merge_asof(
+        t.sort_values("ts"), c.sort_values("ts"), on="ts", by=["conv_id", "role"],
+        direction="backward",
+    ).sort_values("turn_idx")
+    np.testing.assert_allclose([r.score for r in got], exp.score.to_numpy())
