@@ -155,3 +155,16 @@ def test_time_window_fast_path_matches_exact_on_dense_stream(spark):
         return sorted(r[0] for r in p.run_rows(spark, [(rows,)]))
 
     assert run(True) == run(False)
+
+
+def test_nested_pipeline_as_map_fn(spark):
+    """Sub-pipeline as a map operator — inlined with schema renaming
+    (dag_repr.py:384-430 parity)."""
+    sub = Pipeline.input("x").map("x", "y", lambda v: v * 10).output("y")
+    p = Pipeline.input("a").map("a", "b", sub).output("b")
+    assert p.run_rows(spark, [1, 2]) == [(10,), (20,)]
+
+    # arity mismatch → clear error
+    bad = Pipeline.input("x", "z").map(("x", "z"), "y", lambda v, w: v).output("y")
+    with pytest.raises(ValueError, match="arity"):
+        Pipeline.input("a").map("a", "b", bad).output("b").run_rows(spark, [1])

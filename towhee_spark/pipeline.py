@@ -228,6 +228,8 @@ def _compile_output(df: DataFrame, node: _Node, by) -> DataFrame:
 
 
 def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
+    if isinstance(node.fn, Pipeline):
+        return _inline_subpipeline(df, node, by)
     if not node.out_cols:
         # 0-output map: fn runs for side effects, row passes through
         # unchanged (_map.py:72-76) — side effects don't belong in a Spark
@@ -276,6 +278,38 @@ def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
             yield pdf[names]
 
     return df.mapInPandas(run, schema=schema)
+
+
+def _inline_subpipeline(df: DataFrame, node: _Node, by) -> DataFrame:
+    """Nested pipeline as a map fn — the reference inlines the sub-DAG with
+    schema renaming (dag_repr.py:384-430); here: bridge outer in_cols onto
+    the sub-pipeline's declared inputs, apply its nodes, rename its outputs.
+    """
+    sub: Pipeline = node.fn
+    sub_nodes = sub._nodes  # noqa: SLF001
+    if not sub_nodes or sub_nodes[0].kind != "input" or sub_nodes[-1].kind != "output":
+        raise ValueError("nested pipeline must start with input() and end with output()")
+    sub_in = sub_nodes[0].in_cols
+    sub_out = sub_nodes[-1].in_cols
+    if len(sub_in) != len(node.in_cols) or len(sub_out) != len(node.out_cols):
+        raise ValueError(
+            f"nested pipeline arity mismatch: inputs {sub_in} vs {node.in_cols}, "
+            f"outputs {sub_out} vs {node.out_cols}"
+        )
+    clash = [c for c in sub_in if c in df.columns and c not in node.in_cols]
+    if clash:
+        raise ValueError(f"nested pipeline input names collide with columns: {clash}")
+    out = df
+    for outer, inner in zip(node.in_cols, sub_in):
+        if outer != inner:
+            out = out.withColumn(inner, F.col(outer))
+    for sn in sub_nodes[1:-1]:  # body only: outer pipeline keeps its columns
+        out = _COMPILERS[sn.kind](out, sn, by)
+    for inner, outer in zip(sub_out, node.out_cols):
+        if inner != outer:
+            out = out.withColumn(outer, F.col(inner)).drop(inner)
+    drop_bridges = [i for o, i in zip(node.in_cols, sub_in) if o != i]
+    return out.drop(*drop_bridges)
 
 
 def _compile_filter(df: DataFrame, node: _Node, by) -> DataFrame:
