@@ -29,7 +29,7 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("BENCH_CONVS", "60000"))  # ≈1.2M turns
+    n_convs = int(os.environ.get("BENCH_CONVS", "200000"))  # ≈6.3M turns
 
     from towhee_spark.session import get_spark
 
