@@ -76,11 +76,15 @@ def test_asof_join_matrix(spark, corpus, sdfs, direction, tolerance, allow_exact
 
 
 @pytest.mark.parametrize("direction", ["backward", "forward"])
-def test_asof_cogroup_matches_oracle(spark, corpus, sdfs, direction):
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_cogroup_matches_oracle(spark, corpus, sdfs, direction, allow_exact):
     t, c = corpus
     st, sc = sdfs
-    got = collect_sorted(asof_join_cogroup(st, sc, direction=direction, tolerance=900.0))
-    exp = oracle_asof(t, c, direction, tolerance=900.0)
+    got = collect_sorted(
+        asof_join_cogroup(st, sc, direction=direction, tolerance=900.0,
+                          allow_exact_matches=allow_exact)
+    )
+    exp = oracle_asof(t, c, direction, tolerance=900.0, allow_exact=allow_exact)
     assert_asof_matches(got, exp)
 
 
