@@ -262,6 +262,49 @@ def q_tpch_q5ish(spark, sf_dir):
     )
 
 
+def q_cube_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _rev_sum().alias("revenue"))
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_window_analytics(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4
+        ).alias("running_value"),
+    )
+
+
+def q_anti_semi_join(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        with_orders.select("c_custkey", F.lit("has_orders").alias("bucket"))
+        .unionByName(without.select("c_custkey", F.lit("no_orders").alias("bucket")))
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data ops
 
@@ -402,6 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
+        "cube_agg": q_cube_agg,
+        "topk_orders": q_topk_orders,
+        "window_analytics": q_window_analytics,
+        "anti_semi_join": q_anti_semi_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -550,6 +597,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name""",
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""",
+        "window_analytics": """
+            SELECT event_id, user_id,
+                   CAST(rank() OVER w AS INT) AS rnk,
+                   CAST(dense_rank() OVER w AS INT) AS drnk,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 4) AS running_value
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "anti_semi_join": """
+            SELECT c_custkey, 'has_orders' AS bucket FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT c_custkey, 'no_orders' AS bucket FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
         "dedup_exact": f"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY {norm}""",
