@@ -305,6 +305,25 @@ def q_anti_semi_join(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    # semi-structured path: events.props is a JSON object {"k": int}
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_monthly_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    return orders.groupBy(epoch_us(month).alias("month_us")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double").alias("total"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data ops
 
@@ -449,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "window_analytics": q_window_analytics,
         "anti_semi_join": q_anti_semi_join,
+        "json_extract": q_json_extract,
+        "monthly_orders": q_monthly_orders,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -597,6 +618,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name""",
+        "json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events""",
+        "monthly_orders": """
+            SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+                   COUNT(*) AS n_orders,
+                   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+            FROM orders GROUP BY 1""",
         "cube_agg": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
