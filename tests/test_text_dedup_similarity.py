@@ -167,3 +167,22 @@ def test_embedding_neardup_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {(r.id_a, r.id_b) for r in dedup.embedding_neardup_pairs(df, threshold=0.99).collect()}
     assert {(0, 100), (1, 101), (2, 102)} <= pairs
+
+
+def test_sketch_profile_accuracy(spark):
+    """HLL distinct estimate within rsd bounds; approx quantiles within the
+    GK epsilon of exact (events table)."""
+    from towhee_spark.functions.sketches import sketch_profile
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {r.event_type: r for r in
+           sketch_profile(ev, ["event_type"], "user_id", "value").collect()}
+    exact = {r.event_type: r for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("d"),
+                 F.expr("percentile(value, 0.5)").alias("p50"),
+             ).collect()}
+    for et, e in exact.items():
+        g = got[et]
+        assert abs(g[f"approx_n_user_id"] - e.d) <= max(2, 0.1 * e.d), (et, g, e)
+        assert abs(g["p50_value"] - e.p50) <= 0.1 * max(1.0, abs(e.p50)), (et, g, e)
