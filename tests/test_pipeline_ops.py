@@ -168,3 +168,16 @@ def test_nested_pipeline_as_map_fn(spark):
     bad = Pipeline.input("x", "z").map(("x", "z"), "y", lambda v, w: v).output("y")
     with pytest.raises(ValueError, match="arity"):
         Pipeline.input("a").map("a", "b", bad).output("b").run_rows(spark, [1])
+
+
+def test_filter_swap_rename(spark):
+    """Positional in→out rename with a SWAP — reference golden
+    test_filter_node.py:153-181: inputs (num1,num2)→outputs (num2,num1) on
+    rows (i, i+1) filtered by num1>5 yields {num1: i+1, num2: i}."""
+    p = (
+        Pipeline.input("num1", "num2")
+        .filter(("num1", "num2"), ("num2", "num1"), "num1", lambda x: x > 5)
+        .output("num1", "num2")
+    )
+    rows = p.run_rows(spark, [(i, i + 1) for i in range(10)])
+    assert rows == [(i + 1, i) for i in range(6, 10)]

@@ -325,10 +325,15 @@ def _compile_filter(df: DataFrame, node: _Node, by) -> DataFrame:
             return pd.Series([bool(fn(*args)) for args in zip(*series)])
 
         df = df.filter(pred(*[F.col(c) for c in fcl]))
-    for i_c, o_c in zip(node.in_cols, node.out_cols):
-        if i_c != o_c:
-            df = df.withColumn(o_c, F.col(i_c))
-    return df
+    if tuple(node.in_cols) == tuple(node.out_cols):
+        return df
+    # positional in→out rename must be ATOMIC (a swap like in=(a,b),
+    # out=(b,a) breaks under sequential withColumn — reference golden:
+    # test_filter_node.py:153-181); consumed input names are not forwarded.
+    ins, outs = set(node.in_cols), set(node.out_cols)
+    passthrough = [c for c in df.columns if c not in ins and c not in outs]
+    renamed = [F.col(i).alias(o) for i, o in zip(node.in_cols, node.out_cols)]
+    return df.select(*passthrough, *renamed)
 
 
 def _compile_flat_map(df: DataFrame, node: _Node, by) -> DataFrame:
