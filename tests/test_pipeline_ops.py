@@ -181,3 +181,25 @@ def test_filter_swap_rename(spark):
     )
     rows = p.run_rows(spark, [(i, i + 1) for i in range(10)])
     assert rows == [(i + 1, i) for i in range(6, 10)]
+
+
+def test_map_generator_outputs_materialized(spark):
+    """Generator-returning map fns materialize to list cells — reference
+    goldens test_map_node.py:278-366 (multi_gen: num=4 → vec=[0,1,2,3])."""
+    p = (
+        Pipeline.input("num")
+        .map("num", "vec", lambda n: (i for i in range(n)),
+             out_types=[T.ArrayType(T.LongType())])
+        .output("vec")
+    )
+    assert [list(r[0]) for r in p.run_rows(spark, [4])] == [[0, 1, 2, 3]]
+
+    p2 = (
+        Pipeline.input("num")
+        .map("num", ("v1", "v2"),
+             lambda n: ((i for i in range(n)), (i * 2 for i in range(n))),
+             out_types=[T.ArrayType(T.LongType()), T.ArrayType(T.LongType())])
+        .output("v1", "v2")
+    )
+    out = p2.run_rows(spark, [3])
+    assert [list(out[0][0]), list(out[0][1])] == [[0, 1, 2], [0, 2, 4]]

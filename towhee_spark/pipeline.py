@@ -255,12 +255,21 @@ def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
                 return False
             return False
 
+        import types as _pytypes  # noqa: PLC0415
+
+        def degen(v):
+            # generator results are materialized to lists (_map.py:85-92)
+            return list(v) if isinstance(v, _pytypes.GeneratorType) else v
+
         def call(*args):
             # rows with a missing (Empty≈NULL) input skip the fn and emit
             # NULL outputs (_map.py:58-59)
             if any(is_missing(a) is True for a in args):
                 return None if len(out_cols) == 1 else (None,) * len(out_cols)
-            return fn(*args)
+            r = fn(*args)
+            if len(out_cols) == 1:
+                return degen(r)
+            return tuple(degen(v) for v in r)
 
         for pdf in batches:
             if len(pdf):
