@@ -21,6 +21,12 @@ DAG; a table-mode run treats the whole input DataFrame as the batch of all
 invocations (SURVEY.md §1.1).  Group-scoped nodes (window/time_window/
 window_all/reduce) act per ``by`` key — the invocation id in parity mode,
 ``conv_id`` in transcript pipelines.
+
+Deliberate divergence: when flat_map fans one row out to N, Towhee pads
+the parent's side-by columns with Empty() on rows 2..N (a queue-alignment
+artifact — test_flat_map_node.py:278-318); this engine REPLICATES the
+parent values (standard relational explode semantics) because NULL-padded
+parents would break downstream joins/windows on those columns.
 """
 
 from __future__ import annotations
