@@ -12,15 +12,30 @@ Nothing here ports Towhee's threaded DataQueue runtime
 vectorized Arrow UDFs.
 """
 
-from towhee_spark.pipeline import Pipeline, pipe
-from towhee_spark.temporal import asof_join, lag_lead, locf, bfill, sessionize
+from towhee_spark.collection import DataCollection, Entity, data_loader
+from towhee_spark.config import AutoConfig
 from towhee_spark.layout import repartition_by_key
+from towhee_spark.pipeline import Pipeline, pipe
+from towhee_spark.pipelines import pipeline, register_pipeline
+from towhee_spark.registry import ops, register
+from towhee_spark.temporal import asof_join, bfill, lag_lead, locf, sessionize
 
 __version__ = "0.1.0"
 
+# mirrors the reference's top-level surface (towhee/__init__.py:36-46):
+# pipe/ops/register/AutoConfig/AutoPipes(pipeline)/DataLoader(data_loader)
+# — serving entries (triton_client, build_docker_image) are out of scope.
 __all__ = [
     "Pipeline",
     "pipe",
+    "ops",
+    "register",
+    "AutoConfig",
+    "pipeline",
+    "register_pipeline",
+    "DataCollection",
+    "Entity",
+    "data_loader",
     "asof_join",
     "lag_lead",
     "locf",
