@@ -203,3 +203,19 @@ def test_map_generator_outputs_materialized(spark):
     )
     out = p2.run_rows(spark, [3])
     assert [list(out[0][0]), list(out[0][1])] == [[0, 1, 2], [0, 2, 4]]
+
+
+def test_reduce_skips_empty_per_column(spark):
+    """Empty (NULL) values are dropped from each column's stream
+    INDEPENDENTLY — reference golden test_reduce.py:234-276: rows
+    (1,2),(1,NULL),(1,3) reduce to sums (3, 5)."""
+    df = spark.createDataFrame([(1, 2), (1, None), (1, 3)], "num1 long, num2 long")
+    p = (
+        Pipeline.input("num1", "num2")
+        .reduce(("num1", "num2"), ("sum1", "sum2"),
+                lambda a, b: (sum(a), sum(b)),
+                out_types=[T.LongType(), T.LongType()])
+        .output("sum1", "sum2")
+    )
+    rows = p.apply(df).collect()
+    assert [(r.sum1, r.sum2) for r in rows] == [(3, 5)]

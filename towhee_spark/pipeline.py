@@ -420,6 +420,23 @@ def _order_cols(df: DataFrame) -> list[str]:
     return []
 
 
+def _nonmissing(values):
+    """Per-column Empty/NULL removal for window-family fns: the reference
+    feeds each column's stream with its own Empties skipped independently
+    (_window_base.py:68-71; golden test_reduce.py:234-276)."""
+    out = []
+    for v in values:
+        if v is None:
+            continue
+        try:
+            if v != v:  # NaN
+                continue
+        except Exception:
+            pass
+        out.append(v)
+    return out
+
+
 def _apply_grouped(df, node, by, assign_extra_cols, out_extra_fields):
     """Shared skeleton for window-family nodes: assign group/window ids,
     then applyInPandas the list-taking fn per (by, window) group."""
@@ -438,7 +455,7 @@ def _apply_grouped(df, node, by, assign_extra_cols, out_extra_fields):
     def run(key, pdf):
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        args = [list(pdf[c]) for c in in_cols]
+        args = [_nonmissing(pdf[c]) for c in in_cols]
         res = fn(*args)
         res = res if isinstance(res, tuple) else (res,)
         d = dict(zip(group_keys, key))
@@ -559,7 +576,7 @@ def _compile_time_window(df: DataFrame, node: _Node, by) -> DataFrame:
 
         def run(key, pdf):
             pdf = pdf.sort_values(ts_col, kind="mergesort")
-            res = fn(*[list(pdf[c]) for c in in_cols])
+            res = fn(*[_nonmissing(pdf[c]) for c in in_cols])
             res = res if isinstance(res, tuple) else (res,)
             d = dict(zip(names, list(key) + list(res)))
             return pd.DataFrame([d], columns=names)
@@ -581,7 +598,7 @@ def _compile_time_window(df: DataFrame, node: _Node, by) -> DataFrame:
         out_rows = []
         for wi, idxs in enumerate(towhee_time_window_ids(ms, size, step)):
             sub = pdf.iloc[idxs]
-            res = fn(*[list(sub[c]) for c in in_cols])
+            res = fn(*[_nonmissing(sub[c]) for c in in_cols])
             res = res if isinstance(res, tuple) else (res,)
             out_rows.append(dict(zip(names, list(key) + [wi] + list(res))))
         return pd.DataFrame(out_rows, columns=names)
