@@ -219,3 +219,61 @@ def test_reduce_skips_empty_per_column(spark):
     )
     rows = p.apply(df).collect()
     assert [(r.sum1, r.sum2) for r in rows] == [(3, 5)]
+
+
+def test_concat_updated_schema_precedence(spark):
+    """Conflicting writes resolve to the LATER-listed pipeline; untouched
+    columns keep fork values — reference goldens
+    test_user_pipeline.py:156-194 (updated_schema1/2, multi_schema)."""
+    p0 = Pipeline.input("a", "b", "c")
+    p1 = p0.map("a", "a", lambda x: x + 10)
+    p2 = p0.map(("b", "c"), "b", lambda x, y: x - y)
+
+    got = p1.concat(p2).output("a", "b", "c").run_rows(spark, [(1, 2, 3)])
+    assert got == [(1, -1, 3)]           # p2 wins: its 'a' is the fork value
+    got = p2.concat(p1).output("a", "b", "c").run_rows(spark, [(1, 2, 3)])
+    assert got == [(11, 2, 3)]           # p1 wins: its 'b' is the fork value
+
+    p1b = p0.map("a", "a", lambda x: x + 10)
+    p2b = p0.map(("b", "c"), "a", lambda x, y: x - y)
+    assert p2b.concat(p1b).output("a").run_rows(spark, [(1, 2, 3)]) == [(11,)]
+    assert p1b.concat(p2b).output("a").run_rows(spark, [(1, 2, 3)]) == [(-1,)]
+
+
+def test_concat_multi_pipe(spark):
+    # test_user_pipeline.py:184-194
+    p0 = Pipeline.input("a", "b", "c")
+    p1 = p0.map("a", "d", lambda x: x + 10)
+    p2 = p0.map(("b", "c"), "e", lambda x, y: x - y)
+    p3 = p0.map(("b", "c"), "f", lambda x, y: x * y)
+    got = p3.concat(p1, p2).output("d", "e", "f").run_rows(spark, [(1, 2, 3)])
+    assert got == [(11, -1, 6)]
+
+
+def test_concat_scalar_branch_zip(spark):
+    """window_all scalar branch replicates against the stream branch —
+    reference golden test_user_pipeline.py:288-303 (multi_types)."""
+    def f(x):
+        n = len(x)
+        return n, n + 1, n + 2
+
+    p2 = Pipeline.input("p").flat_map(
+        "p", "fv", lambda x: list(x), out_types=[T.ArrayType(T.LongType())]
+    )
+    p3 = p2.map("fv", "t", lambda v: v[1]).time_window(
+        ("fv",), ("e",), "t", 3, 3, lambda v: len(v), out_types=[T.LongType()]
+    )
+    p4 = p2.window_all("fv", ("l", "s", "v"), f,
+                       out_types=[T.LongType(), T.LongType(), T.LongType()])
+    pipe = p4.concat(p3).output("e", "l", "s", "v")
+    data = [(i, i * 1000) for i in range(10) if i < 3 or i > 7]
+    rows = pipe.run_rows(spark, [(data,)])
+    assert rows == [(3, 5, 6, 7), (1, 5, 6, 7), (1, 5, 6, 7)]
+
+
+def test_concat_raises(spark):
+    p1 = Pipeline.input("a").map("a", "b", lambda x: x + 1)
+    with pytest.raises(ValueError):
+        p1.concat()
+    with pytest.raises(ValueError):
+        p1.concat("a")

@@ -162,20 +162,38 @@ class Pipeline:
                                   {"out_types": out_types}))
 
     def concat(self, *others: "Pipeline") -> "Pipeline":
-        """Merge sibling branches forked from a common ancestor.  In the
-        DataFrame model branch columns coexist on one plan, so concat
-        appends the non-shared suffix of each branch (_concat.py:30-58's
-        positional zip is the degenerate case of same-cardinality rows)."""
-        merged = copy.deepcopy(self._nodes)
+        """Merge sibling branches forked from a common ancestor
+        (_concat.py:30-66 semantics, validated against the reference's
+        test_user_pipeline.py concat goldens):
+
+        * each branch computes from the FORK state, not from the other
+          branches' outputs;
+        * on conflicting column writes, the later-listed pipeline wins
+          (``self`` has lowest precedence — updated_schema1/2 goldens);
+        * branches ending in window_all/reduce yield per-key scalars that
+          replicate against the surviving row stream (multi_types golden) —
+          compiled as a broadcast join on the group key.
+        """
+        if not others:
+            raise ValueError("concat requires at least one pipeline")
+        if any(not isinstance(o, Pipeline) for o in others):
+            raise ValueError("concat arguments must be Pipelines")
+        prefix_len = len(self._nodes)
         for o in others:
-            prefix_len = 0
+            pl = 0
             for a, b in zip(self._nodes, o._nodes):
                 if a.kind == b.kind and a.in_cols == b.in_cols and a.out_cols == b.out_cols:
-                    prefix_len += 1
+                    pl += 1
                 else:
                     break
-            merged += copy.deepcopy(o._nodes[prefix_len:])
-        return Pipeline(merged, self._input_cols)
+            prefix_len = min(prefix_len, pl)
+        prefix = copy.deepcopy(self._nodes[:prefix_len])
+        branches = [copy.deepcopy(self._nodes[prefix_len:])] + [
+            copy.deepcopy(o._nodes[prefix_len:]) for o in others
+        ]
+        return Pipeline(
+            prefix + [_Node("concat", params={"branches": branches})], self._input_cols
+        )
 
     def output(self, *cols: str) -> "Pipeline":
         return self._append(_Node("output", in_cols=tuple(cols)))
@@ -628,9 +646,72 @@ def _compile_reduce(df: DataFrame, node: _Node, by) -> DataFrame:
     return _compile_window_all(df, node, by)
 
 
+def _is_scalar_branch(branch: list[_Node]) -> bool:
+    return bool(branch) and all(n.kind == "map" for n in branch[:-1]) and branch[
+        -1
+    ].kind in ("window_all", "reduce")
+
+
+def _compile_concat(df: DataFrame, node: _Node, by) -> DataFrame:
+    branches = [b for b in node.params["branches"] if b]
+    if not branches:
+        return df
+    if all(all(n.kind == "map" for n in b) for b in branches):
+        # per-row branches: each reads fork snapshots; later branches
+        # override on conflicting writes (argument precedence)
+        fork_cols = list(df.columns)
+        acc = df.select(
+            *fork_cols, *[F.col(c).alias(f"__fork__{c}") for c in fork_cols]
+        )
+        writes: dict[str, str] = {}
+        new_order: list[str] = []
+        for bi, branch in enumerate(branches):
+            local = {c: f"__fork__{c}" for c in fork_cols}
+            for ni, n in enumerate(branch):
+                new_in = tuple(local.get(c, c) for c in n.in_cols)
+                new_out = tuple(f"__b{bi}_{ni}__{c}" for c in n.out_cols)
+                acc = _compile_map(acc, _Node("map", new_in, new_out, n.fn, n.params), by)
+                for oc, nc in zip(n.out_cols, new_out):
+                    local[oc] = nc
+            # the whole branch VIEW overrides (Towhee zips row dicts with
+            # dict.update — a later branch's untouched fork values also win,
+            # goldens updated_schema1/multi_schema)
+            writes.update(local)
+            for oc in local:
+                if oc not in fork_cols and oc not in new_order:
+                    new_order.append(oc)
+        final = [F.col(writes[c]).alias(c) for c in fork_cols] + [
+            F.col(writes[c]).alias(c) for c in new_order
+        ]
+        return acc.select(*final)
+
+    scalars = [b for b in branches if _is_scalar_branch(b)]
+    streams = [b for b in branches if not _is_scalar_branch(b)]
+    if len(streams) > 1:
+        raise ValueError(
+            "concat supports at most one cardinality-changing branch; "
+            "restructure so other branches are per-row maps or end in "
+            "window_all/reduce"
+        )
+    base = df
+    for n in (streams[0] if streams else []):
+        base = _COMPILERS[n.kind](base, n, by)
+    for b in scalars:
+        sdf = df
+        for n in b:
+            sdf = _COMPILERS[n.kind](sdf, n, by)
+        keys = [by] if by and by in sdf.columns and by in base.columns else []
+        if keys:
+            base = base.join(F.broadcast(sdf), on=keys, how="left")
+        else:
+            base = base.crossJoin(F.broadcast(sdf))
+    return base
+
+
 _COMPILERS = {
     "input": _compile_input,
     "output": _compile_output,
+    "concat": _compile_concat,
     "map": _compile_map,
     "filter": _compile_filter,
     "flat_map": _compile_flat_map,
