@@ -277,3 +277,17 @@ def test_concat_raises(spark):
         p1.concat()
     with pytest.raises(ValueError):
         p1.concat("a")
+
+
+def test_map_after_window_chain(spark):
+    """map over a windowed column — reference golden
+    test_user_pipeline.py:373-383: flat_map → window(3,3,sum) → map(*10)
+    on input 4 yields [60, 40]."""
+    p = (
+        Pipeline.input("a")
+        .flat_map("a", "a", lambda x: list(range(1, x + 1)), out_types=[T.LongType()])
+        .window("a", "b", 3, 3, sum, out_types=[T.LongType()])
+        .map("b", "a", lambda x: x * 10)
+        .output("a")
+    )
+    assert p.run_rows(spark, [4]) == [(60,), (40,)]

@@ -22,11 +22,20 @@ invocations (SURVEY.md §1.1).  Group-scoped nodes (window/time_window/
 window_all/reduce) act per ``by`` key — the invocation id in parity mode,
 ``conv_id`` in transcript pipelines.
 
-Deliberate divergence: when flat_map fans one row out to N, Towhee pads
-the parent's side-by columns with Empty() on rows 2..N (a queue-alignment
-artifact — test_flat_map_node.py:278-318); this engine REPLICATES the
-parent values (standard relational explode semantics) because NULL-padded
-parents would break downstream joins/windows on those columns.
+Deliberate divergences (queue-alignment artifacts of the reference's
+DataQueue, replaced by relational semantics):
+
+* flat_map fan-out: Towhee pads the parent's side-by columns with Empty()
+  on rows 2..N (test_flat_map_node.py:278-318); this engine REPLICATES the
+  parent values (standard explode semantics) — NULL-padded parents would
+  break downstream joins/windows.
+* filter: Towhee keeps failing rows alive on side-by queues and zips the
+  renamed outputs back as Empty() (test_user_pipeline.py:213-224); this
+  engine drops the whole row (relational WHERE), matching the
+  single-output golden (:204-211) and every SQL oracle.
+* reduce on a fully-filtered (empty) stream: Towhee still calls the fn on
+  empty generators and emits one row (test_user_pipeline.py:395-405);
+  this engine emits no row for an empty group (SQL GROUP BY semantics).
 """
 
 from __future__ import annotations
