@@ -375,9 +375,10 @@ def q_quality(spark, sf_dir):
     return docs.select("doc_id", text.quality_score("text").alias("qscore"))
 
 
-# non-SQL-expressible (hash-dependent) — rows-only oracle
 def q_rerank(spark, sf_dir):
-    from towhee_spark.functions.rerank import rerank as _rr  # noqa: PLC0415
+    # gate-verifiable scorer: native token-set Jaccard (SQL-mirrorable exact
+    # rationals); swap scorer= for a model kernel in production
+    from towhee_spark.functions.rerank import rerank as _rr, token_jaccard_scorer  # noqa: PLC0415
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     qs = docs.filter(F.col("doc_id") < 5).select(
@@ -386,32 +387,64 @@ def q_rerank(spark, sf_dir):
     cands = docs.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("cand_id"), F.col("text").alias("doc")
     )
-    return _rr(F.broadcast(qs).crossJoin(cands), k=3).select(
-        "query_id", "cand_id", "rank"
+    pairs = F.broadcast(qs).crossJoin(cands)
+    return _rr(pairs, k=3, scorer=token_jaccard_scorer(), tiebreak="cand_id").select(
+        "query_id", "cand_id", "rank", "score"
     )
 
 
 def q_minhash_lsh(spark, sf_dir):
+    # banded-LSH candidates + exact-Jaccard verify: with recall-1 banding the
+    # output equals the exact pair set, so the exact SQL is a hard oracle
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=64, bands=16)
+    return dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=64, bands=32, verify="exact"
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    return dedup.simhash_jaccard_pairs(docs, threshold=0.5, blocks=8)
 
 
 def q_lsh_topk(spark, sf_dir):
+    # multi-probe LSH candidates + exact rerank; probes chosen so candidate
+    # recall covers the true top-k → output equals brute force → hard oracle
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = embs.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4)
+    out = similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4, dim=64)
+    return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
 def q_embed_text(spark, sf_dir):
-    from towhee_spark.kernels import embed_text_udf  # noqa: PLC0415
+    # Arrow kernel embedding, emitted as gate-sortable sparse rows
+    # (doc_id, dim_idx, val); md5-bucket hash is reproduced exactly in SQL
+    from towhee_spark.kernels import embed_text_parity_udf  # noqa: PLC0415
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", embed_text_udf(dim=32)(F.col("text")).alias("embedding"))
+    emb = docs.select(
+        "doc_id", embed_text_parity_udf(dim=32)(F.col("text")).alias("e")
+    )
+    ex = emb.select("doc_id", F.posexplode("e").alias("dim_idx", "val"))
+    return ex.filter(F.col("val") != 0.0).select(
+        "doc_id", "dim_idx", F.round("val", 6).alias("val")
+    )
+
+
+def q_dedup_ngram_capped(spark, sf_dir):
+    # production path: shingle doc-frequency cap ON (the anti-blowup lever),
+    # cap mirrored in the oracle so the capped semantics are gate-checked
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3, max_shingle_freq=25)
+
+
+def q_scan_topk(spark, sf_dir):
+    # shuffle-free Arrow scan top-k (scored pairs never shuffle) — same
+    # oracle as similarity_topk since the result is the exact top-k
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    out = similarity.scan_topk(qs, embs, k=3)
+    return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
 # --------------------------------------------------------------------------
@@ -461,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_time_window": q_towhee_time_window,
         "towhee_reduce": q_towhee_reduce,
         "towhee_concat": q_towhee_concat,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "scan_topk": q_scan_topk,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
@@ -650,51 +685,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY {norm}""",
-        "dedup_ngram_jaccard": f"""
-            WITH sh AS (
-                SELECT DISTINCT doc_id AS id, shingle FROM (
-                    SELECT doc_id,
-                           CASE WHEN len(toks) >= 3 THEN
-                               unnest([array_to_string(toks[i:i+2], ' ')
-                                       for i in range(1, len(toks) - 1)])
-                           ELSE array_to_string(toks, ' ') END AS shingle
-                    FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
-                )
-            ),
-            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-            inter AS (
-                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-                GROUP BY a.id, b.id
-            )
-            SELECT id_a, id_b,
-                   ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
-            WHERE inter / (sa.sz + sb.sz - inter) >= 0.5""",
+        "dedup_ngram_jaccard": _jaccard_pairs_sql(norm, threshold=0.5),
+        "dedup_ngram_capped": _jaccard_pairs_sql(norm, threshold=0.5, cap=25),
+        "minhash_lsh": _jaccard_pairs_sql(norm, threshold=0.5),
+        "simhash_pairs": _jaccard_pairs_sql(norm, threshold=0.5),
         "text_stats": _text_stats_sql(),
         "embedding_norms": """
             SELECT vec_id,
                    ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
             FROM embeddings""",
-        "similarity_topk": """
-            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings WHERE vec_id < 10),
-            scored AS (
-                SELECT q.query_id, e.vec_id AS match_id,
-                       list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
-                       / (sqrt(list_dot_product(q.qv, q.qv))
-                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                  CAST(e.embedding AS DOUBLE[])))) AS score
-                FROM q, embeddings e WHERE e.vec_id != q.query_id
+        "similarity_topk": _topk_sql(),
+        "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
+        "scan_topk": _topk_sql(),
+        "rerank": _rerank_sql(norm),
+        "embed_text": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents WHERE trim(coalesce(text, '')) <> ''
             ),
-            ranked AS (
-                SELECT query_id, match_id, ROUND(ROUND(score, 6), 4) AS score4,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY ROUND(score, 6) DESC, match_id) AS rank
-                FROM scored
-            )
-            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3""",
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM toks
+            ),
+            raw AS (
+                SELECT doc_id, CAST(h % 32 AS INT) AS dim_idx,
+                       SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS v
+                FROM h GROUP BY doc_id, dim_idx
+                HAVING SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) <> 0
+            ),
+            norms AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM raw GROUP BY doc_id)
+            SELECT r.doc_id, r.dim_idx, ROUND(r.v / n.nrm, 6) AS val
+            FROM raw r JOIN norms n USING (doc_id)""",
         "conv_prompt": f"""{_CTE}
             SELECT conv_id,
                    string_agg(role || ': ' || coalesce(text, ''), chr(10)
@@ -728,6 +750,144 @@ def oracle_sql() -> dict[str, str]:
                    session_seq, ctx_score
             FROM sess""",
     }
+
+
+def _topk_sql() -> str:
+    """Exact cosine top-3 oracle, shared by similarity_topk (one-window
+    reference), lsh_topk (multi-probe candidates cover the true top-k →
+    output equals brute force) and scan_topk (Arrow scan path)."""
+    return """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS match_id,
+                       list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))) AS score
+                FROM q, embeddings e WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, match_id, ROUND(ROUND(score, 6), 4) AS score4,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ROUND(score, 6) DESC, match_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3"""
+
+
+def _lsh_topk_sql(planes: int = 8, probes: int = 4, dim: int = 64, seed: int = 7) -> str:
+    """Oracle that re-runs the multi-probe hyperplane-LSH algorithm in SQL:
+    the planes are seeded plan constants (np.default_rng(seed) — identical
+    to similarity.lsh_topk's), so bucketing, 1-bit probing, candidate dedup
+    and the exact cosine rerank are all reproduced in DuckDB. This gates the
+    LSH implementation itself, not just its recall."""
+    import numpy as np  # noqa: PLC0415
+
+    pl = np.random.default_rng(seed).normal(size=(planes, dim))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in pl[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    offsets = [0] + [1 << p for p in range(min(probes - 1, planes))]
+    probe_list = ", ".join(f"xor(b0, {off})" for off in offsets)
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv, CAST(bucket AS BIGINT) AS b0
+                  FROM b WHERE vec_id < 10),
+            pr AS (SELECT query_id, qv, unnest([{probe_list}]) AS bucket FROM q),
+            cand AS (
+                SELECT DISTINCT p.query_id, i.vec_id AS match_id
+                FROM pr p JOIN b i ON i.bucket = p.bucket
+                WHERE i.vec_id != p.query_id
+            ),
+            scored AS (
+                SELECT c.query_id, c.match_id,
+                       list_dot_product(q.qv, i.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(i.v, i.v))) AS score
+                FROM cand c
+                JOIN q ON q.query_id = c.query_id
+                JOIN e i ON i.vec_id = c.match_id
+            ),
+            ranked AS (
+                SELECT query_id, match_id, ROUND(ROUND(score, 6), 4) AS score4,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY ROUND(score, 6) DESC, match_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3"""
+
+
+def _rerank_sql(norm: str) -> str:
+    """Token-set-Jaccard rerank oracle: score = |q∩d| / |q∪d| over distinct
+    normalized tokens (exact rationals — engine-independent), rank by
+    (score desc, cand_id) — mirrors rerank(scorer=token_jaccard_scorer())."""
+    qn = norm.replace("text", "q.text")
+    dn = norm.replace("text", "c.text")
+    return f"""
+            WITH pairs AS (
+                SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                       list_distinct(string_split({qn}, ' ')) AS qt,
+                       list_distinct(string_split({dn}, ' ')) AS dt
+                FROM (SELECT * FROM documents WHERE doc_id < 5) q,
+                     (SELECT * FROM documents WHERE doc_id % 7 = 0) c
+            ),
+            scored AS (
+                SELECT query_id, cand_id,
+                       ROUND(CASE WHEN len(list_distinct(list_concat(qt, dt))) > 0
+                             THEN CAST(len(list_intersect(qt, dt)) AS DOUBLE)
+                                  / len(list_distinct(list_concat(qt, dt)))
+                             ELSE 0.0 END, 6) AS score
+                FROM pairs
+            ),
+            ranked AS (
+                SELECT query_id, cand_id, score,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score DESC, cand_id) AS INT) AS rank
+                FROM scored
+            )
+            SELECT query_id, cand_id, rank, score FROM ranked WHERE rank <= 3"""
+
+
+def _jaccard_pairs_sql(norm: str, threshold: float, cap: int | None = None) -> str:
+    """Exact word-3-gram Jaccard pair SQL — the hard oracle for the exact,
+    capped, MinHash-LSH-verified and SimHash-verified dedup queries (the
+    approximate tiers verify candidates exactly, so with recall-1 blocking
+    their output IS this set). ``cap`` mirrors max_shingle_freq: shingles in
+    more than ``cap`` docs are dropped from intersections, but doc sizes
+    stay uncapped — exactly the Spark operator's semantics."""
+    cap_cte = (
+        f""",
+            kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {cap}),
+            shj AS (SELECT sh.id, sh.shingle FROM sh JOIN kept USING (shingle))"""
+        if cap is not None
+        else """,
+            shj AS (SELECT id, shingle FROM sh)"""
+    )
+    return f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+                )
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id){cap_cte},
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+            WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}"""
 
 
 def _quality_sql() -> str:

@@ -51,3 +51,31 @@ def test_brute_force_topk_broadcasts_queries(spark):
     st = plan_stats(out)
     assert st["broadcasts"] >= 1
     assert st["python_evals"] == 0  # cosine is native zip_with/aggregate
+
+
+def test_brute_force_topk_two_phase_sharded(spark):
+    """Scale guard: scored rows must first rank inside (query_id, __shard)
+    partitions — no single task may sort a query's whole index scan. The
+    global per-query window only sees the <= shards*k survivors."""
+    import re
+
+    from towhee_spark.functions import similarity
+    from towhee_spark.plans.explain import _plan_text
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.brute_force_topk(embs.limit(5), embs, k=3)
+    plan = _plan_text(out)
+    assert re.search(r"hashpartitioning\(query_id#\d+L?, __shard", plan), plan[:2000]
+
+
+def test_scan_topk_single_tiny_shuffle(spark):
+    """Arrow scan top-k: one MapInPandas over the index scan, and the only
+    exchange carries the per-partition-pruned rows (<= n_q*k per partition),
+    never the full scored set."""
+    from towhee_spark.functions import similarity
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.scan_topk(embs.limit(5), embs, k=3)
+    st = plan_stats(out)
+    assert st["python_evals"] >= 1
+    assert st["exchanges"] <= 1, st

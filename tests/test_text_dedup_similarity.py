@@ -139,7 +139,7 @@ def test_lsh_topk_recall_planted(spark, embs):
         v = np.asarray(ep.embedding.iloc[i], dtype="float32")
         qrows.append((10_000 + int(ep.vec_id.iloc[i]), (v + rng.normal(0, 0.01, len(v)).astype("float32")).tolist()))
     qs = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
-    approx = similarity.lsh_topk(qs, embs, k=3, planes=10, probes=8).collect()
+    approx = similarity.lsh_topk(qs, embs, k=3, planes=10, probes=8, dim=64).collect()
     top1 = {r.query_id: r.match_id for r in approx if r.rank == 1}
     hits = sum(1 for qid, mid in top1.items() if mid == qid - 10_000)
     assert hits >= 8, top1
@@ -150,7 +150,7 @@ def test_lsh_topk_subset_of_valid_scores(embs):
     bounded by the exact top-1."""
     qs = embs.limit(5)
     exact = similarity.brute_force_topk(qs, embs, k=1).collect()
-    approx = similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4).collect()
+    approx = similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4, dim=64).collect()
     best = {r.query_id: r.score for r in exact}
     for r in approx:
         assert r.score <= best[r.query_id] + 1e-6
@@ -165,7 +165,7 @@ def test_embedding_neardup_pairs(spark):
     for i in range(3):
         rows.append((100 + i, [float(x) for x in base[i] + 1e-3]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_neardup_pairs(df, threshold=0.99).collect()}
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_neardup_pairs(df, threshold=0.99, dim=16).collect()}
     assert {(0, 100), (1, 101), (2, 102)} <= pairs
 
 
@@ -186,3 +186,44 @@ def test_sketch_profile_accuracy(spark):
         g = got[et]
         assert abs(g[f"approx_n_user_id"] - e.d) <= max(2, 0.1 * e.d), (et, g, e)
         assert abs(g["p50_value"] - e.p50) <= 0.1 * max(1.0, abs(e.p50)), (et, g, e)
+
+
+def test_two_phase_topk_equals_single_window(spark, embs):
+    """Shard-local pre-prune must be invisible: (score desc, match_id asc)
+    is a total order, so two-phase == one-window results exactly."""
+    qs = embs.filter(F.col("vec_id") < 8)
+    two = similarity.brute_force_topk(qs, embs, k=4, shards=16).collect()
+    one = similarity.brute_force_topk(qs, embs, k=4, shards=None).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(((r.query_id, r.rank, r.match_id, r.score) for r in two)) == \
+           sorted(((r.query_id, r.rank, r.match_id, r.score) for r in one))
+
+
+def test_scan_topk_matches_brute_force(spark, embs):
+    """Arrow scan path (per-partition heaps, zero scored-pair shuffle) must
+    return the exact top-k: same ids and scores as the window plan."""
+    qs = embs.filter(F.col("vec_id") < 8)
+    scan = similarity.scan_topk(qs, embs, k=4)
+    brute = similarity.brute_force_topk(qs, embs, k=4)
+    s = {(r.query_id, r.rank): (r.match_id, round(r.score, 5)) for r in scan.collect()}
+    b = {(r.query_id, r.rank): (r.match_id, round(r.score, 5)) for r in brute.collect()}
+    assert s == b
+
+
+def test_plan_construction_is_action_free(spark, embs, monkeypatch):
+    """Building lsh_topk / embedding_neardup / brute_force plans must not
+    trigger Spark jobs (ADVICE: hidden .first() at plan build). Monkeypatch
+    every driver-side action to raise; construction must still succeed."""
+    from pyspark.sql import DataFrame
+
+    def boom(*a, **k):
+        raise AssertionError("driver action during plan construction")
+
+    for action in ("collect", "first", "head", "take", "toPandas", "count"):
+        monkeypatch.setattr(DataFrame, action, boom)
+    qs = embs.limit(5)
+    similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4, dim=64)
+    similarity.brute_force_topk(qs, embs, k=3)
+    dedup.embedding_neardup_pairs(embs, threshold=0.95, dim=64)
+    dedup.minhash_lsh_pairs(spark.read.parquet(f"{SF}/documents.parquet"),
+                            threshold=0.5, verify="exact")

@@ -99,6 +99,32 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _verify_pairs_exact_jaccard(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification of candidate (id_a, id_b) pairs
+    against the (id, shingle) inverted index. Cost is candidate-bounded:
+    cand ⋈ sh(id_a) ⋈ sh(id_b, shingle) — never touches non-candidate pairs,
+    so LSH does the O(n²)→O(candidates) reduction and this stage stays exact."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
@@ -122,16 +148,37 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    verify: str = "estimate",
 ) -> DataFrame:
     """Approximate Jaccard near-dup pairs via MinHash + banded LSH:
     signature sliced into ``bands`` bands of ``num_hashes/bands`` rows;
     docs sharing any band bucket become candidates; candidates are verified
-    with the estimated Jaccard (signature agreement rate) ≥ threshold.
+    per ``verify``:
+
+    * ``"estimate"`` — signature agreement rate ≥ threshold; emits
+      (id_a, id_b, est_jaccard). Cheapest; probabilistic values.
+    * ``"exact"``    — true shingle-set Jaccard ≥ threshold; emits
+      (id_a, id_b, jaccard), identical to ngram_jaccard_pairs restricted to
+      LSH-recalled candidates (with enough bands, recall → 1, making the
+      output oracle-checkable against the exact pair set). Verification cost
+      is candidate-bounded, so LSH still does the O(n²) reduction.
 
     Never materializes O(n²): candidate generation is a groupBy on
     (band, band_hash) buckets."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if verify == "exact":
+        sh = sh.cache()
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        .cache()
+    )
     bands_df = sig.select(
         "id",
         F.explode(
@@ -151,6 +198,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
+    if verify == "exact":
+        return _verify_pairs_exact_jaccard(cand, sh, threshold)
     est = (
         cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -200,8 +249,20 @@ def simhash_pairs(
     LSH: split the 64-bit sketch into ``blocks`` segments — any pair within
     hamming k < blocks must agree on ≥1 segment (pigeonhole) → candidates
     from segment-bucket joins, verified with bit_count(xor)."""
-    seg_bits = 64 // blocks
     sk = simhash_sketch(df, id_col, text_col).cache()
+    cand = _simhash_candidates(sk, blocks)
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _simhash_candidates(sk: DataFrame, blocks: int) -> DataFrame:
+    """Candidate (id_a, id_b, sh_a, sh_b) pairs whose 64-bit sketches agree
+    on ≥1 of ``blocks`` segments — pigeonhole-complete for any pair within
+    hamming distance < blocks."""
+    seg_bits = 64 // blocks
     segs = sk.select(
         "id",
         "simhash",
@@ -229,11 +290,33 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cand
+
+
+def simhash_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    blocks: int = 8,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """SimHash-blocked near-dup pairs with exact n-gram-Jaccard verification:
+    segment-bucket candidates (optionally hamming-pruned when ``max_hamming``
+    is set) are re-scored against the true shingle sets, emitting
+    (id_a, id_b, jaccard ≥ threshold). The sketch join does the O(n²)
+    reduction; the verify stage is candidate-bounded and exact, so with
+    recall-1 blocking the output equals ngram_jaccard_pairs — the
+    oracle-checkable production shape."""
+    sk = simhash_sketch(df, id_col, text_col).cache()
+    cand = _simhash_candidates(sk, blocks)
+    if max_hamming is not None:
+        cand = cand.filter(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming
+        )
+    sh = shingles(df, id_col, text_col, n)
+    return _verify_pairs_exact_jaccard(cand.select("id_a", "id_b"), sh, threshold)
 
 
 def embedding_neardup_pairs(
@@ -250,18 +333,19 @@ def embedding_neardup_pairs(
     agreeing on all ``block_planes`` sign bits land in the same bucket
     (high-cosine pairs almost always do); exact cosine verifies candidates.
 
-    Pass ``dim`` to keep plan construction lazy; otherwise one row is
-    sampled to infer it (errors clearly on an empty frame)."""
+    ``dim`` is required: the hyperplanes are plan constants, and inferring
+    the width would trigger a hidden Spark job at plan-construction time."""
     import numpy as np  # noqa: PLC0415
 
     from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
     from towhee_spark.functions.similarity import _bucket_expr  # noqa: PLC0415
 
     if dim is None:
-        first = df.select(vec_col).first()
-        if first is None or first[0] is None:
-            raise ValueError("cannot infer embedding dim from empty input; pass dim=")
-        dim = len(first[0])
+        raise ValueError(
+            "embedding_neardup_pairs: pass dim= (embedding width); it is a "
+            "plan constant and is not inferred to keep plan construction "
+            "action-free"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(block_planes, dim))
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),

@@ -32,6 +32,7 @@ def brute_force_topk(
     i_vec: str = "embedding",
     broadcast_queries: bool = True,
     exclude_self: bool = True,
+    shards: int | None = 32,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, match_id, score, rank).
 
@@ -40,7 +41,14 @@ def brute_force_topk(
     without a shuffle, so this scales with the index size linearly.
     ``exclude_self`` drops match_id == query_id rows — correct for
     self-search (queries ⊆ index); pass False when queries and index are
-    DIFFERENT tables whose id spaces merely overlap."""
+    DIFFERENT tables whose id spaces merely overlap.
+
+    Two-phase top-k (``shards``): scored rows first rank within
+    (query_id, hash(match_id) % shards) — shards× parallel — and only the
+    ≤ shards·k survivors meet the per-query global window, so no single
+    task ever sorts a query's whole index scan. (score desc, match_id asc)
+    is a total order, so the result is identical to the one-window plan;
+    shards=None restores it. For a shuffle-free scan, see scan_topk."""
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
     ix = index.select(F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"))
     joined = ix.join(F.broadcast(q)) if broadcast_queries else q.join(F.broadcast(ix))
@@ -51,12 +59,92 @@ def brute_force_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id").asc())
+    return _global_topk(scored, k, shards)
+
+
+def _global_topk(scored: DataFrame, k: int, shards: int | None) -> DataFrame:
+    """(query_id, match_id, score) → per-query top-k by the total order
+    (score desc, match_id asc), optionally pre-pruned per hash shard."""
+    order = (F.col("score").desc(), F.col("match_id").asc())
+    if shards:
+        w1 = Window.partitionBy("query_id", "__shard").orderBy(*order)
+        scored = (
+            scored.withColumn("__shard", F.pmod(F.xxhash64("match_id"), F.lit(shards)))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+        )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+
+
+def scan_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Shuffle-free exact cosine top-k for a small query set: the query
+    matrix is collected once (an explicit driver action — O(n_queries·dim),
+    the Spark analogue of a broadcast variable), each index partition is
+    scanned by an Arrow kernel doing one float64 matmul per batch with a
+    running per-query top-k, and only ≤ n_queries·k rows per partition reach
+    the final global window. The scored pairs themselves never shuffle —
+    the 100 TB scan plan (cf. brute_force_topk's shuffled two-phase, which
+    stays bit-parity with the SQL oracle)."""
+    import pandas as pd  # noqa: PLC0415
+
+    qrows = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qv")).collect()
+    if not qrows:
+        raise ValueError("scan_topk: empty query set")
+    q_ids = np.array([r["qid"] for r in qrows])
+    qm = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+    sc = index.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qm))
+
+    ix = index.select(F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"))
+    out_schema = "query_id long, match_id long, score double"
+
+    def part_topk(batches):
+        ids, mat = bq.value
+        nq = len(ids)
+        best_s = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_m = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf["__iv"].tolist(), dtype=np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            mids = pdf["match_id"].to_numpy()
+            scores = np.round(mat @ m.T, 6)  # (nq, batch)
+            for qi in range(nq):
+                s = np.concatenate([best_s[qi], scores[qi]])
+                mm = np.concatenate([best_m[qi], mids])
+                if exclude_self:
+                    keep = mm != ids[qi]
+                    s, mm = s[keep], mm[keep]
+                if len(s) > k:
+                    # total order (score desc, match_id asc) — lexsort keys
+                    sel = np.lexsort((mm, -s))[:k]
+                    s, mm = s[sel], mm[sel]
+                best_s[qi], best_m[qi] = s, mm
+        rows = {
+            "query_id": np.repeat(ids, [len(b) for b in best_m]),
+            "match_id": np.concatenate(best_m) if best_m else np.empty(0, np.int64),
+            "score": np.concatenate(best_s) if best_s else np.empty(0, np.float64),
+        }
+        yield pd.DataFrame(rows)
+
+    pruned = ix.mapInPandas(part_topk, out_schema)
+    return _global_topk(pruned, k, shards=None)
 
 
 def _bucket_expr(vec_col, planes: np.ndarray):
@@ -94,14 +182,20 @@ def lsh_topk(
     dim: int | None = None,
     seed: int = 7,
     exclude_self: bool = True,
+    shards: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact rerank.
 
     Queries probe their own bucket plus the ``probes-1`` nearest neighbor
     buckets (1-bit flips) — recall/scan-cost dial. Index side is bucketed
-    once (re-usable as a materialized layout at 100 TB scale)."""
+    once (re-usable as a materialized layout at 100 TB scale). ``dim`` is
+    required: the hyperplanes are plan constants, and inferring the width
+    would trigger a hidden Spark job at plan-construction time."""
     if dim is None:
-        dim = len(index.select(i_vec).first()[0])
+        raise ValueError(
+            "lsh_topk: pass dim= (embedding width); it is a plan constant and "
+            "is not inferred to keep plan construction action-free"
+        )
     rng = np.random.default_rng(seed)
     pl = rng.normal(size=(planes, dim))
 
@@ -130,9 +224,4 @@ def lsh_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "match_id", "score", "rank")
-    )
+    return _global_topk(scored, k, shards)

@@ -140,6 +140,57 @@ def embed_text_hybrid(text_col, dim: int = 32):
     return scatter(hs)
 
 
+def embed_tokens_md5_np(texts: "pd.Series | list[str]", dim: int = 32) -> np.ndarray:
+    """Oracle-parity hashed bag-of-tokens embedding, L2-normalized, float64.
+
+    Same feature-hashing semantics as embed_tokens_np but with a token hash
+    that an ANSI-SQL engine can reproduce exactly:
+
+        h      = int(md5(token).hexdigest()[:15], 16)   # 60-bit, positive
+        bucket = h % dim
+        sign   = +1 if (h >> 59) & 1 == 0 else -1
+
+    (DuckDB mirror: ``('0x' || substr(md5(tok),1,15))::BIGINT``.) Bucket sums
+    are exact integers, the L2 norm is sqrt of an exact integer, so the
+    normalized components are bit-identical doubles across engines. crc32
+    (`embed_tokens_np`) stays the hot-path hash; this variant exists so the
+    embedding is verifiable by the cross-engine correctness gate."""
+    import hashlib  # noqa: PLC0415
+
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float64)
+    toks_per_row = [str(t).split() if t else [] for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64, count=n)
+    if counts.sum():
+        row_ids = np.repeat(np.arange(n), counts)
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                for toks in toks_per_row
+                for tok in toks
+            ),
+            dtype=np.int64,
+            count=int(counts.sum()),
+        )
+        signs = np.where((hs >> 59) & 1 == 0, 1.0, -1.0)
+        np.add.at(out, (row_ids, hs % dim), signs)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+def embed_text_parity_udf(dim: int = 32):
+    """Batched Arrow UDF for the md5-parity embedding: text → array<double>.
+    Used by the gated embed_text query so DuckDB can verify every component."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        mat = embed_tokens_md5_np(texts.fillna("").tolist(), dim)
+        return pd.Series(list(mat))
+
+    return embed
+
+
 def embed_text_udf(dim: int = 64):
     """Batched Arrow UDF: text → array<float> embedding (zero per-row
     serialization; the np loop is per-token CPU work inside one batch)."""
