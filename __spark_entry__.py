@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from towhee_spark import asof_join, lag_lead, locf, sessionize
+from towhee_spark.pipeline import Pipeline
 from towhee_spark.temporal import epoch_us
 from towhee_spark.functions import dedup, similarity, text
 from towhee_spark.sources.tables import (
@@ -124,83 +125,124 @@ def q_session_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Towhee operator parity on driver tables
+# Towhee operator parity on driver tables — every query below goes through
+# Pipeline.apply so the DuckDB gate binds the _compile_* node compilers,
+# not a hand-lowered equivalent (VERDICT r01 "what's wrong" #3).
 
 
 def q_towhee_map(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        text.token_count("text").alias("tok_cnt"),
-        F.length("text").cast("int").alias("len_chars"),
+    p = (
+        Pipeline.input("doc_id", "text")
+        .map(
+            "text",
+            ("tok_cnt", "len_chars"),
+            lambda t: (text.token_count(t), F.length(t).cast("int")),
+            native=True,
+        )
+        .output("doc_id", "tok_cnt", "len_chars")
     )
+    return p.apply(docs)
 
 
 def q_towhee_filter(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.filter(text.token_count("text") >= 5).select("doc_id", "lang", "source")
+    cols = ("doc_id", "lang", "source")
+    p = (
+        Pipeline.input("doc_id", "lang", "source", "text")
+        .filter(cols, cols, "text", lambda t: text.token_count(t) >= 5, native=True)
+        .output(*cols)
+    )
+    return p.apply(docs)
 
 
 def q_towhee_flat_map(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = F.split(text.normalize_text("text"), " ")
-    return docs.select("doc_id", F.explode(toks).alias("token"))
+    p = (
+        Pipeline.input("doc_id", "text")
+        .flat_map(
+            "text", "token", lambda t: F.split(text.normalize_text(t), " "), native=True
+        )
+        .output("doc_id", "token")
+    )
+    return p.apply(docs)
+
+
+def _n_sum(vals):
+    return (len(vals), round(float(sum(vals)), 4))
 
 
 def q_towhee_window_count(spark, sf_dir):
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    idx = F.row_number().over(w) - 1
-    return (
-        ev.withColumn("wid", F.floor(idx / 10).cast("int"))
-        .groupBy("user_id", "wid")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    p = (
+        Pipeline.input("value")
+        .window("value", ("n", "sum_value"), size=10, step=10, fn=_n_sum,
+                out_types=("bigint", "double"), wid_col="wid")
+        .output("user_id", "wid", "n", "sum_value")
     )
+    return p.apply(ev, by="user_id", order=("ts", "event_id"))
 
 
 def q_towhee_window_sliding(spark, sf_dir):
-    # OVERLAPPING count window (size=10, step=5): the explode-window-id
-    # combinator (pipeline.py:_compile_window) as a gated query
+    # OVERLAPPING count window (size=10, step=5) through _compile_window
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    i = F.col("__i")
-    lo = F.greatest(F.lit(0).cast("long"), F.ceil((i - F.lit(9)) / F.lit(5)).cast("long"))
-    hi = F.floor(i / F.lit(5)).cast("long")
-    wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
-    return (
-        ev.withColumn("__i", F.row_number().over(w) - 1)
-        .withColumn("wid", F.explode(wids))
-        .groupBy("user_id", "wid")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    p = (
+        Pipeline.input("value")
+        .window("value", ("n", "sum_value"), size=10, step=5, fn=_n_sum,
+                out_types=("bigint", "double"), wid_col="wid")
+        .output("user_id", "wid", "n", "sum_value")
     )
+    return p.apply(ev, by="user_id", order=("ts", "event_id"))
 
 
 def q_towhee_time_window(spark, sf_dir):
+    # scale path (exact=False: step-aligned non-empty windows) — coincides
+    # with the hour-bucket oracle because size == step
     ev = load_events(spark, sf_dir)
-    hour = F.floor(epoch_us("ts") / F.lit(3_600_000_000)).alias("hour_id")
-    return ev.groupBy("user_id", hour).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    p = (
+        Pipeline.input("value")
+        .time_window("value", ("n", "sum_value"), "ts", size=3600, step=3600,
+                     fn=_n_sum, out_types=("bigint", "double"),
+                     exact=False, emit_start="wstart")
+        .output("user_id", "wstart", "n", "sum_value")
+    )
+    out = p.apply(ev, by="user_id")
+    return out.select(
+        "user_id",
+        (F.col("wstart") / 3600).cast("long").alias("hour_id"),
+        "n",
+        "sum_value",
     )
 
 
 def q_towhee_reduce(spark, sf_dir):
     ev = load_events(spark, sf_dir)
-    return ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
+
+    def fold(vals):
+        return (
+            len(vals),
+            round(float(sum(vals)), 4),
+            round(float(min(vals)), 4),
+            round(float(max(vals)), 4),
+        )
+
+    p = (
+        Pipeline.input("value")
+        .reduce("value", ("n", "sum_value", "min_value", "max_value"), fold,
+                out_types=("bigint", "double", "double", "double"))
+        .output("user_id", "n", "sum_value", "min_value", "max_value")
     )
+    return p.apply(ev, by="user_id", order=("ts", "event_id"))
 
 
 def q_towhee_concat(spark, sf_dir):
-    # two sibling branches on one input → columns coexist (concat is a no-op)
+    # two sibling per-row branches forked from one input, merged by concat
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
-        "doc_id",
-        text.token_count("text").alias("tok_cnt"),
-        F.upper("source").alias("src_upper"),
-    )
+    base = Pipeline.input("doc_id", "text", "source")
+    b1 = base.map("text", "tok_cnt", lambda t: text.token_count(t), native=True)
+    b2 = base.map("source", "src_upper", lambda s: F.upper(s), native=True)
+    p = b1.concat(b2).output("doc_id", "tok_cnt", "src_upper")
+    return p.apply(docs)
 
 
 # --------------------------------------------------------------------------

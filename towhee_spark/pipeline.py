@@ -55,6 +55,25 @@ _ROW_ORDER = "__row_order"
 _INVOCATION = "__invocation"
 
 
+@dataclass(frozen=True)
+class _Ctx:
+    """Execution context threaded through node compilers.
+
+    ``by``     — group key for window-family nodes (invocation id in parity
+                 mode, a real key like conv_id in table mode).
+    ``order``  — explicit within-group row order for table mode (Towhee
+                 streams arrive in queue order; a DataFrame needs the order
+                 declared). Falls back to __row_order / (ts, turn_idx).
+    ``compat`` — opt-in Towhee queue-artifact semantics (flat_map side-column
+                 Empty padding, filter side-by retention, reduce-on-empty);
+                 see the module docstring's divergence list.
+    """
+
+    by: str | None = None
+    order: tuple[str, ...] = ()
+    compat: bool = False
+
+
 def _tup(x) -> tuple[str, ...]:
     if x is None:
         return ()
@@ -150,15 +169,25 @@ class Pipeline:
         return self._append(_Node("filter", _tup(in_cols), _tup(out_cols), fn,
                                   {"filter_cols": _tup(filter_cols), "native": native}))
 
-    def window(self, in_cols, out_cols, size: int, step: int, fn, out_types=None) -> "Pipeline":
+    def window(self, in_cols, out_cols, size: int, step: int, fn, out_types=None,
+               wid_col: str | None = None) -> "Pipeline":
+        """Count window of ``size`` rows advancing by ``step``.  ``wid_col``
+        names an extra output carrying the 0-based window id (Towhee emits
+        windows in order but anonymously; tables want the id addressable)."""
         return self._append(_Node("window", _tup(in_cols), _tup(out_cols), fn,
-                                  {"size": size, "step": step, "out_types": out_types}))
+                                  {"size": size, "step": step, "out_types": out_types,
+                                   "wid_col": wid_col}))
 
     def time_window(self, in_cols, out_cols, timestamp_col: str, size: int, step: int,
-                    fn, out_types=None, exact: bool = True) -> "Pipeline":
+                    fn, out_types=None, exact: bool = True,
+                    emit_start: str | None = None) -> "Pipeline":
+        """Time window [start, start+size) advancing by ``step`` seconds.
+        ``emit_start`` names an extra output carrying the window start in
+        epoch seconds (both exact and scale paths)."""
         return self._append(_Node("time_window", _tup(in_cols), _tup(out_cols), fn,
                                   {"ts": timestamp_col, "size": size, "step": step,
-                                   "out_types": out_types, "exact": exact}))
+                                   "out_types": out_types, "exact": exact,
+                                   "emit_start": emit_start}))
 
     def window_all(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
         return self._append(_Node("window_all", _tup(in_cols), _tup(out_cols), fn,
@@ -208,12 +237,22 @@ class Pipeline:
         return self._append(_Node("output", in_cols=tuple(cols)))
 
     # -- execution --------------------------------------------------------
-    def apply(self, df: DataFrame, by: str | None = None) -> DataFrame:
+    def apply(
+        self,
+        df: DataFrame,
+        by: str | None = None,
+        order: Sequence[str] | str | None = None,
+        compat: bool = False,
+    ) -> DataFrame:
         """Compile the node list onto ``df`` (table mode).  ``by`` scopes
-        group nodes (window/time_window/window_all/reduce); None = global."""
+        group nodes (window/time_window/window_all/reduce); None = global.
+        ``order`` declares the within-group row order (e.g. ("ts",
+        "event_id")) — required for deterministic count windows on tables.
+        ``compat=True`` enables Towhee queue-artifact semantics (see _Ctx)."""
+        ctx = _Ctx(by=by, order=_tup(order), compat=compat)
         out = df
         for node in self._nodes:
-            out = _COMPILERS[node.kind](out, node, by)
+            out = _COMPILERS[node.kind](out, node, ctx)
         return out
 
     __call__ = apply
@@ -241,14 +280,14 @@ def pipe() -> type[Pipeline]:
 
 # -- node compilers --------------------------------------------------------
 
-def _compile_input(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_input(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     missing = [c for c in node.in_cols if c not in df.columns]
     if missing:
         raise ValueError(f"input columns not in DataFrame: {missing}")
     return df
 
 
-def _compile_output(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_output(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     # bookkeeping columns survive only in parity mode (run_rows needs them
     # for invocation ordering and filters them itself); table-mode output is
     # exactly the declared columns
@@ -260,9 +299,9 @@ def _compile_output(df: DataFrame, node: _Node, by) -> DataFrame:
     return df.select(*node.in_cols, *keep)
 
 
-def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     if isinstance(node.fn, Pipeline):
-        return _inline_subpipeline(df, node, by)
+        return _inline_subpipeline(df, node, ctx)
     if not node.out_cols:
         # 0-output map: fn runs for side effects, row passes through
         # unchanged (_map.py:72-76) — side effects don't belong in a Spark
@@ -322,7 +361,7 @@ def _compile_map(df: DataFrame, node: _Node, by) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
-def _inline_subpipeline(df: DataFrame, node: _Node, by) -> DataFrame:
+def _inline_subpipeline(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     """Nested pipeline as a map fn — the reference inlines the sub-DAG with
     schema renaming (dag_repr.py:384-430); here: bridge outer in_cols onto
     the sub-pipeline's declared inputs, apply its nodes, rename its outputs.
@@ -346,7 +385,7 @@ def _inline_subpipeline(df: DataFrame, node: _Node, by) -> DataFrame:
         if outer != inner:
             out = out.withColumn(inner, F.col(outer))
     for sn in sub_nodes[1:-1]:  # body only: outer pipeline keeps its columns
-        out = _COMPILERS[sn.kind](out, sn, by)
+        out = _COMPILERS[sn.kind](out, sn, ctx)
     for inner, outer in zip(sub_out, node.out_cols):
         if inner != outer:
             out = out.withColumn(outer, F.col(inner)).drop(inner)
@@ -354,7 +393,7 @@ def _inline_subpipeline(df: DataFrame, node: _Node, by) -> DataFrame:
     return out.drop(*drop_bridges)
 
 
-def _compile_filter(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_filter(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     fcols = node.params["filter_cols"]
     native = _try_native(node.fn, fcols, node.params.get("native"))
     if native is not None and len(native) == 1:
@@ -378,7 +417,7 @@ def _compile_filter(df: DataFrame, node: _Node, by) -> DataFrame:
     return df.select(*passthrough, *renamed)
 
 
-def _compile_flat_map(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_flat_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     # Native path: fn of Columns returning one array Column → posexplode
     # (the position column keeps within-parent emission order well-defined).
     native = _try_native(node.fn, node.in_cols, node.params.get("native"))
@@ -439,7 +478,12 @@ def _group_cols(df: DataFrame, by: str | None) -> list[str]:
     return []
 
 
-def _order_cols(df: DataFrame) -> list[str]:
+def _order_cols(df: DataFrame, ctx: _Ctx) -> list[str]:
+    if ctx.order:
+        missing = [c for c in ctx.order if c not in df.columns]
+        if missing:
+            raise ValueError(f"order columns not in DataFrame: {missing}")
+        return list(ctx.order)
     if _ROW_ORDER in df.columns:
         return [_ROW_ORDER]
     if "ts" in df.columns:
@@ -464,13 +508,13 @@ def _nonmissing(values):
     return out
 
 
-def _apply_grouped(df, node, by, assign_extra_cols, out_extra_fields):
+def _apply_grouped(df, node, ctx: _Ctx, assign_extra_cols, out_extra_fields):
     """Shared skeleton for window-family nodes: assign group/window ids,
     then applyInPandas the list-taking fn per (by, window) group."""
     in_cols, out_cols, fn = list(node.in_cols), list(node.out_cols), node.fn
     fields = _out_fields(node.out_cols, node.params.get("out_types"))
-    keys = _group_cols(df, by)
-    order = _order_cols(df)
+    keys = _group_cols(df, ctx.by)
+    order = _order_cols(df, ctx)
     df2, win_keys = assign_extra_cols(df, keys, order)
     group_keys = keys + win_keys
     schema = T.StructType(
@@ -500,7 +544,7 @@ def _apply_grouped(df, node, by, assign_extra_cols, out_extra_fields):
     return res
 
 
-def _compile_window(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     size, step = node.params["size"], node.params["step"]
 
     def assign(df, keys, order):
@@ -519,7 +563,10 @@ def _compile_window(df: DataFrame, node: _Node, by) -> DataFrame:
         df = df.withColumn("__wid", F.explode(wids)).drop("__idx")
         return df, ["__wid"]
 
-    res = _apply_grouped(df, node, by, assign, []).drop("__g")
+    res = _apply_grouped(df, node, ctx, assign, []).drop("__g")
+    wid_col = node.params.get("wid_col")
+    if wid_col:
+        return res.withColumnRenamed("__wid", wid_col)
     if _ROW_ORDER not in res.columns:  # window id is the new row order
         res = res.withColumnRenamed("__wid", _ROW_ORDER)
     return res.drop("__wid")
@@ -561,33 +608,62 @@ class _TwBuf:
         return True
 
 
-def towhee_time_window_ids(ts_ms: list[int], size_sec: int, step_sec: int) -> list[list[int]]:
+def towhee_time_window_ids(
+    ts_ms: list[int], size_sec: int, step_sec: int, with_starts: bool = False
+) -> list:
     """Per emitted window, the indices of the ts-ordered rows it holds —
     exact Towhee time_window semantics including gap realignment
-    (_time_window.py:81-87; _window_base.py:53-80 flush protocol)."""
+    (_time_window.py:81-87; _window_base.py:53-80 flush protocol).
+    ``with_starts=True`` yields (start_ms, indices) tuples instead."""
     head = _TwBuf(0, size_sec * 1000, step_sec * 1000)
-    out: list[list[int]] = []
+    out: list = []
+
+    def emit(buf):
+        out.append((buf.start, buf.rows) if with_starts else buf.rows)
+
     for i, t in enumerate(ts_ms):
         if head.feed(i, int(t)) and head.rows:
-            out.append(head.rows)
+            emit(head)
             head = head.nxt
     while head is not None and head.rows:  # seal: flush chain until empty buf
-        out.append(head.rows)
+        emit(head)
         head = head.nxt
     return out
 
 
-def _compile_time_window(df: DataFrame, node: _Node, by) -> DataFrame:
+def _epoch_ms_list(tsv: "pd.Series", is_ts: bool) -> list[int]:
+    """Epoch-milliseconds from a pandas series without assuming nanosecond
+    resolution: datetime64 columns may arrive as ns OR us (Arrow-backed
+    pandas) — derive the divisor from the dtype unit."""
+    if is_ts:
+        unit = getattr(tsv.dtype, "unit", "ns")
+        div = {"s": 1, "ms": 1, "us": 10**3, "ns": 10**6}[unit]
+        mult = 1000 if unit == "s" else 1
+        return (tsv.astype("int64") * mult // div).tolist()
+    return tsv.astype("int64").tolist()
+
+
+def _compile_time_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     size, step, ts_col = node.params["size"], node.params["step"], node.params["ts"]
     exact = node.params.get("exact", True)
+    emit_start = node.params.get("emit_start")
     in_cols, out_cols, fn = list(node.in_cols), list(node.out_cols), node.fn
     fields = _out_fields(node.out_cols, node.params.get("out_types"))
-    keys = _group_cols(df, by)
+    keys = _group_cols(df, ctx.by)
+    is_ts = dict(df.dtypes)[ts_col].startswith("timestamp")
 
     if not exact:
         # Fast scale path: all non-empty step-aligned windows (Spark
         # F.window semantics); coincides with Towhee on gap-free streams.
-        ms = F.col(ts_col).cast("double") * 1000 if dict(df.dtypes)[ts_col].startswith("timestamp") else F.col(ts_col).cast("double")
+        # epoch_us handles TIMESTAMP_NTZ scans session-tz-independently
+        # (a bare cast("double") rejects NTZ in Spark 4 ANSI mode).
+        from towhee_spark.temporal import epoch_us  # noqa: PLC0415
+
+        ms = (
+            epoch_us(ts_col).cast("double") / 1000
+            if is_ts
+            else F.col(ts_col).cast("double")
+        )
         lo = (F.floor((ms / 1000 - F.lit(size)) / F.lit(step)) + 1).cast("long")
         lo = F.greatest(lo, F.lit(0).cast("long"))
         hi = F.floor(ms / 1000 / F.lit(step)).cast("long")
@@ -608,26 +684,32 @@ def _compile_time_window(df: DataFrame, node: _Node, by) -> DataFrame:
             d = dict(zip(names, list(key) + list(res)))
             return pd.DataFrame([d], columns=names)
 
-        return df2.groupBy(*keys, "__wstart").applyInPandas(run, schema=schema).drop("__wstart")
+        res = df2.groupBy(*keys, "__wstart").applyInPandas(run, schema=schema)
+        if emit_start:
+            return res.withColumnRenamed("__wstart", emit_start)
+        return res.drop("__wstart")
 
     # Exact Towhee-buffer path: one applyInPandas per key group running the
     # buffer chain (per-group python over a sorted pandas frame — parity
     # surface; throughput path is exact=False).
+    start_fields = [T.StructField(emit_start, T.LongType())] if emit_start else []
     schema = T.StructType([df.schema[k] for k in keys]
-                          + [T.StructField(_ROW_ORDER, T.LongType())] + fields)
+                          + [T.StructField(_ROW_ORDER, T.LongType())]
+                          + start_fields + fields)
     names = [f.name for f in schema.fields]
-    is_ts = dict(df.dtypes)[ts_col].startswith("timestamp")
 
     def run_exact(key, pdf):
         pdf = pdf.sort_values(ts_col, kind="mergesort")
-        tsv = pdf[ts_col]
-        ms = ((tsv.astype("int64") // 10**6) if is_ts else tsv.astype("int64")).tolist()
+        ms = _epoch_ms_list(pdf[ts_col], is_ts)
         out_rows = []
-        for wi, idxs in enumerate(towhee_time_window_ids(ms, size, step)):
+        for wi, (wstart, idxs) in enumerate(
+            towhee_time_window_ids(ms, size, step, with_starts=True)
+        ):
             sub = pdf.iloc[idxs]
             res = fn(*[_nonmissing(sub[c]) for c in in_cols])
             res = res if isinstance(res, tuple) else (res,)
-            out_rows.append(dict(zip(names, list(key) + [wi] + list(res))))
+            starts = [wstart // 1000] if emit_start else []
+            out_rows.append(dict(zip(names, list(key) + [wi] + starts + list(res))))
         return pd.DataFrame(out_rows, columns=names)
 
     if keys:
@@ -640,19 +722,19 @@ def _compile_time_window(df: DataFrame, node: _Node, by) -> DataFrame:
     )
 
 
-def _compile_window_all(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_window_all(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     def assign(df, keys, order):
         return df, []
 
-    res = _apply_grouped(df, node, by, assign, [])
+    res = _apply_grouped(df, node, ctx, assign, [])
     return res.drop("__g") if "__g" in res.columns else res
 
 
-def _compile_reduce(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_reduce(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     # Same table semantics as window_all (fold whole group → one row); the
     # reference feeds generators instead of lists (_reduce.py:57-76) — the
     # fn contract (iterable per column) is identical.
-    return _compile_window_all(df, node, by)
+    return _compile_window_all(df, node, ctx)
 
 
 def _is_scalar_branch(branch: list[_Node]) -> bool:
@@ -661,7 +743,7 @@ def _is_scalar_branch(branch: list[_Node]) -> bool:
     ].kind in ("window_all", "reduce")
 
 
-def _compile_concat(df: DataFrame, node: _Node, by) -> DataFrame:
+def _compile_concat(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     branches = [b for b in node.params["branches"] if b]
     if not branches:
         return df
@@ -679,7 +761,7 @@ def _compile_concat(df: DataFrame, node: _Node, by) -> DataFrame:
             for ni, n in enumerate(branch):
                 new_in = tuple(local.get(c, c) for c in n.in_cols)
                 new_out = tuple(f"__b{bi}_{ni}__{c}" for c in n.out_cols)
-                acc = _compile_map(acc, _Node("map", new_in, new_out, n.fn, n.params), by)
+                acc = _compile_map(acc, _Node("map", new_in, new_out, n.fn, n.params), ctx)
                 for oc, nc in zip(n.out_cols, new_out):
                     local[oc] = nc
             # the whole branch VIEW overrides (Towhee zips row dicts with
@@ -704,12 +786,12 @@ def _compile_concat(df: DataFrame, node: _Node, by) -> DataFrame:
         )
     base = df
     for n in (streams[0] if streams else []):
-        base = _COMPILERS[n.kind](base, n, by)
+        base = _COMPILERS[n.kind](base, n, ctx)
     for b in scalars:
         sdf = df
         for n in b:
-            sdf = _COMPILERS[n.kind](sdf, n, by)
-        keys = [by] if by and by in sdf.columns and by in base.columns else []
+            sdf = _COMPILERS[n.kind](sdf, n, ctx)
+        keys = [ctx.by] if ctx.by and ctx.by in sdf.columns and ctx.by in base.columns else []
         if keys:
             base = base.join(F.broadcast(sdf), on=keys, how="left")
         else:
