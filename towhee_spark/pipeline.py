@@ -22,20 +22,25 @@ invocations (SURVEY.md §1.1).  Group-scoped nodes (window/time_window/
 window_all/reduce) act per ``by`` key — the invocation id in parity mode,
 ``conv_id`` in transcript pipelines.
 
-Deliberate divergences (queue-alignment artifacts of the reference's
-DataQueue, replaced by relational semantics):
+Default divergences (queue-alignment artifacts of the reference's
+DataQueue, replaced by relational semantics) — ALL reproducible exactly
+with ``compat=True`` on apply()/run_rows(), golden-tested against the
+reference's own cases in tests/test_compat_mode.py:
 
 * flat_map fan-out: Towhee pads the parent's side-by columns with Empty()
-  on rows 2..N (test_flat_map_node.py:278-318); this engine REPLICATES the
+  on rows 2..N (test_flat_map_node.py:278-318); the default REPLICATES the
   parent values (standard explode semantics) — NULL-padded parents would
-  break downstream joins/windows.
+  break downstream joins/windows. compat pads.
 * filter: Towhee keeps failing rows alive on side-by queues and zips the
-  renamed outputs back as Empty() (test_user_pipeline.py:213-224); this
-  engine drops the whole row (relational WHERE), matching the
-  single-output golden (:204-211) and every SQL oracle.
+  renamed outputs back as Empty() (test_user_pipeline.py:213-224); the
+  default drops the whole row (relational WHERE), matching the
+  single-output golden (:204-211) and every SQL oracle. compat keeps the
+  row with NULL outputs, and output() drops rows whose every referenced
+  column is Empty (so the single-output golden still holds).
 * reduce on a fully-filtered (empty) stream: Towhee still calls the fn on
-  empty generators and emits one row (test_user_pipeline.py:395-405);
-  this engine emits no row for an empty group (SQL GROUP BY semantics).
+  empty generators and emits one row (test_user_pipeline.py:395-405), while
+  an all-empty window_all emits nothing (:383-393); the default emits no
+  row for an empty group (SQL GROUP BY). compat reproduces both.
 """
 
 from __future__ import annotations
@@ -84,11 +89,19 @@ def _default_type() -> T.DataType:
     return T.StringType()
 
 
-def _try_native(fn: Callable, in_cols: Sequence[str], mode=None):
+def _try_native(fn: Callable, in_cols: Sequence[str], mode=None, df: DataFrame | None = None):
     """Probe fn with Column args; a Column(-tuple) result means the node can
     run JVM-side. Returns list[Column] or None. ``mode``: None=auto probe,
     False=never (force Python path), True=require (raise if not
-    compilable)."""
+    compilable).
+
+    Auto-probe trap guard: a genuinely-Python fn whose operators also mean
+    something on Columns would silently compile to SQL semantics
+    (``lambda s: s * 2`` on a string → numeric multiply → NULL/error, not
+    ``'abab'``). When ``mode is None`` and the fn is ALSO callable on plain
+    sample values, both interpretations are evaluated on one literal row
+    (a driver-local 1-row job at plan build) and the Python path wins on
+    disagreement. Explicit ``native=True/False`` skips the check."""
     if mode is False:
         return None
     try:
@@ -98,12 +111,81 @@ def _try_native(fn: Callable, in_cols: Sequence[str], mode=None):
             raise ValueError("native=True but fn raised when probed with Columns")
         return None
     if isinstance(res, Column):
-        return [res]
-    if isinstance(res, (tuple, list)) and res and all(isinstance(c, Column) for c in res):
-        return list(res)
-    if mode is True:
-        raise ValueError("native=True but fn did not compile to Column expressions")
+        cols = [res]
+    elif isinstance(res, (tuple, list)) and res and all(isinstance(c, Column) for c in res):
+        cols = list(res)
+    else:
+        if mode is True:
+            raise ValueError("native=True but fn did not compile to Column expressions")
+        return None
+    if mode is None and df is not None and not _probe_agrees(fn, in_cols, cols, df):
+        return None
+    return cols
+
+
+def _sample_for(dt: T.DataType):
+    """A plain-Python probe value for a column type; None = unvalidatable."""
+    if isinstance(dt, T.StringType):
+        return "ab ab"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return 3
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return 2.5
+    if isinstance(dt, T.BooleanType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        inner = _sample_for(dt.elementType)
+        return None if inner is None else [inner, inner]
     return None
+
+
+def _probe_agrees(fn, in_cols, cols, df: DataFrame) -> bool:
+    """True unless fn is ALSO a plain-Python fn whose Python result differs
+    from the compiled Columns' result on a sampled literal row."""
+    try:
+        samples = [_sample_for(df.schema[c].dataType) for c in in_cols]
+    except Exception:
+        return True
+    if any(s is None for s in samples):
+        return True  # no probe value for this type — trust the Column probe
+    try:
+        py_res = fn(*samples)
+    except Exception:
+        return True  # Column-only fn (raises on plain values) — native is right
+    flat = py_res if isinstance(py_res, (tuple, list)) else (py_res,)
+    if any(isinstance(v, Column) for v in flat):
+        return True  # fn builds Columns regardless of input — native
+    spark = df.sparkSession
+    schema = T.StructType([T.StructField(c, df.schema[c].dataType) for c in in_cols])
+    try:
+        row = (
+            spark.createDataFrame([tuple(samples)], schema=schema)
+            .select(*[c.alias(f"__v{i}") for i, c in enumerate(cols)])
+            .first()
+        )
+    except Exception:
+        return False  # SQL meaning errors where Python works (ANSI cast etc.)
+    if len(cols) == 1:
+        py_vals = [py_res]
+    else:
+        py_vals = list(py_res) if isinstance(py_res, (tuple, list)) else [py_res]
+    if len(py_vals) != len(row):
+        return False
+    import math  # noqa: PLC0415
+
+    for p, s in zip(py_vals, row):
+        if p is None and s is None:
+            continue
+        if isinstance(p, float) or isinstance(s, float):
+            if p is None or s is None or not math.isclose(float(p), float(s), rel_tol=1e-9):
+                return False
+            continue
+        if isinstance(p, (tuple, list)):
+            p = list(p)
+            s = list(s) if s is not None else s
+        if p != s:
+            return False
+    return True
 
 
 def _out_fields(out_cols, out_types) -> list[T.StructField]:
@@ -257,17 +339,19 @@ class Pipeline:
 
     __call__ = apply
 
-    def run_rows(self, spark: SparkSession, rows: list[tuple], schema=None) -> list[tuple]:
+    def run_rows(self, spark: SparkSession, rows: list[tuple], schema=None,
+                 compat: bool = False) -> list[tuple]:
         """Towhee parity mode: each element of ``rows`` is one pipeline
         invocation (``p.batch()``, runtime_pipeline.py:179-202). Returns the
-        output rows in invocation order."""
+        output rows in invocation order. ``compat=True`` enables the queue-
+        artifact semantics (see _Ctx)."""
         cols = list(self._input_cols)
         rows = [r if isinstance(r, tuple) else (r,) for r in rows]
         pdf = pd.DataFrame([
             dict(zip(cols, r), **{_INVOCATION: i, _ROW_ORDER: 0}) for i, r in enumerate(rows)
         ])
         df = spark.createDataFrame(pdf, schema=schema) if schema else spark.createDataFrame(pdf)
-        res = self.apply(df, by=_INVOCATION)
+        res = self.apply(df, by=_INVOCATION, compat=compat)
         out_cols = [c for c in res.columns if not c.startswith("__")]
         order = [c for c in (_INVOCATION, _ROW_ORDER) if c in res.columns]
         collected = res.orderBy(*order).select(*out_cols).collect()
@@ -296,6 +380,15 @@ def _compile_output(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
         if _INVOCATION in df.columns
         else []
     )
+    if ctx.compat and node.in_cols:
+        # a queue row exists only while >=1 referenced column still has a
+        # value — a compat-filter row whose every output column is Empty is
+        # never emitted (ref test_user_pipeline.py:203-210 vs :213-224)
+        alive = None
+        for c in node.in_cols:
+            nn = F.col(c).isNotNull()
+            alive = nn if alive is None else (alive | nn)
+        df = df.filter(alive)
     return df.select(*node.in_cols, *keep)
 
 
@@ -307,7 +400,7 @@ def _compile_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
         # unchanged (_map.py:72-76) — side effects don't belong in a Spark
         # plan, so this is the identity.
         return df
-    native = _try_native(node.fn, node.in_cols, node.params.get("native"))
+    native = _try_native(node.fn, node.in_cols, node.params.get("native"), df)
     if native is not None and len(native) == len(node.out_cols):
         for name, col in zip(node.out_cols, native):
             df = df.withColumn(name, col)
@@ -395,9 +488,9 @@ def _inline_subpipeline(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
 
 def _compile_filter(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     fcols = node.params["filter_cols"]
-    native = _try_native(node.fn, fcols, node.params.get("native"))
+    native = _try_native(node.fn, fcols, node.params.get("native"), df)
     if native is not None and len(native) == 1:
-        df = df.filter(native[0])
+        pred_col = native[0]
     else:
         fn, fcl = node.fn, list(fcols)
 
@@ -405,7 +498,21 @@ def _compile_filter(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
         def pred(*series: pd.Series) -> pd.Series:
             return pd.Series([bool(fn(*args)) for args in zip(*series)])
 
-        df = df.filter(pred(*[F.col(c) for c in fcl]))
+        pred_col = pred(*[F.col(c) for c in fcols])
+    if ctx.compat:
+        # Towhee keeps failing rows alive on side-by queues: every row
+        # survives, the renamed outputs are Empty/NULL on failures and the
+        # consumed inputs keep flowing (ref test_user_pipeline.py:213-224
+        # golden: (5,6,8,Empty())). Rows all of whose OUTPUT-referenced
+        # columns are Empty vanish at output (see _compile_output).
+        ok = F.coalesce(pred_col, F.lit(False))
+        passthrough = [c for c in df.columns if c not in set(node.out_cols)]
+        outs = [
+            F.when(ok, F.col(i)).otherwise(F.lit(None)).alias(o)
+            for i, o in zip(node.in_cols, node.out_cols)
+        ]
+        return df.select(*passthrough, *outs)
+    df = df.filter(pred_col)
     if tuple(node.in_cols) == tuple(node.out_cols):
         return df
     # positional in→out rename must be ATOMIC (a swap like in=(a,b),
@@ -420,11 +527,11 @@ def _compile_filter(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
 def _compile_flat_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     # Native path: fn of Columns returning one array Column → posexplode
     # (the position column keeps within-parent emission order well-defined).
-    native = _try_native(node.fn, node.in_cols, node.params.get("native"))
+    native = _try_native(node.fn, node.in_cols, node.params.get("native"), df)
     if native is not None and len(native) == 1 and len(node.out_cols) == 1:
         others = [c for c in df.columns if c != node.out_cols[0]]
         df = df.select(*others, F.posexplode(native[0]).alias("__pos", node.out_cols[0]))
-        return _renumber(df)
+        return _renumber(_pad_fanout(df, node.out_cols, ctx))
     fields = _out_fields(node.out_cols, node.params.get("out_types"))
     schema = _replaced_schema(df, fields)
     if _ROW_ORDER in df.columns and _ROW_ORDER not in [f.name for f in fields]:
@@ -456,7 +563,23 @@ def _compile_flat_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
 
     schema = T.StructType(list(schema.fields) + [T.StructField("__pos", T.IntegerType())])
     names = [f.name for f in schema.fields]
-    return _renumber(df.mapInPandas(run, schema=schema))
+    return _renumber(_pad_fanout(df.mapInPandas(run, schema=schema), node.out_cols, ctx))
+
+
+def _pad_fanout(df: DataFrame, out_cols, ctx: _Ctx) -> DataFrame:
+    """compat: the reference emits a flat_map parent's side columns only on
+    the FIRST child row — rows 2..N carry Empty() (test_flat_map_node.py:
+    278-318 golden: num=[1,2] then Empty). Default (non-compat) replicates
+    parent values (relational explode)."""
+    if not ctx.compat:
+        return df
+    outs = set(out_cols)
+    return df.select(*[
+        F.when(F.col("__pos") == 0, F.col(c)).otherwise(F.lit(None)).alias(c)
+        if (c not in outs and not c.startswith("__"))
+        else F.col(c)
+        for c in df.columns
+    ])
 
 
 def _renumber(df: DataFrame) -> DataFrame:
@@ -522,11 +645,17 @@ def _apply_grouped(df, node, ctx: _Ctx, assign_extra_cols, out_extra_fields):
     )
     names = [f.name for f in schema.fields]
     sort_cols = [c for c in order if c in df2.columns]
+    # compat: an all-Empty window/window_all never emits, but reduce on an
+    # empty stream still calls fn on empty iterables and emits one row
+    # (ref test_user_pipeline.py:383-405 — window_all→[] vs reduce→[[0]])
+    skip_empty = ctx.compat and node.kind != "reduce"
 
     def run(key, pdf):
         if sort_cols:
             pdf = pdf.sort_values(sort_cols, kind="mergesort")
         args = [_nonmissing(pdf[c]) for c in in_cols]
+        if skip_empty and all(len(a) == 0 for a in args):
+            return pd.DataFrame(columns=names)
         res = fn(*args)
         res = res if isinstance(res, tuple) else (res,)
         d = dict(zip(group_keys, key))
@@ -633,13 +762,11 @@ def towhee_time_window_ids(
 
 def _epoch_ms_list(tsv: "pd.Series", is_ts: bool) -> list[int]:
     """Epoch-milliseconds from a pandas series without assuming nanosecond
-    resolution: datetime64 columns may arrive as ns OR us (Arrow-backed
-    pandas) — derive the divisor from the dtype unit."""
+    resolution (unit-aware via temporal.pandas_epoch_us)."""
     if is_ts:
-        unit = getattr(tsv.dtype, "unit", "ns")
-        div = {"s": 1, "ms": 1, "us": 10**3, "ns": 10**6}[unit]
-        mult = 1000 if unit == "s" else 1
-        return (tsv.astype("int64") * mult // div).tolist()
+        from towhee_spark.temporal import pandas_epoch_us  # noqa: PLC0415
+
+        return (pandas_epoch_us(tsv) // 1000).tolist()
     return tsv.astype("int64").tolist()
 
 
@@ -779,14 +906,11 @@ def _compile_concat(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     scalars = [b for b in branches if _is_scalar_branch(b)]
     streams = [b for b in branches if not _is_scalar_branch(b)]
     if len(streams) > 1:
-        raise ValueError(
-            "concat supports at most one cardinality-changing branch; "
-            "restructure so other branches are per-row maps or end in "
-            "window_all/reduce"
-        )
-    base = df
-    for n in (streams[0] if streams else []):
-        base = _COMPILERS[n.kind](base, n, ctx)
+        base = _zip_stream_branches(df, streams, ctx)
+    else:
+        base = df
+        for n in (streams[0] if streams else []):
+            base = _COMPILERS[n.kind](base, n, ctx)
     for b in scalars:
         sdf = df
         for n in b:
@@ -797,6 +921,52 @@ def _compile_concat(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
         else:
             base = base.crossJoin(F.broadcast(sdf))
     return base
+
+
+def _zip_stream_branches(df: DataFrame, streams: list, ctx: _Ctx) -> DataFrame:
+    """Positional zip of 2+ cardinality-changing concat branches — the
+    reference pulls one row per step from EVERY sibling queue and merges the
+    dicts until all queues drain (_concat.py:49-66): each column is owned by
+    the LAST branch whose schema carries it, and an exhausted branch pads its
+    columns with Empty/NULL. Here: per-branch row_number within the
+    invocation (or ``by`` group) full-outer-joined on the position."""
+    part_keys = [c for c in (_INVOCATION, ctx.by) if c and c in df.columns]
+    # dedupe while preserving order (by may equal the invocation col)
+    part_keys = list(dict.fromkeys(part_keys))
+    compiled = []
+    for b in streams:
+        bdf = df
+        for n in b:
+            bdf = _COMPILERS[n.kind](bdf, n, ctx)
+        order = _order_cols(bdf, ctx)
+        if not order:
+            raise ValueError(
+                "multi-branch concat needs a positional row order: run in "
+                "parity mode (run_rows) or pass order= to apply()"
+            )
+        w = (
+            Window.partitionBy(*part_keys).orderBy(*order)
+            if part_keys
+            else Window.orderBy(*order)
+        )
+        compiled.append(bdf.withColumn("__zip", F.row_number().over(w)))
+    owner: dict[str, int] = {}
+    for bi, bdf in enumerate(compiled):
+        for c in bdf.columns:
+            if c not in part_keys and not c.startswith("__"):
+                owner[c] = bi  # later branches win (cols_every_que reversal)
+    zipped = None
+    for bi, bdf in enumerate(compiled):
+        mine = [c for c in bdf.columns if owner.get(c) == bi]
+        sel = bdf.select(*part_keys, "__zip", *mine)
+        zipped = (
+            sel
+            if zipped is None
+            else zipped.join(sel, [*part_keys, "__zip"], "full_outer")
+        )
+    if _ROW_ORDER in df.columns:
+        zipped = zipped.withColumn(_ROW_ORDER, F.col("__zip").cast("long"))
+    return zipped.drop("__zip")
 
 
 _COMPILERS = {

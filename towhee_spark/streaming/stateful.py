@@ -51,9 +51,14 @@ def stream_sessionize_rows(
             last_us, seq = state.get
         else:
             last_us, seq = None, 0
+        from towhee_spark.temporal import pandas_epoch_us  # noqa: PLC0415
+
         for pdf in batches:
             pdf = pdf.sort_values(ts, kind="mergesort")
-            us = pdf[ts].astype("int64") // 1000  # ns → µs
+            if pd.api.types.is_datetime64_any_dtype(pdf[ts]):
+                us = pandas_epoch_us(pdf[ts])  # unit-aware, not ns-assuming
+            else:  # numeric ts column: values are already epoch-µs
+                us = pdf[ts].astype("int64")
             seqs = []
             for t_us in us:
                 if last_us is None or t_us - last_us > gap_us:

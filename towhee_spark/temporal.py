@@ -55,6 +55,18 @@ def epoch_us(col: Column | str) -> Column:
     )
 
 
+def pandas_epoch_us(tsv) -> "pd.Series":  # noqa: F821
+    """Epoch-µs int64 from a pandas datetime series WITHOUT assuming
+    nanosecond resolution: Arrow-backed pandas frames (as delivered to
+    applyInPandas/WithState kernels) may carry datetime64[us]/[ms]/[s] —
+    a hard-coded ``// 1000`` would be off by 1000× there. The divisor is
+    derived from the dtype unit."""
+    unit = getattr(tsv.dtype, "unit", "ns")
+    mult = {"s": 10**6, "ms": 10**3, "us": 1, "ns": 1}[unit]
+    div = 10**3 if unit == "ns" else 1
+    return tsv.astype("int64") * mult // div
+
+
 def _time_value(col: Column, dtype) -> Column:
     """Numeric time for tolerance/gap math: µs for timestamps (exact int),
     the raw value for numeric ts columns."""
