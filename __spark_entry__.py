@@ -169,7 +169,14 @@ def q_towhee_flat_map(spark, sf_dir):
 
 
 def _n_sum(vals):
+    # Python list fold — the gate exercises the per-group applyInPandas path
     return (len(vals), round(float(sum(vals)), 4))
+
+
+def _n_sum_agg(col):
+    # native aggregate fold — _native_agg compiles the node to one JVM hash
+    # aggregate (map-side combine); the gate exercises that dispatch path
+    return (F.count(col), F.round(F.sum(col), 4))
 
 
 def q_towhee_window_count(spark, sf_dir):
@@ -188,7 +195,7 @@ def q_towhee_window_sliding(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     p = (
         Pipeline.input("value")
-        .window("value", ("n", "sum_value"), size=10, step=5, fn=_n_sum,
+        .window("value", ("n", "sum_value"), size=10, step=5, fn=_n_sum_agg,
                 out_types=("bigint", "double"), wid_col="wid")
         .output("user_id", "wid", "n", "sum_value")
     )
@@ -202,7 +209,7 @@ def q_towhee_time_window(spark, sf_dir):
     p = (
         Pipeline.input("value")
         .time_window("value", ("n", "sum_value"), "ts", size=3600, step=3600,
-                     fn=_n_sum, out_types=("bigint", "double"),
+                     fn=_n_sum_agg, out_types=("bigint", "double"),
                      exact=False, emit_start="wstart")
         .output("user_id", "wstart", "n", "sum_value")
     )

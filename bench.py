@@ -58,34 +58,60 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     # --- north-star: synthetic transcript feature pipeline ---------------
+    # Every phase is timed separately so the headline DECOMPOSES: corpus
+    # generation and the first (cold: JVM codegen + 32 python workers) run
+    # are session artifacts, not pipeline throughput — reporting them
+    # explains why a cold single-shot measurement reads ~10x slower than the
+    # warm number (BENCH/BASELINE.md "headline reconciliation").
+    t0 = time.perf_counter()
     corpus = transcripts_spark(spark, n_convs=n_convs, partitions=cpus * 2)
     corpus = repartition_by_key(corpus, "conv_id", num_partitions=cpus * 2).cache()
     n_turns = corpus.count()  # materialize cache outside the timing
+    corpus_gen_sec = round(time.perf_counter() - t0, 3)
 
     ctx = corpus.filter(F.col("turn_idx") % 5 == 0).select(
         "conv_id", "ts", F.length("text").cast("double").alias("ctx_score")
     )
 
-    def flagship_pipeline():
+    def flagship_prefix(upto: int):
         j = asof_join(corpus, ctx, direction="backward", tolerance=3600.0)
-        j = j.withColumn("text_len", F.length("text"))
-        j = lag_lead(j, ["text_len"], [1, 2, -1])
-        j = locf(j, ["tool"])
-        j = sessionize(j, gap=1800.0, seq_out="session_seq")
-        j = j.withColumn("emb", embed_text_udf(dim=32)(F.col("text")))
-        force(j)
+        if upto >= 1:
+            j = j.withColumn("text_len", F.length("text"))
+            j = lag_lead(j, ["text_len"], [1, 2, -1])
+        if upto >= 2:
+            j = locf(j, ["tool"])
+        if upto >= 3:
+            j = sessionize(j, gap=1800.0, seq_out="session_seq")
+        if upto >= 4:
+            j = j.withColumn("emb", embed_text_udf(dim=32)(F.col("text")))
+        return j
 
-    # warmup run boots Python workers + codegen (one-time session cost that
-    # would otherwise be billed to whichever parallelism level runs first),
-    # then report best of 2 measured runs
+    def flagship_pipeline():
+        force(flagship_prefix(4))
+
+    # first run boots Python workers + codegen (one-time session cost that
+    # would otherwise be billed to whichever parallelism level runs first);
+    # report it as cold_first_run_sec, then best of 2 warm runs
+    t0 = time.perf_counter()
     flagship_pipeline()
+    cold_first_run_sec = round(time.perf_counter() - t0, 3)
     runs = []
     for _ in range(2):
         t0 = time.perf_counter()
         flagship_pipeline()
-        runs.append(time.perf_counter() - t0)
-    timings["flagship_synth"] = round(min(runs), 3)
+        runs.append(round(time.perf_counter() - t0, 3))
+    timings["flagship_synth"] = min(runs)
     turns_per_sec = round(n_turns / timings["flagship_synth"], 1)
+
+    # cumulative warm cost of each pipeline prefix (one pass each): shows
+    # where the flagship time goes (asof → +lag/lead → +locf → +sessionize
+    # → +embed kernel)
+    stage_names = ["asof", "lag_lead", "locf", "sessionize", "embed"]
+    stages_cum: dict[str, float] = {}
+    for i, sname in enumerate(stage_names):
+        t0 = time.perf_counter()
+        force(flagship_prefix(i))
+        stages_cum[sname] = round(time.perf_counter() - t0, 3)
 
     # --- driver-table headline queries ------------------------------------
     qs = entry.queries()
@@ -118,6 +144,10 @@ def main() -> None:
                 "cpus": cpus,
                 "n_turns": n_turns,
                 "total_sec": total,
+                "corpus_gen_sec": corpus_gen_sec,
+                "cold_first_run_sec": cold_first_run_sec,
+                "flagship_warm_runs": runs,
+                "flagship_stages_cum_sec": stages_cum,
             }
         )
     )

@@ -631,6 +631,25 @@ def _nonmissing(values):
     return out
 
 
+def _native_agg(df2, node, group_keys):
+    """Window-family fast path: probe the fn with Column args — a fn built
+    from aggregate expressions (``lambda v: (F.count(v), F.sum(v))``)
+    compiles the whole node to one JVM hash aggregate (map-side combine,
+    zero Python) instead of an applyInPandas call per group. Python
+    list-taking fns probe-fail and keep the exact per-group semantics.
+    Note: native aggregation is ORDER-INSENSITIVE — order-dependent folds
+    (e.g. collect-style) must pass native=False."""
+    agg_cols = _try_native(node.fn, node.in_cols, node.params.get("native"))
+    if agg_cols is None or len(agg_cols) != len(node.out_cols):
+        return None
+    try:
+        aliased = [c.alias(o) for c, o in zip(agg_cols, node.out_cols)]
+        grouped = df2.groupBy(*group_keys) if group_keys else df2.groupBy()
+        return grouped.agg(*aliased)
+    except Exception:  # non-aggregate Column expr → per-group Python path
+        return None
+
+
 def _apply_grouped(df, node, ctx: _Ctx, assign_extra_cols, out_extra_fields):
     """Shared skeleton for window-family nodes: assign group/window ids,
     then applyInPandas the list-taking fn per (by, window) group."""
@@ -640,6 +659,10 @@ def _apply_grouped(df, node, ctx: _Ctx, assign_extra_cols, out_extra_fields):
     order = _order_cols(df, ctx)
     df2, win_keys = assign_extra_cols(df, keys, order)
     group_keys = keys + win_keys
+    if not ctx.compat and not out_extra_fields:
+        nat = _native_agg(df2, node, group_keys)
+        if nat is not None:
+            return nat
     schema = T.StructType(
         [df2.schema[k] for k in group_keys] + out_extra_fields + fields
     )
@@ -800,18 +823,22 @@ def _compile_time_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
             .withColumn("__wstart", F.col("__twid") * F.lit(step))
             .drop("__twid")
         )
-        schema = T.StructType([df2.schema[k] for k in keys]
-                              + [T.StructField("__wstart", T.LongType())] + fields)
-        names = [f.name for f in schema.fields]
+        res = None
+        if not ctx.compat:
+            res = _native_agg(df2, node, [*keys, "__wstart"])
+        if res is None:
+            schema = T.StructType([df2.schema[k] for k in keys]
+                                  + [T.StructField("__wstart", T.LongType())] + fields)
+            names = [f.name for f in schema.fields]
 
-        def run(key, pdf):
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
-            res = fn(*[_nonmissing(pdf[c]) for c in in_cols])
-            res = res if isinstance(res, tuple) else (res,)
-            d = dict(zip(names, list(key) + list(res)))
-            return pd.DataFrame([d], columns=names)
+            def run(key, pdf):
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
+                r = fn(*[_nonmissing(pdf[c]) for c in in_cols])
+                r = r if isinstance(r, tuple) else (r,)
+                d = dict(zip(names, list(key) + list(r)))
+                return pd.DataFrame([d], columns=names)
 
-        res = df2.groupBy(*keys, "__wstart").applyInPandas(run, schema=schema)
+            res = df2.groupBy(*keys, "__wstart").applyInPandas(run, schema=schema)
         if emit_start:
             return res.withColumnRenamed("__wstart", emit_start)
         return res.drop("__wstart")
