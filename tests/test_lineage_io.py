@@ -91,9 +91,63 @@ def test_loaders(spark, tmp_path):
     assert html == "Hello & world"
     nb = loaders.notebook_loader(spark, str(tmp_path)).first().text
     assert "nb title" in nb and "print(1)" in nb
-    import pytest as _pt
-    with _pt.raises(NotImplementedError, match="pypdf"):
-        loaders.pdf_loader(spark, str(tmp_path))
+
+def _mini_pdf(text: str) -> bytes:
+    """Minimal one-page PDF with a FlateDecode content stream plus a raw
+    stream exercising TJ arrays, escapes and hex strings."""
+    import zlib
+
+    comp = zlib.compress(f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET".encode())
+    raw = rb"BT [(Hello) -250 (world\(s\))] TJ <4849> Tj ET"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/Contents[4 0 R 5 0 R]>>endobj\n"
+        b"4 0 obj<</Length " + str(len(comp)).encode()
+        + b"/Filter/FlateDecode>>stream\n" + comp + b"\nendstream endobj\n"
+        b"5 0 obj<</Length " + str(len(raw)).encode()
+        + b">>stream\n" + raw + b"\nendstream endobj\n%%EOF"
+    )
+
+
+def _mini_ooxml(member: str, xml: str) -> bytes:
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(member, xml)
+    return buf.getvalue()
+
+
+def test_binary_loaders(spark, tmp_path):
+    """pdf/docx/xlsx/pptx text extraction with stdlib parsers; legacy binary
+    formats degrade to empty text instead of failing the batch."""
+    from towhee_spark.sources import loaders
+
+    (tmp_path / "a.pdf").write_bytes(_mini_pdf("flate text"))
+    (tmp_path / "a.docx").write_bytes(_mini_ooxml(
+        "word/document.xml", "<w:t>Hello</w:t><w:t xml:space='preserve'> docx &amp; co</w:t>"))
+    (tmp_path / "a.xlsx").write_bytes(_mini_ooxml(
+        "xl/sharedStrings.xml", "<sst><si><t>alpha</t></si><si><t>beta</t></si></sst>"))
+    (tmp_path / "a.pptx").write_bytes(_mini_ooxml(
+        "ppt/slides/slide1.xml", "<a:t>slide text</a:t>"))
+    (tmp_path / "legacy.docx").write_bytes(b"\xd0\xcf\x11\xe0 not a zip")
+
+    pdf = loaders.pdf_loader(spark, str(tmp_path)).first().text
+    assert "flate text" in pdf
+    assert "Hello world(s)" in pdf and "HI" in pdf  # TJ array + escapes + hex
+
+    docx = {r.path.split("/")[-1]: r.text
+            for r in loaders.doc_loader(spark, str(tmp_path)).collect()}
+    assert docx["a.docx"] == "Hello docx & co"
+    assert docx["legacy.docx"] == ""  # non-zip legacy bytes degrade to empty
+
+    xlsx = loaders.excel_loader(spark, str(tmp_path)).first().text
+    assert "alpha" in xlsx and "beta" in xlsx
+    pptx = loaders.powerpoint_loader(spark, str(tmp_path)).first().text
+    assert pptx == "slide text"
 
 
 def test_audio_and_crop(spark):

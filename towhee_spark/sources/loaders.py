@@ -3,11 +3,13 @@
 html/notebook/powerpoint loaders → text).
 
 Shape: ``binaryFile``/``text`` scan → Arrow-batched parse UDF → (path,
-text) rows. Text-based formats (text, markdown, html, notebook) parse for
-real with stdlib-only code; binary formats (pdf, excel, powerpoint, docx)
-need external libs absent from this environment, so they raise
-NotImplementedError at *plan construction* with a clear message — the scan
-+ UDF plumbing is identical, only the innermost parser differs.
+text) rows. Every format parses with stdlib-only code: text/markdown/html/
+notebook directly; pdf via zlib-decompressed FlateDecode content streams +
+text-show operators; docx/xlsx/pptx via their OOXML zip members. Best-effort
+contract: unparseable bytes (legacy binary .doc/.xls/.ppt, image-only PDFs,
+exotic font encodings) yield "" rather than failing the batch — swap richer
+parsers (pypdf/openpyxl/python-pptx) into the same _parse_df plumbing for
+full fidelity.
 """
 
 from __future__ import annotations
@@ -87,17 +89,125 @@ def notebook_loader(spark: SparkSession, path: str, pattern: str = "*.ipynb") ->
     return _parse_df(read_glob(spark, path, pattern, binary=True), parse)
 
 
-def _needs_external(fmt: str, lib: str):
-    def loader(spark: SparkSession, path: str, pattern: str = "*"):
-        raise NotImplementedError(
-            f"{fmt} parsing requires {lib}, unavailable in this environment; "
-            "the scan+UDF plumbing matches text_loader — swap the parser in."
+# --------------------------------------------------------------------------
+# Binary formats, stdlib-only best effort.
+#
+# PDF: FlateDecode (zlib) content streams + literal/hex string show operators
+# (Tj / ' / TJ). Covers the text layer of most machine-generated PDFs; no
+# CMap/encoding tables, so exotic font encodings come out garbled and
+# image-only pages come out empty — swap in pypdf for full fidelity.
+# OOXML (docx/xlsx/pptx): zip members parsed with regex over the XML
+# (w:t / t+v / a:t runs). Legacy binary .doc/.xls/.ppt are NOT parseable
+# here and yield "" (best-effort contract: unparseable → empty text).
+
+_PDF_STREAM = re.compile(rb"stream\r?\n(.*?)\s*endstream", re.S)
+_PDF_SHOW = re.compile(
+    r"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')"        # (literal) Tj / '
+    r"|\[(?:[^\]\\]|\\.)*\]\s*TJ"              # [(a) -250 (b)] TJ
+    r"|<[0-9A-Fa-f\s]+>\s*Tj",                 # <hex> Tj
+    re.S,
+)
+_PDF_ESC = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+            "(": "(", ")": ")", "\\": "\\"}
+
+
+def _pdf_unescape(s: str) -> str:
+    def sub(m: "re.Match[str]") -> str:
+        g = m.group(1)
+        if g[0] in "01234567":
+            return chr(int(g, 8) & 0xFF)
+        return _PDF_ESC.get(g, g)
+
+    return re.sub(r"\\([0-7]{1,3}|.)", sub, s)
+
+
+def _pdf_text(b: bytes) -> str:
+    """Extract the text layer from PDF bytes: decompress FlateDecode content
+    streams, collect the string arguments of text-show operators."""
+    import zlib  # noqa: PLC0415
+
+    pieces: list[str] = []
+    for m in _PDF_STREAM.finditer(b or b""):
+        data = m.group(1)
+        head = b[max(0, m.start() - 400):m.start()]
+        obj_start = head.rfind(b"obj")  # scope to THIS object's dict only
+        if obj_start != -1:
+            head = head[obj_start:]
+        if b"FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        try:
+            s = data.decode("latin-1")
+        except Exception:
+            continue
+        if "Tj" not in s and "TJ" not in s and "'" not in s:
+            continue
+        for sm in _PDF_SHOW.finditer(s):
+            tok = sm.group(0)
+            if tok.startswith("<"):
+                hx = re.sub(r"\s", "", tok[1:tok.index(">")])
+                try:
+                    pieces.append(bytes.fromhex(hx).decode("latin-1"))
+                except ValueError:
+                    pass
+                continue
+            for lit in re.findall(r"\((?:[^()\\]|\\.)*\)", tok, re.S):
+                pieces.append(_pdf_unescape(lit[1:-1]))
+    return re.sub(r"\s+", " ", " ".join(pieces)).strip()
+
+
+def _zip_xml_texts(b: bytes, member_re: str, run_re: str) -> str:
+    """Concatenate regex-captured text runs from matching members of an
+    OOXML (zip) container; '' when the bytes are not a zip (legacy formats)."""
+    import io  # noqa: PLC0415
+    import html  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(b or b""))
+    except (zipfile.BadZipFile, OSError):
+        return ""
+    pieces: list[str] = []
+    with zf:
+        for name in sorted(zf.namelist()):
+            if not re.fullmatch(member_re, name):
+                continue
+            xml = zf.read(name).decode("utf-8", errors="replace")
+            pieces.extend(html.unescape(t) for t in re.findall(run_re, xml, re.S))
+    return re.sub(r"\s+", " ", " ".join(pieces)).strip()
+
+
+def pdf_loader(spark: SparkSession, path: str, pattern: str = "*.pdf") -> DataFrame:
+    """data_loader.pdf_loader (ref hub_ops/data_loader.py pdf entry):
+    stdlib text-layer extraction — FlateDecode streams + Tj/TJ operators."""
+    return _parse_df(read_glob(spark, path, pattern, binary=True), _pdf_text)
+
+
+def doc_loader(spark: SparkSession, path: str, pattern: str = "*.docx") -> DataFrame:
+    """data_loader.doc_loader: docx (OOXML) paragraph runs <w:t>."""
+    def parse(b: bytes) -> str:
+        return _zip_xml_texts(b, r"word/document\.xml", r"<w:t[^>]*>(.*?)</w:t>")
+
+    return _parse_df(read_glob(spark, path, pattern, binary=True), parse)
+
+
+def excel_loader(spark: SparkSession, path: str, pattern: str = "*.xlsx") -> DataFrame:
+    """data_loader.excel_loader: xlsx shared strings + inline/numeric cells."""
+    def parse(b: bytes) -> str:
+        shared = _zip_xml_texts(b, r"xl/sharedStrings\.xml", r"<t[^>]*>(.*?)</t>")
+        cells = _zip_xml_texts(
+            b, r"xl/worksheets/sheet\d+\.xml", r"<(?:v|t)[^>]*>(.*?)</(?:v|t)>"
         )
+        return re.sub(r"\s+", " ", f"{shared} {cells}").strip()
 
-    return loader
+    return _parse_df(read_glob(spark, path, pattern, binary=True), parse)
 
 
-pdf_loader = _needs_external("pdf", "pypdf")
-excel_loader = _needs_external("excel", "openpyxl")
-powerpoint_loader = _needs_external("powerpoint", "python-pptx")
-doc_loader = _needs_external("docx", "python-docx")
+def powerpoint_loader(spark: SparkSession, path: str, pattern: str = "*.pptx") -> DataFrame:
+    """data_loader.powerpoint_loader: pptx slide text runs <a:t>."""
+    def parse(b: bytes) -> str:
+        return _zip_xml_texts(b, r"ppt/slides/slide\d+\.xml", r"<a:t>(.*?)</a:t>")
+
+    return _parse_df(read_glob(spark, path, pattern, binary=True), parse)
