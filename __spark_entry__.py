@@ -487,6 +487,42 @@ def q_dedup_ngram_capped(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3, max_shingle_freq=25)
 
 
+def q_embedding_neardup(spark, sf_dir):
+    # hyperplane-blocked cosine near-dup with exact verify; the oracle
+    # re-runs the blocking algorithm in SQL (seeded plane constants), so the
+    # gate checks bucketing + candidate join + exact cosine end-to-end
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_neardup_pairs(
+        embs, threshold=0.3, block_planes=6, seed=7, dim=64
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", text.repetition_ratio("text").alias("rep_ratio"))
+
+
+def _pii_augmented_text():
+    # deterministically plant PII so the scrub path is non-trivially gated
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-000-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = _pii_augmented_text()
+    return docs.select(
+        "doc_id",
+        text.pii_count(t).alias("n_pii"),
+        text.pii_scrub(t).alias("scrubbed"),
+    )
+
+
 def q_scan_topk(spark, sf_dir):
     # shuffle-free Arrow scan top-k (scored pairs never shuffle) — same
     # oracle as similarity_topk since the result is the exact top-k
@@ -545,6 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_concat": q_towhee_concat,
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "scan_topk": q_scan_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
@@ -746,6 +785,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings""",
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
+        "embedding_neardup": _neardup_sql(block_planes=6, dim=64, seed=7, threshold=0.3),
+        "pii_scrub": _pii_sql(),
+        "text_repetition": f"""
+            SELECT doc_id,
+                   ROUND(CASE WHEN len(string_split({norm}, ' ')) > 0
+                         THEN 1.0 - CAST(len(list_distinct(string_split({norm}, ' '))) AS DOUBLE)
+                              / len(string_split({norm}, ' '))
+                         ELSE 0.0 END, 6) AS rep_ratio
+            FROM documents""",
         "scan_topk": _topk_sql(),
         "rerank": _rerank_sql(norm),
         "embed_text": """
@@ -868,6 +916,57 @@ def _lsh_topk_sql(planes: int = 8, probes: int = 4, dim: int = 64, seed: int = 7
                 FROM scored
             )
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3"""
+
+
+def _neardup_sql(block_planes: int = 6, dim: int = 64, seed: int = 7,
+                 threshold: float = 0.3) -> str:
+    """Oracle that re-runs hyperplane-blocked cosine near-dup in SQL: same
+    seeded planes as dedup.embedding_neardup_pairs → same buckets, bucket
+    self-join candidates, exact cosine verify."""
+    import numpy as np  # noqa: PLC0415
+
+    pl = np.random.default_rng(seed).normal(size=(block_planes, dim))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in pl[p])}]) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(block_planes)
+    )
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+            cand AS (
+                SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+                FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(list_dot_product(va, vb)
+                         / (sqrt(list_dot_product(va, va))
+                            * sqrt(list_dot_product(vb, vb))), 6) AS cosine
+            FROM cand
+            WHERE ROUND(list_dot_product(va, vb)
+                        / (sqrt(list_dot_product(va, va))
+                           * sqrt(list_dot_product(vb, vb))), 6) >= {threshold}"""
+
+
+def _pii_sql() -> str:
+    """Mirror of pii_scrub/pii_count over the deterministically-augmented
+    text: identical patterns, identical replace-then-count chain."""
+    from towhee_spark.functions.text import PII_PATTERNS  # noqa: PLC0415
+
+    em, ph, ssn = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ssn"]
+    t = ("coalesce(text,'') || ' contact: user' || doc_id::VARCHAR || "
+         "'@example.com or +1 555-000-' || lpad(doc_id::VARCHAR, 4, '0')")
+    no_em = f"regexp_replace({t}, '{em}', '', 'g')"
+    no_ph = f"regexp_replace({no_em}, '{ph}', '', 'g')"
+    return f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all({t}, '{em}'))
+                      + len(regexp_extract_all({no_em}, '{ph}'))
+                      + len(regexp_extract_all({no_ph}, '{ssn}')) AS INT) AS n_pii,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       {t}, '{em}', '[PII]', 'g'), '{ph}', '[PII]', 'g'),
+                       '{ssn}', '[PII]', 'g') AS scrubbed
+            FROM documents"""
 
 
 def _rerank_sql(norm: str) -> str:

@@ -79,3 +79,17 @@ def test_scan_topk_single_tiny_shuffle(spark):
     st = plan_stats(out)
     assert st["python_evals"] >= 1
     assert st["exchanges"] <= 1, st
+
+
+def test_profile_run_reports_metrics(spark):
+    """Per-operator SQLMetrics profiler (Towhee time_profiler analogue):
+    after a forced run, operators report output-row counts and the formatted
+    tree renders."""
+    from towhee_spark.plans import format_profile, metric_total, profile_run
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    prof = profile_run(agg)
+    assert any("Aggregate" in p["op"] for p in prof), [p["op"] for p in prof]
+    assert metric_total(prof, "number of output rows") > 0
+    assert "Aggregate" in format_profile(prof)

@@ -82,3 +82,47 @@ def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     (md5 exists verbatim in DuckDB → exact oracle.)"""
     return F.md5(normalize_text(text))
+
+
+def repetition_ratio(text: Column | str) -> Column:
+    """Token-level repetition: 1 - distinct_tokens/total_tokens, rounded to
+    6 dp (0 for empty). The cheap within-document degenerate-text signal a
+    training-data quality filter runs before n-gram dedup; exact rationals,
+    SQL-mirrorable (list_distinct/len)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(normalize_text(c), " ")
+    total = F.size(toks).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    return F.round(
+        F.when(total > 0, F.lit(1.0) - uniq / total).otherwise(F.lit(0.0)), 6
+    )
+
+
+# public, deliberately simple patterns — both RE2 (Spark) and DuckDB-safe
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d .-]{7,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scrub(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ssn"),
+              token: str = "[PII]") -> Column:
+    """Redact PII spans with ``token`` — chained native regexp_replace
+    (codegen); patterns are shared constants so the SQL oracle applies the
+    identical chain."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    for k in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[k], token)
+    return c
+
+
+def pii_count(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ssn")) -> Column:
+    """Number of PII spans that pii_scrub would redact (scrub-before-train
+    audit metric)."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    n = F.lit(0)
+    for k in kinds:
+        n = n + F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), F.lit(0)))
+        c = F.regexp_replace(c, PII_PATTERNS[k], "")  # no double counting
+    return n.cast("int")
