@@ -491,7 +491,9 @@ def q_embedding_neardup(spark, sf_dir):
     # hyperplane-blocked cosine near-dup with exact verify; the oracle
     # re-runs the blocking algorithm in SQL (seeded plane constants), so the
     # gate checks bucketing + candidate join + exact cosine end-to-end
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )  # double math end-to-end: bit-parity with the oracle's DOUBLE[] cosine
     return dedup.embedding_neardup_pairs(
         embs, threshold=0.3, block_planes=6, seed=7, dim=64
     )

@@ -60,10 +60,14 @@ def plan_profile(df: DataFrame) -> list[dict[str, Any]]:
 
 
 def profile_run(df: DataFrame) -> list[dict[str, Any]]:
-    """Force full execution through the noop sink, then return the executed
-    plan's per-operator metrics (rows flowed, per-operator times, shuffle /
-    spill bytes where the operator reports them)."""
-    df.write.format("noop").mode("overwrite").save()
+    """Force full execution of df's OWN plan instance, then return its
+    per-operator metrics (rows flowed, per-operator times, shuffle / spill
+    bytes where the operator reports them). A sink write would spawn a
+    separate QueryExecution whose metrics this df never sees, so the plan
+    is executed directly (count over its InternalRow RDD — no driver
+    materialization of the rows themselves)."""
+    jplan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    jplan.execute().count()
     return plan_profile(df)
 
 
