@@ -53,6 +53,12 @@ def test_manifest_contents(spark, corpus_df, tmp_path):
         m = json.load(f)
     assert m["input_snapshot"] == "snap-42"
     assert m["rows"] >= 0 and "checksum" in m and m["n_buckets"] == 4
+    # north_rule "lineage + metrics": bytes on disk, write wall time, and
+    # the execution config the data was produced under
+    assert m["metrics"]["bytes"] > 0
+    assert m["metrics"]["write_job_wall_sec"] > 0
+    assert m["exec_conf"]["spark.sql.adaptive.enabled"] == "true"
+    assert int(m["exec_conf"]["spark.sql.shuffle.partitions"]) >= 1
 
 
 def test_io_parquet_roundtrip(spark, corpus_df, tmp_path):

@@ -137,3 +137,119 @@ def test_stateful_stream_sessionize_rows(spark, corpus_df, tmp_path):
     agree = sum(1 for k, v in exp.items() if got.get(k) == v)
     assert agree / len(exp) > 0.98, (agree, len(exp))
     spark.catalog.dropTempView("sess_state")
+
+
+def test_stateful_stream_locf_rows(spark, corpus_df, tmp_path):
+    """Streaming LOCF (applyInPandasWithState) must agree with the batch
+    locf on every row, with state carrying values ACROSS micro-batches
+    (maxFilesPerTrigger=1 forces several batches)."""
+    from towhee_spark import locf
+    from towhee_spark.streaming.stateful import stream_locf_rows
+
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "locf_src")
+    # stateful sequential ops assume per-key event-time-ordered arrival
+    # across micro-batches: feed three consecutive time slices as separate
+    # files (distinct mtimes → oldest-first processing), one per trigger
+    lo, hi = corpus_df.agg(F.min("ts"), F.max("ts")).first()
+    cuts = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        cond = (F.col("ts") >= cuts[i]) & (
+            F.col("ts") <= cuts[i + 1] if i == 2 else F.col("ts") < cuts[i + 1]
+        )
+        corpus_df.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    stream_df = (
+        spark.readStream.schema(corpus_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    filled = stream_locf_rows(stream_df, cols=("tool",))
+    q = (
+        filled.writeStream.format("memory")
+        .queryName("locf_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx): r.tool_ff
+        for r in spark.sql("select * from locf_state").collect()
+    }
+    exp = {
+        (r.conv_id, r.turn_idx): (None if r.tool_ff is None else str(r.tool_ff))
+        for r in locf(corpus_df, ["tool"]).collect()
+    }
+    assert len(got) == len(exp)
+    agree = sum(1 for k, v in exp.items() if got.get(k) == v)
+    # exact-tie timestamps can order differently between engines
+    assert agree / len(exp) > 0.98, (agree, len(exp))
+    spark.catalog.dropTempView("locf_state")
+
+
+def test_detect_objects_shape(spark):
+    """Detection struct (boxes/classes/scores), deterministic stub model,
+    boxes clamped to the frame; composes after decode_images like the
+    reference yolov5 pipeline."""
+    df = spark.createDataFrame([("a", b"x"), ("b", b"y")], "path string, content binary")
+    imgs = multimodal.decode_images(df, height=6, width=8)
+    out = {r.path: r.detections for r in multimodal.detect_objects(imgs).collect()}
+    for det in out.values():
+        assert 1 <= len(det.boxes) <= 3
+        assert len(det.boxes) == len(det.classes) == len(det.scores)
+        for (x1, y1, x2, y2), sc in zip(det.boxes, det.scores):
+            assert 0 <= x1 < x2 <= 8 and 0 <= y1 < y2 <= 6
+            assert 0.5 <= sc <= 1.0
+    again = {r.path: r.detections for r in multimodal.detect_objects(imgs).collect()}
+    assert again == out  # content-seeded determinism
+    with pytest.raises(NotImplementedError):
+        multimodal.detect_objects(imgs, strict=True)
+
+
+def test_llm_map_shapes(spark):
+    """LLM op shape: message-struct rendering, batched fake client, worker
+    cache, strict refusal without a real client."""
+    from towhee_spark.functions.llm import llm_map, render_messages
+
+    msgs = [(1, [
+        {"system": "be brief", "question": None, "answer": None},
+        {"system": None, "question": "who?", "answer": "me"},
+        {"system": None, "question": "where?", "answer": None},
+    ])]
+    schema = "id long, messages array<struct<system:string,question:string,answer:string>>"
+    df = spark.createDataFrame(msgs, schema)
+    row = llm_map(df).collect()[0]
+    assert row.answer.startswith("[fake-llm ")
+    assert "who?" in row.answer
+    assert llm_map(df).collect()[0].answer == row.answer  # deterministic
+    rendered = render_messages(msgs[0][1])
+    assert rendered.splitlines() == [
+        "system: be brief", "user: who?", "assistant: me", "user: where?"]
+    with pytest.raises(NotImplementedError):
+        llm_map(df, strict=True)
+
+
+def test_readthedocs_local_mirror(spark, tmp_path):
+    """data_source.readthedocs over a local mirror: index link extraction,
+    include/exclude filters, distributed fetch+strip."""
+    from towhee_spark.sources.readthedocs import readthedocs_texts, readthedocs_urls
+
+    (tmp_path / "index.html").write_text(
+        '<a href="a.html">A</a> <a href="b.html">B</a> '
+        '<a href="skip.html">S</a> <a href="img.png">img</a>'
+    )
+    (tmp_path / "a.html").write_text(
+        "<html><body><h1>Alpha</h1><script>var x=1;</script>one two</body></html>"
+    )
+    (tmp_path / "b.html").write_text("<p>Beta &amp; gamma</p>")
+    (tmp_path / "skip.html").write_text("<p>nope</p>")
+    urls = readthedocs_urls(spark, str(tmp_path), exclude="skip")
+    assert urls.count() == 2  # .png and excluded page filtered out
+    texts = {r.url.split("/")[-1]: r.text
+             for r in readthedocs_texts(spark, str(tmp_path), exclude="skip").collect()}
+    assert texts["a.html"] == "Alpha one two"
+    assert texts["b.html"] == "Beta & gamma"

@@ -207,3 +207,58 @@ def image_crop(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# labels for the stub detector — tiny public COCO-style subset
+_STUB_CLASSES = ["person", "car", "dog", "cat", "chair", "bottle", "bird", "bus"]
+
+DETECTION_TYPE = T.StructType([
+    T.StructField("boxes", T.ArrayType(T.ArrayType(T.IntegerType()))),
+    T.StructField("classes", T.ArrayType(T.StringType())),
+    T.StructField("scores", T.ArrayType(T.FloatType())),
+])
+
+
+def detect_objects(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "detections",
+    max_objects: int = 3,
+    strict: bool = False,
+) -> DataFrame:
+    """Object detection shape — parity with object_detection.yolov5
+    (ref hub_ops/object_detection.py:25-60: img → (boxes (x1,y1,x2,y2),
+    classes, scores)). The model is a STUB: deterministic boxes/labels
+    seeded by the image content hash, clamped to the frame — the Spark-side
+    plumbing (IMAGE struct in, detection struct out, Arrow batching, crop
+    composition via image_crop) is real; pass strict=True to refuse the
+    fake where a real model is required."""
+    if strict:
+        raise NotImplementedError(
+            "real object detection requires a vision model (e.g. yolov5); "
+            "plug its batched predict into this mapInPandas kernel"
+        )
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, DETECTION_TYPE)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dets = []
+            for img in pdf[image_col]:
+                h, w = int(img["height"]), int(img["width"])
+                seed = int.from_bytes(hashlib.sha256(img["data"] or b"").digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                n = int(rng.integers(1, max_objects + 1))
+                boxes, classes, scores = [], [], []
+                for _ in range(n):
+                    x1 = int(rng.integers(0, max(1, w - 1)))
+                    y1 = int(rng.integers(0, max(1, h - 1)))
+                    x2 = int(rng.integers(x1 + 1, w + 1))
+                    y2 = int(rng.integers(y1 + 1, h + 1))
+                    boxes.append([x1, y1, x2, y2])
+                    classes.append(_STUB_CLASSES[int(rng.integers(0, len(_STUB_CLASSES)))])
+                    scores.append(round(float(rng.uniform(0.5, 1.0)), 4))
+                dets.append({"boxes": boxes, "classes": classes, "scores": scores})
+            pdf[out_col] = dets
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -83,6 +83,7 @@ def write_with_lineage(
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t_write0 = time.perf_counter()
     try:
         (
             todo.write.mode("overwrite")
@@ -91,6 +92,19 @@ def write_with_lineage(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    job_wall_sec = round(time.perf_counter() - t_write0, 3)
+    # execution-config snapshot: the manifest records HOW the data was
+    # produced (north_rule: "explicit shuffle-partition and skew-handling
+    # configuration"), so a resume on a differently-tuned cluster is visible
+    exec_conf = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.master",
+        )
+    }
 
     # stats come from the data JUST WRITTEN (read-back), not from
     # re-executing the upstream plan — a nondeterministic upstream (new
@@ -105,6 +119,18 @@ def write_with_lineage(
         .collect()
     )
     os.makedirs(os.path.join(base, MANIFEST_DIR), exist_ok=True)
+
+    def _bucket_bytes(b: int) -> int:
+        d = os.path.join(base, "data", f"{BUCKET_COL}={b}")
+        try:
+            return sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if not f.startswith((".", "_"))
+            )
+        except OSError:
+            return 0
+
     written = []
     for r in stats:
         manifest = {
@@ -115,6 +141,11 @@ def write_with_lineage(
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "key": key,
             "n_buckets": n_buckets,
+            "metrics": {
+                "bytes": _bucket_bytes(int(r[BUCKET_COL])),
+                "write_job_wall_sec": job_wall_sec,  # shared across this job's buckets
+            },
+            "exec_conf": exec_conf,
         }
         tmp = _manifest_path(base, manifest["bucket"]) + ".tmp"
         with open(tmp, "w") as f:

@@ -6,6 +6,12 @@ state carries (last event time µs, session counter) across micro-batches,
 so each arriving turn gets its session sequence incrementally — the shape
 Towhee's stateful PyOperator (towhee/operator/base.py:240-252) would take
 on an unbounded stream.
+
+Contract: these sequential stateful ops assume per-key EVENT-TIME-ORDERED
+arrival across micro-batches (within a batch they sort). Out-of-order
+sources need an ordered ingestion layer (time-sliced files, Kafka keyed by
+conversation with in-partition ordering) or a watermark-delayed sort stage
+ahead of them.
 """
 
 from __future__ import annotations
@@ -75,6 +81,58 @@ def stream_sessionize_rows(
         fn,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_locf_rows(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("tool",),
+    key: str = "conv_id",
+    ts: str = "ts",
+    out_cols: tuple[str, ...] = ("conv_id", "turn_idx", "ts"),
+    suffix: str = "_ff",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming last-observation-carried-forward: per-key state carries the
+    last non-null value of each ``cols`` across micro-batches, so every
+    arriving row gets its backfilled features incrementally — the streaming
+    face of temporal.locf (north_rule backfill on unbounded transcripts).
+
+    State schema: one nullable string slot per filled column (values are
+    carried in their string form; cast downstream if needed)."""
+    state_schema = T.StructType(
+        [T.StructField(f"last_{c}", T.StringType()) for c in cols]
+    )
+    out_schema = T.StructType(
+        [df.schema[c] for c in out_cols]
+        + [T.StructField(f"{c}{suffix}", T.StringType()) for c in cols]
+    )
+    out_names = [f.name for f in out_schema.fields]
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        last = list(state.get) if state.exists else [None] * len(cols)
+        for pdf in batches:
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            filled: dict[str, list] = {f"{c}{suffix}": [] for c in cols}
+            for _, row in pdf.iterrows():
+                for i, c in enumerate(cols):
+                    v = row[c]
+                    if v is not None and v == v:  # non-null, non-NaN
+                        last[i] = str(v)
+                    filled[f"{c}{suffix}"].append(last[i])
+            out = pdf[list(out_cols)].copy()
+            for name, vals in filled.items():
+                out[name] = vals
+            yield out[out_names]
+        state.update(tuple(last))
+
+    src = df.withWatermark(ts, watermark) if df.isStreaming else df
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
