@@ -291,3 +291,44 @@ def test_map_after_window_chain(spark):
         .output("a")
     )
     assert p.run_rows(spark, [4]) == [(60,), (40,)]
+
+
+def test_filter_rename_overwrites_existing_col_golden(spark):
+    """ref test_user_pipeline.py:362-371 (test_filter_coverage): filter's
+    out rename may OVERWRITE a live column — flat_map a→1..n, map a→b=a+1,
+    filter(b→a, b>3) keeps b=4,5 emitted as 'a'."""
+    p = (
+        Pipeline.input("a")
+        .flat_map("a", "a", lambda x: list(range(1, x + 1)), out_types=("bigint",))
+        .map("a", "b", lambda x: x + 1, out_types=("bigint",))
+        .filter("b", "a", "b", lambda x: x > 3)
+        .output("a")
+    )
+    assert p.run_rows(spark, [(4,)]) == [(4,), (5,)]
+    assert p.run_rows(spark, [(8,)]) == [(4,), (5,), (6,), (7,), (8,), (9,)]
+
+
+def test_window_of_windows_golden(spark):
+    """ref test_user_pipeline.py:406-415 (test_window_coverage): a window
+    stream re-windowed — [1..4] → sums [6, 4] → one window → [10]."""
+    p = (
+        Pipeline.input("a")
+        .flat_map("a", "a", lambda x: list(range(1, x + 1)), out_types=("bigint",))
+        .window("a", "b", 3, 3, sum, out_types=("bigint",))
+        .window("b", "a", 3, 3, sum, out_types=("bigint",))
+        .output("a")
+    )
+    assert p.run_rows(spark, [(4,)]) == [(10,)]
+
+
+def test_flat_map_after_window_golden(spark):
+    """ref test_user_pipeline.py:433-443 (test_flatmap_coverage): fan-out
+    over window outputs — sums [6, 4] → [60], [40]."""
+    p = (
+        Pipeline.input("a")
+        .flat_map("a", "a", lambda x: list(range(1, x + 1)), out_types=("bigint",))
+        .window("a", "b", 3, 3, sum, out_types=("bigint",))
+        .flat_map("b", "a", lambda x: [x * 10], out_types=("bigint",))
+        .output("a")
+    )
+    assert p.run_rows(spark, [(4,)]) == [(60,), (40,)]

@@ -41,6 +41,14 @@ reference's own cases in tests/test_compat_mode.py:
   empty generators and emits one row (test_user_pipeline.py:395-405), while
   an all-empty window_all emits nothing (:383-393); the default emits no
   row for an empty group (SQL GROUP BY). compat reproduces both.
+
+One queue artifact is NOT replicated in either mode: per-COLUMN length
+zipping at output after a group node changes one branch's cardinality
+(test_user_pipeline.py:417-431 — a time_window's 2-row output column zips
+against a 7-row sibling column with Empty padding). Rows here are zipped at
+concat time, so sibling columns share the row's cardinality from that point
+on; pipelines needing the reference layout should concat AFTER the group
+node (both orderings express the same data).
 """
 
 from __future__ import annotations
@@ -181,10 +189,14 @@ def _probe_agrees(fn, in_cols, cols, df: DataFrame) -> bool:
                 return False
             continue
         if isinstance(p, (tuple, list)):
-            p = list(p)
-            s = list(s) if s is not None else s
-        if p != s:
-            return False
+            if not isinstance(s, (tuple, list)):
+                return False  # Python fn yields a collection, SQL a scalar
+            p, s = list(p), list(s)
+        try:
+            if p != s:
+                return False
+        except Exception:
+            return False  # incomparable shapes → keep Python semantics
     return True
 
 
