@@ -89,3 +89,20 @@ def test_worker_singleton_caches():
     f1 = worker_singleton("k1", lambda: calls.append(1) or "obj")
     f2 = worker_singleton("k1", lambda: calls.append(1) or "obj2")
     assert f1 == f2 == "obj" and len(calls) == 1
+
+
+def test_embed_arrow_fast_path_matches_loop():
+    """The Arrow dictionary-encoded tokenize path must equal the per-token
+    loop bit-for-bit, including empty/whitespace/None/NaN rows."""
+    import numpy as np
+
+    from towhee_spark.kernels import _embed_tokens_np_loop, embed_tokens_np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(80)] + ["héllo", "日本語", "a-b.c"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 20))) for _ in range(500)]
+    texts += ["", "  ", " x ", "x  y", None, float("nan")]
+    fast = embed_tokens_np(texts, 32)
+    loop = _embed_tokens_np_loop(texts, 32)
+    assert fast.shape == loop.shape
+    assert np.array_equal(fast, loop)

