@@ -125,10 +125,17 @@ def main() -> None:
         "tpch_q5ish",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_ngram_capped",
         "minhash_lsh",
+        "simhash_pairs",
+        "embedding_neardup",
         "similarity_topk",
+        "scan_topk",
+        "lsh_topk",
         "embed_text",
         "text_stats",
+        "text_repetition",
+        "pii_scrub",
     ]:
         timed(name, lambda n=name: force(qs[n](spark, sf_dir)))
 

@@ -1,0 +1,88 @@
+"""Hot-key (skew) evidence: measure the single-task mega-conversation
+hazard and the chunked scale paths that remove it.
+
+A corpus where ONE conversation holds ~25% of all rows serializes any
+Window.partitionBy(conv_id) operator onto one task; locf_chunked /
+asof_join_chunked partition on (conv_id, time-chunk) with a cross-chunk
+carry, so the mega key spreads over many tasks. This script measures both
+plans on the same skewed input and prints one JSON line (results are
+appended to BENCH/BASELINE.md by hand after an idle-host run — never run
+other Spark jobs concurrently).
+
+Usage: python tools/bench_skew.py [n_convs] [mega_turns] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    mega_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    from pyspark.sql import functions as F
+
+    from towhee_spark import asof_join, locf
+    from towhee_spark.session import get_spark
+    from towhee_spark.synth import transcripts_spark
+    from towhee_spark.temporal import asof_join_chunked, locf_chunked
+
+    spark = get_spark("skew", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    base = transcripts_spark(spark, n_convs=n_convs, partitions=cpus * 2)
+    mega = spark.range(0, mega_turns, numPartitions=cpus * 2).select(
+        F.lit("conv-mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("role"),
+        F.concat(F.lit("turn "), F.col("id")).alias("text"),
+        F.when(F.col("id") % 7 == 0, F.lit("search")).alias("tool"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    corpus = base.select("conv_id", "turn_idx", "role", "text", "tool", "ts").unionByName(
+        mega
+    ).cache()
+    total = corpus.count()
+
+    ctx = corpus.filter(F.col("turn_idx") % 5 == 0).select(
+        "conv_id", "ts", F.length("text").cast("double").alias("ctx_score")
+    )
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn):
+        fn()  # warm
+        t0 = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - t0, 2)
+
+    res = {
+        "total_rows": total,
+        "mega_rows": mega_turns,
+        "cpus": cpus,
+        "locf_window_sec": timed(lambda: force(locf(corpus, ["tool"]))),
+        "locf_chunked_sec": timed(
+            lambda: force(locf_chunked(corpus, ["tool"], chunk_seconds=3600.0))
+        ),
+        "asof_window_sec": timed(lambda: force(asof_join(corpus, ctx))),
+        "asof_chunked_sec": timed(
+            lambda: force(asof_join_chunked(corpus, ctx, chunk_seconds=3600.0))
+        ),
+    }
+    res["locf_speedup"] = round(res["locf_window_sec"] / res["locf_chunked_sec"], 2)
+    res["asof_speedup"] = round(res["asof_window_sec"] / res["asof_chunked_sec"], 2)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,13 +18,14 @@ from towhee_spark.layout import repartition_by_key
 from towhee_spark.pipeline import Pipeline, pipe
 from towhee_spark.pipelines import pipeline, register_pipeline
 from towhee_spark.registry import ops, register
+from towhee_spark.serve import APIService
 from towhee_spark.temporal import asof_join, bfill, lag_lead, locf, sessionize
 
 __version__ = "0.1.0"
 
 # mirrors the reference's top-level surface (towhee/__init__.py:36-46):
-# pipe/ops/register/AutoConfig/AutoPipes(pipeline)/DataLoader(data_loader)
-# — serving entries (triton_client, build_docker_image) are out of scope.
+# pipe/ops/register/AutoConfig/AutoPipes(pipeline)/DataLoader(data_loader)/
+# api_service(APIService) — triton_client/build_docker_image stay descoped.
 __all__ = [
     "Pipeline",
     "pipe",
@@ -42,4 +43,5 @@ __all__ = [
     "bfill",
     "sessionize",
     "repartition_by_key",
+    "APIService",
 ]
