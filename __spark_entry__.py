@@ -452,8 +452,14 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # md5-hash sketch so the ORACLE can re-run the full simhash algorithm
+    # (sketch → segment blocking → hamming prune → exact-Jaccard verify) in
+    # SQL — the gate checks the implementation, independent of blocking
+    # recall (which 64-bit simhash cannot guarantee on short docs)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.simhash_jaccard_pairs(docs, threshold=0.5, blocks=8)
+    return dedup.simhash_jaccard_pairs(
+        docs, threshold=0.5, blocks=6, max_hamming=16, hash="md5", bits=60
+    )
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -778,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _jaccard_pairs_sql(norm, threshold=0.5),
         "dedup_ngram_capped": _jaccard_pairs_sql(norm, threshold=0.5, cap=25),
         "minhash_lsh": _jaccard_pairs_sql(norm, threshold=0.5),
-        "simhash_pairs": _jaccard_pairs_sql(norm, threshold=0.5),
+        "simhash_pairs": _simhash_sql(norm, threshold=0.5, blocks=6, bits=60, max_hamming=16),
         "text_stats": _text_stats_sql(),
         "embedding_norms": """
             SELECT vec_id,
@@ -918,6 +924,61 @@ def _lsh_topk_sql(planes: int = 8, probes: int = 4, dim: int = 64, seed: int = 7
                 FROM scored
             )
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3"""
+
+
+def _simhash_sql(norm: str, threshold: float = 0.5, blocks: int = 6,
+                 bits: int = 60, max_hamming: int = 16) -> str:
+    """Oracle that re-runs the SimHash near-dup algorithm in SQL: md5-based
+    60-bit per-bit majority-vote sketch, segment blocking, hamming prune,
+    exact shingle-Jaccard verify — mirrors dedup.simhash_jaccard_pairs(
+    hash="md5", bits=60) term for term."""
+    seg_bits = bits // blocks
+    mask = (1 << seg_bits) - 1
+    vote_cols = ",\n                       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sketch_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    seg_vals = ", ".join(f"(s >> {i * seg_bits}) & {mask}" for i in range(blocks))
+    seg_ids = ", ".join(str(i) for i in range(blocks))
+    return f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+                )
+            ),
+            hv AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+            votes AS (SELECT id, {vote_cols}
+                      FROM hv GROUP BY id),
+            sk AS (SELECT id, CAST({sketch_sum} AS BIGINT) AS s FROM votes),
+            segs AS (SELECT id, s, unnest([{seg_vals}]) AS seg_val,
+                            unnest([{seg_ids}]) AS seg FROM sk),
+            cand AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.s AS sa, y.s AS sb
+                FROM segs x JOIN segs y
+                  ON x.seg = y.seg AND x.seg_val = y.seg_val AND x.id < y.id
+            ),
+            ham AS (SELECT id_a, id_b FROM cand
+                    WHERE bit_count(xor(sa, sb)) <= {max_hamming}),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+                SELECT hm.id_a, hm.id_b, COUNT(*) AS inter
+                FROM ham hm
+                JOIN sh a ON a.id = hm.id_a
+                JOIN sh b ON b.id = hm.id_b AND b.shingle = a.shingle
+                GROUP BY hm.id_a, hm.id_b
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+            WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}"""
 
 
 def _neardup_sql(block_planes: int = 6, dim: int = 64, seed: int = 7,
