@@ -531,6 +531,16 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_chunk_text(spark, sf_dir):
+    # RAG-style fixed-window chunking (size=12 tokens, overlap=4) — native
+    # sequence/slice exprs, one explode; SQL-mirrored window arithmetic
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = text.chunk_text("text", size=12, overlap=4)
+    return docs.select("doc_id", F.explode(ch).alias("c")).select(
+        "doc_id", F.col("c.start").alias("start"), F.col("c.chunk").alias("chunk")
+    )
+
+
 def q_scan_topk(spark, sf_dir):
     # shuffle-free Arrow scan top-k (scored pairs never shuffle) — same
     # oracle as similarity_topk since the result is the exact top-k
@@ -590,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "scan_topk": q_scan_topk,
         "embedding_neardup": q_embedding_neardup,
+        "chunk_text": q_chunk_text,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "tpch_q1": q_tpch_q1,
@@ -794,6 +805,11 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "embedding_neardup": _neardup_sql(block_planes=6, dim=64, seed=7, threshold=0.3),
+        "chunk_text": f"""
+            WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM documents)
+            SELECT doc_id, CAST(s AS INT) AS start,
+                   array_to_string(toks[s + 1 : s + 12], ' ') AS chunk
+            FROM t, UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, 8)) AS u(s)""".format(norm=norm),
         "pii_scrub": _pii_sql(),
         "text_repetition": f"""
             SELECT doc_id,

@@ -79,3 +79,26 @@ def test_data_collection_entity(spark):
     rows = {(r.i, r.sq) for r in loaded.collect()}
     assert rows == {(i, i * i) for i in range(10)}
     assert loaded.rdd.getNumPartitions() > 1
+
+
+def test_rag_ingest_pipeline(spark):
+    """rag_ingest AutoPipe: chunk fan-out with overlap carry + normalized
+    chunk embeddings (the loader→splitter→embedding→insert reference shape)."""
+    import numpy as np
+    from towhee_spark.pipelines import pipeline
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "short doc")],
+        "doc_id long, text string",
+    )
+    out = pipeline("rag_ingest", chunk_size=8, overlap=2, dim=16)(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    starts = sorted(r.chunk_start for r in by_doc[1])
+    assert starts == [0, 6, 12, 18]         # stride = size - overlap
+    first = next(r for r in by_doc[1] if r.chunk_start == 0)
+    assert first.chunk == " ".join(f"w{i}" for i in range(8))
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk == "short doc"
+    for r in out:
+        assert abs(np.linalg.norm(np.array(r.embedding)) - 1.0) < 1e-5

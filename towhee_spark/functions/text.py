@@ -126,3 +126,25 @@ def pii_count(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "s
         n = n + F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), F.lit(0)))
         c = F.regexp_replace(c, PII_PATTERNS[k], "")  # no double counting
     return n.cast("int")
+
+
+def chunk_text(text: Column | str, size: int = 64, overlap: int = 16) -> Column:
+    """Token-window document chunks as array<struct<start:int, chunk:string>>
+    — the text_splitter / RAG-chunking op (fixed window, ``overlap`` tokens
+    of context carry-over). Native expressions only (sequence/slice/
+    array_join), SQL-mirrorable; explode the result for (doc, chunk) rows."""
+    if overlap >= size:
+        raise ValueError("chunk_text: overlap must be < size")
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(normalize_text(c), " ")
+    step = size - overlap
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk"),
+        ),
+    )

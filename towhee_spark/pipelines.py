@@ -73,3 +73,23 @@ def _transcript_features(gap: float = 1800.0, tolerance: float | None = 3600.0,
         return j.withColumn("embedding", embed_text_udf(dim=embed_dim)(F.col("text")))
 
     return apply
+
+
+@register_pipeline("rag_ingest")
+def _rag_ingest(id_col: str = "doc_id", text_col: str = "text",
+                chunk_size: int = 64, overlap: int = 16, dim: int = 64):
+    """RAG ingestion shape (ref data_source docstring pipeline: loader →
+    text_splitter → sentence_embedding → np_normalize → ann_insert):
+    fixed-window chunking + hashed-BoW Arrow embedding; feed the result to
+    sources.io.write_vectors for the ann_insert leg."""
+    from towhee_spark.functions.text import chunk_text  # noqa: PLC0415
+    from towhee_spark.kernels import embed_text_udf  # noqa: PLC0415
+
+    def apply(df: DataFrame) -> DataFrame:
+        ch = chunk_text(text_col, size=chunk_size, overlap=overlap)
+        rows = df.select(F.col(id_col), F.explode(ch).alias("c")).select(
+            id_col, F.col("c.start").alias("chunk_start"), F.col("c.chunk").alias("chunk")
+        )
+        return rows.withColumn("embedding", embed_text_udf(dim=dim)(F.col("chunk")))
+
+    return apply
