@@ -168,9 +168,17 @@ def q_towhee_flat_map(spark, sf_dir):
     return p.apply(docs)
 
 
+def _r4(x: float) -> float:
+    # half-AWAY-from-zero to match F.round/DuckDB ROUND (Python round() is
+    # banker's — CLAUDE.md float-parity tactic)
+    import math  # noqa: PLC0415
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+
+
 def _n_sum(vals):
     # Python list fold — the gate exercises the per-group applyInPandas path
-    return (len(vals), round(float(sum(vals)), 4))
+    return (len(vals), _r4(float(sum(vals))))
 
 
 def _n_sum_agg(col):
@@ -228,9 +236,9 @@ def q_towhee_reduce(spark, sf_dir):
     def fold(vals):
         return (
             len(vals),
-            round(float(sum(vals)), 4),
-            round(float(min(vals)), 4),
-            round(float(max(vals)), 4),
+            _r4(float(sum(vals))),
+            _r4(float(min(vals))),
+            _r4(float(max(vals))),
         )
 
     p = (
@@ -446,8 +454,11 @@ def q_minhash_lsh(spark, sf_dir):
     # banded-LSH candidates + exact-Jaccard verify: with recall-1 banding the
     # output equals the exact pair set, so the exact SQL is a hard oracle
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # bands=64 (1 row/band): a J>=0.5 pair is missed only if NO single
+    # minhash agrees - P(miss) = (1-J)^64 <= 5e-20, so the exact-pair oracle
+    # is deterministic in practice on any corpus
     return dedup.minhash_lsh_pairs(
-        docs, threshold=0.5, num_hashes=64, bands=32, verify="exact"
+        docs, threshold=0.5, num_hashes=64, bands=64, verify="exact"
     )
 
 
@@ -1035,8 +1046,8 @@ def _pii_sql() -> str:
     em, ph, ssn = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ssn"]
     t = ("coalesce(text,'') || ' contact: user' || doc_id::VARCHAR || "
          "'@example.com or +1 555-000-' || lpad(doc_id::VARCHAR, 4, '0')")
-    no_em = f"regexp_replace({t}, '{em}', '', 'g')"
-    no_ph = f"regexp_replace({no_em}, '{ph}', '', 'g')"
+    no_em = f"regexp_replace({t}, '{em}', '[PII]', 'g')"
+    no_ph = f"regexp_replace({no_em}, '{ph}', '[PII]', 'g')"
     return f"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all({t}, '{em}'))

@@ -53,6 +53,23 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+def _jaccard_join(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, inter) ⋈ per-doc sizes → (id_a, id_b, jaccard ≥ threshold).
+    The single jaccard formula every dedup tier flows through — exact,
+    capped, MinHash-verified and SimHash-verified outputs stay comparable by
+    construction."""
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -86,17 +103,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return out
+    return _jaccard_join(inter, sizes, threshold)
 
 
 def _verify_pairs_exact_jaccard(
@@ -113,25 +120,19 @@ def _verify_pairs_exact_jaccard(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_join(inter, sizes, threshold)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures: sig[i] = min over
     shingles of xxhash64(shingle, seed=i). One explode + one groupBy —
-    map-side partial min keeps the shuffle tiny."""
-    sh = shingles(df, id_col, text_col, n)
+    map-side partial min keeps the shuffle tiny. ``shingles_df`` reuses a
+    prebuilt (id, shingle) frame (minhash_lsh_pairs shares one with its
+    exact-verify stage)."""
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -169,16 +170,7 @@ def minhash_lsh_pairs(
     sh = shingles(df, id_col, text_col, n)
     if verify == "exact":
         sh = sh.cache()
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-        .cache()
-    )
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles_df=sh).cache()
     bands_df = sig.select(
         "id",
         F.explode(

@@ -245,6 +245,9 @@ def detect_objects(
             dets = []
             for img in pdf[image_col]:
                 h, w = int(img["height"]), int(img["width"])
+                if h < 1 or w < 1:  # degenerate frame → zero detections,
+                    dets.append({"boxes": [], "classes": [], "scores": []})
+                    continue  # never a failed batch (loaders' degrade contract)
                 seed = int.from_bytes(hashlib.sha256(img["data"] or b"").digest()[:8], "big")
                 rng = np.random.default_rng(seed)
                 n = int(rng.integers(1, max_objects + 1))

@@ -111,20 +111,28 @@ def scan_topk(
     bq = sc.broadcast((q_ids, qm))
 
     ix = index.select(F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"))
-    out_schema = "query_id long, match_id long, score double"
+    # id types follow the inputs (string keys work like brute_force_topk)
+    q_t = queries.schema[q_id].dataType.simpleString()
+    i_t = index.schema[i_id].dataType.simpleString()
+    out_schema = f"query_id {q_t}, match_id {i_t}, score double"
+
+    def round6(a):
+        # half-AWAY-from-zero like F.round / DuckDB ROUND — np.round is
+        # half-to-even and would break rank/score parity with the SQL oracle
+        return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5) / 1e6, a)
 
     def part_topk(batches):
         ids, mat = bq.value
         nq = len(ids)
         best_s = [np.empty(0, dtype=np.float64) for _ in range(nq)]
-        best_m = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        best_m = [np.empty(0, dtype=object) for _ in range(nq)]
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.array(pdf["__iv"].tolist(), dtype=np.float64)
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
             mids = pdf["match_id"].to_numpy()
-            scores = np.round(mat @ m.T, 6)  # (nq, batch)
+            scores = round6(mat @ m.T)  # (nq, batch)
             for qi in range(nq):
                 s = np.concatenate([best_s[qi], scores[qi]])
                 mm = np.concatenate([best_m[qi], mids])
@@ -132,13 +140,17 @@ def scan_topk(
                     keep = mm != ids[qi]
                     s, mm = s[keep], mm[keep]
                 if len(s) > k:
-                    # total order (score desc, match_id asc) — lexsort keys
-                    sel = np.lexsort((mm, -s))[:k]
+                    # total order (score desc, match_id asc)
+                    try:
+                        sel = np.lexsort((mm, -s))[:k]
+                    except TypeError:  # non-numeric ids
+                        sel = np.array(sorted(range(len(s)),
+                                              key=lambda i: (-s[i], mm[i]))[:k])
                     s, mm = s[sel], mm[sel]
                 best_s[qi], best_m[qi] = s, mm
         rows = {
             "query_id": np.repeat(ids, [len(b) for b in best_m]),
-            "match_id": np.concatenate(best_m) if best_m else np.empty(0, np.int64),
+            "match_id": np.concatenate(best_m) if best_m else np.empty(0, object),
             "score": np.concatenate(best_s) if best_s else np.empty(0, np.float64),
         }
         yield pd.DataFrame(rows)

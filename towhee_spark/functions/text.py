@@ -117,14 +117,17 @@ def pii_scrub(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "s
     return c
 
 
-def pii_count(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ssn")) -> Column:
+def pii_count(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ssn"),
+              token: str = "[PII]") -> Column:
     """Number of PII spans that pii_scrub would redact (scrub-before-train
-    audit metric)."""
+    audit metric). Counting removes each match with the SAME ``token``
+    pii_scrub inserts — deleting with '' could fuse surrounding digits into
+    a new phone-shaped span that the scrubber would never see."""
     c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
     n = F.lit(0)
     for k in kinds:
         n = n + F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), F.lit(0)))
-        c = F.regexp_replace(c, PII_PATTERNS[k], "")  # no double counting
+        c = F.regexp_replace(c, PII_PATTERNS[k], token)  # no double counting
     return n.cast("int")
 
 

@@ -42,6 +42,11 @@ reference's own cases in tests/test_compat_mode.py:
   an all-empty window_all emits nothing (:383-393); the default emits no
   row for an empty group (SQL GROUP BY). compat reproduces both.
 
+compat encodes Empty() as NULL, so a genuine None returned by a user fn is
+indistinguishable from Empty there (output() drops all-NULL rows, window
+fns skip NULL inputs); pipelines whose fns legitimately emit None as data
+should run in default mode, where NULL is just a value.
+
 One queue artifact is NOT replicated in either mode: per-COLUMN length
 zipping at output after a group node changes one branch's cardinality
 (test_user_pipeline.py:417-431 — a time_window's 2-row output column zips
@@ -97,7 +102,8 @@ def _default_type() -> T.DataType:
     return T.StringType()
 
 
-def _try_native(fn: Callable, in_cols: Sequence[str], mode=None, df: DataFrame | None = None):
+def _try_native(fn: Callable, in_cols: Sequence[str], mode=None,
+                df: DataFrame | None = None, cache: dict | None = None):
     """Probe fn with Column args; a Column(-tuple) result means the node can
     run JVM-side. Returns list[Column] or None. ``mode``: None=auto probe,
     False=never (force Python path), True=require (raise if not
@@ -109,7 +115,9 @@ def _try_native(fn: Callable, in_cols: Sequence[str], mode=None, df: DataFrame |
     ``'abab'``). When ``mode is None`` and the fn is ALSO callable on plain
     sample values, both interpretations are evaluated on one literal row
     (a driver-local 1-row job at plan build) and the Python path wins on
-    disagreement. Explicit ``native=True/False`` skips the check."""
+    disagreement. Explicit ``native=True/False`` skips the check. ``cache``
+    (the node's params dict, keyed by input dtypes) memoizes the verdict so
+    repeated apply() of one Pipeline pays the probe job once."""
     if mode is False:
         return None
     try:
@@ -126,8 +134,21 @@ def _try_native(fn: Callable, in_cols: Sequence[str], mode=None, df: DataFrame |
         if mode is True:
             raise ValueError("native=True but fn did not compile to Column expressions")
         return None
-    if mode is None and df is not None and not _probe_agrees(fn, in_cols, cols, df):
-        return None
+    if mode is None and df is not None:
+        key = None
+        if cache is not None:
+            try:
+                key = tuple(df.schema[c].dataType.simpleString() for c in in_cols)
+            except Exception:
+                key = None
+        if key is not None and key in cache:
+            agreed = cache[key]
+        else:
+            agreed = _probe_agrees(fn, in_cols, cols, df)
+            if key is not None:
+                cache[key] = agreed
+        if not agreed:
+            return None
     return cols
 
 
@@ -412,7 +433,8 @@ def _compile_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
         # unchanged (_map.py:72-76) — side effects don't belong in a Spark
         # plan, so this is the identity.
         return df
-    native = _try_native(node.fn, node.in_cols, node.params.get("native"), df)
+    native = _try_native(node.fn, node.in_cols, node.params.get("native"), df,
+                         node.params.setdefault("_probe_cache", {}))
     if native is not None and len(native) == len(node.out_cols):
         for name, col in zip(node.out_cols, native):
             df = df.withColumn(name, col)
@@ -500,7 +522,8 @@ def _inline_subpipeline(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
 
 def _compile_filter(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     fcols = node.params["filter_cols"]
-    native = _try_native(node.fn, fcols, node.params.get("native"), df)
+    native = _try_native(node.fn, fcols, node.params.get("native"), df,
+                         node.params.setdefault("_probe_cache", {}))
     if native is not None and len(native) == 1:
         pred_col = native[0]
     else:
@@ -539,7 +562,8 @@ def _compile_filter(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
 def _compile_flat_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     # Native path: fn of Columns returning one array Column → posexplode
     # (the position column keeps within-parent emission order well-defined).
-    native = _try_native(node.fn, node.in_cols, node.params.get("native"), df)
+    native = _try_native(node.fn, node.in_cols, node.params.get("native"), df,
+                         node.params.setdefault("_probe_cache", {}))
     if native is not None and len(native) == 1 and len(node.out_cols) == 1:
         others = [c for c in df.columns if c != node.out_cols[0]]
         df = df.select(*others, F.posexplode(native[0]).alias("__pos", node.out_cols[0]))
@@ -585,10 +609,13 @@ def _pad_fanout(df: DataFrame, out_cols, ctx: _Ctx) -> DataFrame:
     parent values (relational explode)."""
     if not ctx.compat:
         return df
-    outs = set(out_cols)
+    # never pad the grouping key: it is an engine concept (apply(by=...)),
+    # not a Towhee queue column — NULLing it would merge every fan-out row
+    # into one NULL group for downstream window/reduce nodes
+    keep = set(out_cols) | ({ctx.by} if ctx.by else set())
     return df.select(*[
         F.when(F.col("__pos") == 0, F.col(c)).otherwise(F.lit(None)).alias(c)
-        if (c not in outs and not c.startswith("__"))
+        if (c not in keep and not c.startswith("__"))
         else F.col(c)
         for c in df.columns
     ])

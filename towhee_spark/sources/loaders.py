@@ -67,11 +67,12 @@ def markdown_loader(spark: SparkSession, path: str, pattern: str = "*.md") -> Da
 def html_loader(spark: SparkSession, path: str, pattern: str = "*.html") -> DataFrame:
     """data_loader.html_loader: strip tags/scripts → text (stdlib regex)."""
     def parse(b: bytes) -> str:
+        import html as _html  # noqa: PLC0415
+
         t = _decode(b)
         t = re.sub(r"<(script|style)[^>]*>.*?</\1>", " ", t, flags=re.S | re.I)
         t = re.sub(r"<[^>]+>", " ", t)
-        t = t.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-        return re.sub(r"\s+", " ", t).strip()
+        return re.sub(r"\s+", " ", _html.unescape(t)).strip()
 
     return _parse_df(read_glob(spark, path, pattern, binary=True), parse)
 

@@ -104,13 +104,17 @@ def readthedocs_texts(
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import html as _html  # noqa: PLC0415
+
         for pdf in batches:
             texts = []
             for u in pdf["url"]:
                 t = _read_page(u)
                 t = re.sub(r"<(script|style)[^>]*>.*?</\1>", " ", t, flags=re.S | re.I)
                 t = re.sub(r"<[^>]+>", " ", t)
-                t = t.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+                # single stdlib unescape — a manual &amp;-first replace chain
+                # double-unescapes entity-escaped code samples
+                t = _html.unescape(t)
                 texts.append(re.sub(r"\s+", " ", t).strip())
             yield pd.DataFrame({"url": pdf["url"], "text": texts})
 
