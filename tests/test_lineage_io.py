@@ -174,3 +174,20 @@ def test_audio_and_crop(spark):
     full = np.frombuffer(imgs.first().image.data, dtype=np.uint8).reshape(8, 8, 3)
     got = np.frombuffer(crop.data, dtype=np.uint8).reshape(4, 4, 3)
     assert (got == full[2:6, 2:6]).all()
+
+
+def test_pyfiles_zip_is_importable(tmp_path):
+    """--py-files deployment contract: the built zip imports standalone."""
+    import subprocess
+    import sys
+
+    from tools.package_pyfiles import build
+
+    out = build(str(tmp_path / "towhee_spark.zip"))
+    code = (
+        f"import sys; sys.path.insert(0, {out!r}); "
+        "import towhee_spark; print(len(towhee_spark.__all__))"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert int(r.stdout.strip()) >= 15
