@@ -552,6 +552,46 @@ def q_chunk_text(spark, sf_dir):
     )
 
 
+def q_rag_search(spark, sf_dir):
+    # end-to-end RAG retrieval, every stage oracle-mirrored: fixed-window
+    # chunking → md5-parity embedding (unit-norm) → exact cosine top-2
+    # chunks per query (excluding the query's own doc) → retrieved context
+    from towhee_spark.kernels import embed_text_parity_udf  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = embed_text_parity_udf(dim=32)
+    ch = text.chunk_text("text", size=12, overlap=4)
+    cindex = (
+        docs.select("doc_id", F.explode(ch).alias("c"))
+        .select("doc_id", F.col("c.start").alias("start"), F.col("c.chunk").alias("chunk"))
+        .withColumn("cv", emb(F.col("chunk")))
+        .filter(F.size(F.filter(F.col("cv"), lambda v: v != 0)) > 0)
+    )
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), emb(F.col("text")).alias("qv")
+    )
+    # vectors are unit-norm, so dot == cosine
+    from towhee_spark.kernels import dot_expr  # noqa: PLC0415
+
+    scored = (
+        cindex.join(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id", "doc_id", "start", "chunk",
+            F.round(dot_expr(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id"), F.col("start")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("query_id", "rank", "doc_id", "start",
+                F.round(F.col("score"), 4).alias("score4"), "chunk")
+    )
+
+
 def q_scan_topk(spark, sf_dir):
     # shuffle-free Arrow scan top-k (scored pairs never shuffle) — same
     # oracle as similarity_topk since the result is the exact top-k
@@ -612,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_topk": q_scan_topk,
         "embedding_neardup": q_embedding_neardup,
         "chunk_text": q_chunk_text,
+        "rag_search": q_rag_search,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "tpch_q1": q_tpch_q1,
@@ -816,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "embedding_neardup": _neardup_sql(block_planes=6, dim=64, seed=7, threshold=0.3),
+        "rag_search": _rag_sql(norm, dim=32, k=2, chunk=12, step=8),
         "chunk_text": f"""
             WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM documents)
             SELECT doc_id, CAST(s AS INT) AS start,
@@ -1057,6 +1099,62 @@ def _pii_sql() -> str:
                        {t}, '{em}', '[PII]', 'g'), '{ph}', '[PII]', 'g'),
                        '{ssn}', '[PII]', 'g') AS scrubbed
             FROM documents"""
+
+
+def _rag_sql(norm: str, dim: int = 32, k: int = 2, chunk: int = 12, step: int = 8) -> str:
+    """End-to-end RAG retrieval oracle: chunk windows → md5-parity sparse
+    embeddings (unit-norm) → sparse dot product (== cosine) → top-k chunks
+    per query with (score desc, doc_id, start) ordering. Structurally
+    dot-0 pairs (no shared nonzero dim) are absent from the sparse join but
+    can never reach the top-k on this data; zero-vector chunks are excluded
+    on both sides."""
+    embed = f"""
+                SELECT key1, key2, CAST(h % {dim} AS INT) AS dim_idx,
+                       SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS v
+                FROM (SELECT key1, key2,
+                             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                      FROM (SELECT key1, key2,
+                                   unnest(string_split_regex(trim(body), '\\s+')) AS tok
+                            FROM __SRC__ WHERE trim(coalesce(body, '')) <> ''))
+                GROUP BY key1, key2, dim_idx
+                HAVING SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) <> 0"""
+    return f"""
+            WITH chunks AS (
+                SELECT doc_id, CAST(s AS INT) AS start,
+                       array_to_string(toks[s + 1 : s + {chunk}], ' ') AS chunk
+                FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+                     UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, {step})) AS u(s)
+            ),
+            craw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, start AS key2, chunk AS body FROM chunks)")}),
+            cnorm AS (SELECT key1, key2, sqrt(SUM(v * v)) AS nrm FROM craw GROUP BY key1, key2),
+            cemb AS (
+                SELECT r.key1 AS doc_id, r.key2 AS start, r.dim_idx, r.v / n.nrm AS val
+                FROM craw r JOIN cnorm n ON r.key1 = n.key1 AND r.key2 = n.key2
+            ),
+            qraw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, 0 AS key2, text AS body FROM documents WHERE doc_id < 3)")}),
+            qnorm AS (SELECT key1, sqrt(SUM(v * v)) AS nrm FROM qraw GROUP BY key1),
+            qemb AS (
+                SELECT r.key1 AS query_id, r.dim_idx, r.v / n.nrm AS val
+                FROM qraw r JOIN qnorm n ON r.key1 = n.key1
+            ),
+            scored AS (
+                SELECT q.query_id, c.doc_id, c.start, SUM(q.val * c.val) AS dot
+                FROM qemb q JOIN cemb c ON q.dim_idx = c.dim_idx
+                WHERE c.doc_id != q.query_id
+                GROUP BY q.query_id, c.doc_id, c.start
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, start,
+                       ROUND(ROUND(dot, 6), 4) AS score4,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY ROUND(dot, 6) DESC, doc_id, start) AS INT) AS rank
+                FROM scored
+            )
+            SELECT r.query_id, r.rank, r.doc_id, r.start, r.score4, ch.chunk
+            FROM ranked r JOIN chunks ch
+              ON ch.doc_id = r.doc_id AND ch.start = r.start
+            WHERE r.rank <= {k}"""
 
 
 def _rerank_sql(norm: str) -> str:
