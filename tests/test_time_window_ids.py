@@ -66,3 +66,40 @@ def test_exhaustive_grid_vs_reference_sim():
                     expected.append(w)
                 k += 1
             assert got == expected, (size, step)
+
+
+def test_native_exact_plan_matches_buffer_model(spark):
+    """The compiled exact time_window (closed-form realign recurrence,
+    fully native) must reproduce the Towhee buffer model's window contents
+    on randomized sparse streams across a (size, step) grid."""
+    import random
+
+    from towhee_spark.pipeline import Pipeline, towhee_time_window_ids
+
+    rng = random.Random(42)
+    for trial in range(12):
+        n = rng.randint(1, 40)
+        ts = sorted(rng.randint(0, 50) * 1000 for _ in range(n))
+        # unique-ify values so window contents are comparable as multisets
+        vals = list(range(len(ts)))
+        size = rng.randint(1, 9)
+        step = rng.randint(1, 11)
+        rows = [("k", v, t) for v, t in zip(vals, ts)]
+        df = spark.createDataFrame(rows, "k string, v long, t long")
+        p = (
+            Pipeline.input("v")
+            .time_window("v", "members", "t", size, step,
+                         lambda v: sorted(v),
+                         out_types=("array<bigint>",), exact=True,
+                         emit_start="wstart")
+            .output("k", "wstart", "members")
+        )
+        got = {
+            (r.k, r.wstart): list(r.members)
+            for r in p.apply(df, by="k").collect()
+        }
+        exp = {
+            ("k", ws // 1000): sorted(vals[i] for i in idxs)
+            for ws, idxs in towhee_time_window_ids(ts, size, step, with_starts=True)
+        }
+        assert got == exp, (ts, size, step, got, exp)

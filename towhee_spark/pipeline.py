@@ -822,16 +822,6 @@ def towhee_time_window_ids(
     return out
 
 
-def _epoch_ms_list(tsv: "pd.Series", is_ts: bool) -> list[int]:
-    """Epoch-milliseconds from a pandas series without assuming nanosecond
-    resolution (unit-aware via temporal.pandas_epoch_us)."""
-    if is_ts:
-        from towhee_spark.temporal import pandas_epoch_us  # noqa: PLC0415
-
-        return (pandas_epoch_us(tsv) // 1000).tolist()
-    return tsv.astype("int64").tolist()
-
-
 def _compile_time_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     size, step, ts_col = node.params["size"], node.params["step"], node.params["ts"]
     exact = node.params.get("exact", True)
@@ -840,79 +830,119 @@ def _compile_time_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     fields = _out_fields(node.out_cols, node.params.get("out_types"))
     keys = _group_cols(df, ctx.by)
     is_ts = dict(df.dtypes)[ts_col].startswith("timestamp")
+    # epoch_us handles TIMESTAMP_NTZ scans session-tz-independently
+    # (a bare cast("double") rejects NTZ in Spark 4 ANSI mode);
+    # numeric ts columns are interpreted as epoch-MILLISECONDS (Towhee's
+    # time unit, _time_window.py:54-57)
+    from towhee_spark.temporal import epoch_us  # noqa: PLC0415
 
-    if not exact:
-        # Fast scale path: all non-empty step-aligned windows (Spark
-        # F.window semantics); coincides with Towhee on gap-free streams.
-        # epoch_us handles TIMESTAMP_NTZ scans session-tz-independently
-        # (a bare cast("double") rejects NTZ in Spark 4 ANSI mode).
-        from towhee_spark.temporal import epoch_us  # noqa: PLC0415
+    ms = (
+        epoch_us(ts_col).cast("double") / 1000
+        if is_ts
+        else F.col(ts_col).cast("double")
+    )
+    size_ms, step_ms = size * 1000, step * 1000
+    hi = F.floor(ms / step_ms).cast("long")
+    lo = F.greatest(
+        (F.floor((ms - size_ms) / step_ms) + 1).cast("long"), F.lit(0).cast("long")
+    )
 
-        ms = (
-            epoch_us(ts_col).cast("double") / 1000
-            if is_ts
-            else F.col(ts_col).cast("double")
+    if exact:
+        # EXACT Towhee-buffer semantics, compiled natively. The buffer's gap
+        # realignment (_time_window.py:81-87) reduces to a closed-form
+        # pairwise recurrence — validated against towhee_time_window_ids on
+        # 20k random (stream, size, step) cases (tests/test_time_window_ids
+        # property test):
+        #   * after processing row t_prev, the first EMPTY chain window
+        #     starts at floor(t_prev/step)*step + step when t_prev was a
+        #     member of its own aligned window, else AT floor(t_prev/step)*
+        #     step itself (step>size dead-zone row: the realigned head
+        #     stayed empty);
+        #   * the chain REALIGNS at row t iff t >= that_empty_start + size,
+        #     jumping to base = floor(t/step)*step — windows below the
+        #     running max of these bases never exist.
+        # So: lag → realign threshold → running base → clamp the aligned
+        # window range at the base. Fully JVM (one window spec + explode) —
+        # no per-key Python buffer, no single-task mega-key hazard beyond
+        # the native lag/last sort every windowed op shares.
+        kw = (
+            Window.partitionBy(*keys).orderBy("__ms")
+            if keys
+            else Window.orderBy("__ms")
         )
-        lo = (F.floor((ms / 1000 - F.lit(size)) / F.lit(step)) + 1).cast("long")
-        lo = F.greatest(lo, F.lit(0).cast("long"))
-        hi = F.floor(ms / 1000 / F.lit(step)).cast("long")
-        wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(F.array().cast("array<long>"))
+        prev = F.lag("__ms").over(kw)
+        prev_base = F.floor(prev / step_ms) * step_ms
+        thr = F.when(prev.isNull(), F.lit(float(size_ms))).otherwise(
+            prev_base
+            + F.when(prev - prev_base < size_ms, F.lit(step_ms)).otherwise(F.lit(0))
+            + F.lit(size_ms)
+        )
+        base_evt = F.when(
+            F.col("__ms") >= thr, F.floor(F.col("__ms") / step_ms) * step_ms
+        )
+        run_base = F.coalesce(
+            F.last("__base_evt", ignorenulls=True).over(
+                kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(0.0),
+        )
+        src = (
+            df.withColumn("__ms", ms)
+            .withColumn("__base_evt", base_evt)
+            .withColumn("__B", run_base)
+        )
+        lo_e = F.greatest(lo, (F.col("__B") / step_ms).cast("long"))
+        wids = F.when(lo_e <= hi, F.sequence(lo_e, hi)).otherwise(
+            F.array().cast("array<long>")
+        )
+        df2 = (
+            src.withColumn("__twid", F.explode(wids))
+            .withColumn("__wstart", F.col("__twid") * F.lit(step))
+            .drop("__twid", "__ms", "__base_evt", "__B")
+        )
+    else:
+        # Scale path: ALL non-empty step-aligned windows (Spark F.window
+        # semantics) — skips the per-key lag/base pass; coincides with exact
+        # whenever no realignment fires (gap-free streams).
+        wids = F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<long>")
+        )
         df2 = (
             df.withColumn("__twid", F.explode(wids))
             .withColumn("__wstart", F.col("__twid") * F.lit(step))
             .drop("__twid")
         )
-        res = None
-        if not ctx.compat:
-            res = _native_agg(df2, node, [*keys, "__wstart"])
-        if res is None:
-            schema = T.StructType([df2.schema[k] for k in keys]
-                                  + [T.StructField("__wstart", T.LongType())] + fields)
-            names = [f.name for f in schema.fields]
 
-            def run(key, pdf):
-                pdf = pdf.sort_values(ts_col, kind="mergesort")
-                r = fn(*[_nonmissing(pdf[c]) for c in in_cols])
-                r = r if isinstance(r, tuple) else (r,)
-                d = dict(zip(names, list(key) + list(r)))
-                return pd.DataFrame([d], columns=names)
+    res = None
+    if not ctx.compat:
+        res = _native_agg(df2, node, [*keys, "__wstart"])
+    if res is None:
+        schema = T.StructType(
+            [df2.schema[k] for k in keys]
+            + [T.StructField("__wstart", T.LongType())]
+            + fields
+        )
+        names = [f.name for f in schema.fields]
 
-            res = df2.groupBy(*keys, "__wstart").applyInPandas(run, schema=schema)
-        if emit_start:
-            return res.withColumnRenamed("__wstart", emit_start)
-        return res.drop("__wstart")
+        def run(key, pdf):
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            r = fn(*[_nonmissing(pdf[c]) for c in in_cols])
+            r = r if isinstance(r, tuple) else (r,)
+            d = dict(zip(names, list(key) + list(r)))
+            return pd.DataFrame([d], columns=names)
 
-    # Exact Towhee-buffer path: one applyInPandas per key group running the
-    # buffer chain (per-group python over a sorted pandas frame — parity
-    # surface; throughput path is exact=False).
-    start_fields = [T.StructField(emit_start, T.LongType())] if emit_start else []
-    schema = T.StructType([df.schema[k] for k in keys]
-                          + [T.StructField(_ROW_ORDER, T.LongType())]
-                          + start_fields + fields)
-    names = [f.name for f in schema.fields]
-
-    def run_exact(key, pdf):
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ms = _epoch_ms_list(pdf[ts_col], is_ts)
-        out_rows = []
-        for wi, (wstart, idxs) in enumerate(
-            towhee_time_window_ids(ms, size, step, with_starts=True)
-        ):
-            sub = pdf.iloc[idxs]
-            res = fn(*[_nonmissing(sub[c]) for c in in_cols])
-            res = res if isinstance(res, tuple) else (res,)
-            starts = [wstart // 1000] if emit_start else []
-            out_rows.append(dict(zip(names, list(key) + [wi] + starts + list(res))))
-        return pd.DataFrame(out_rows, columns=names)
-
-    if keys:
-        return df.groupBy(*keys).applyInPandas(run_exact, schema=schema)
-    return (
-        df.withColumn("__g", F.lit(1))
-        .groupBy("__g")
-        .applyInPandas(lambda key, pdf: run_exact((), pdf), schema=schema)
-        .drop("__g")
-    )
+        res = df2.groupBy(*keys, "__wstart").applyInPandas(run, schema=schema)
+    if exact:
+        # per-key window ordinal (the exact path's historical row order)
+        ow = (
+            Window.partitionBy(*keys).orderBy("__wstart")
+            if keys
+            else Window.orderBy("__wstart")
+        )
+        res = res.withColumn(_ROW_ORDER, (F.row_number().over(ow) - 1).cast("long"))
+    if emit_start:
+        return res.withColumnRenamed("__wstart", emit_start)
+    return res.drop("__wstart")
 
 
 def _compile_window_all(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
