@@ -230,6 +230,23 @@ def q_towhee_time_window(spark, sf_dir):
     )
 
 
+def q_towhee_time_window_exact(spark, sf_dir):
+    # EXACT Towhee buffer semantics (gap realignment) on an overlapping
+    # window (size=3600s, step=1800s) — the native closed-form recurrence
+    # compiled by _compile_time_window(exact=True); the oracle re-runs the
+    # same recurrence in SQL (lag → realign threshold → running base →
+    # clamped aligned window range)
+    ev = load_events(spark, sf_dir)
+    p = (
+        Pipeline.input("value")
+        .time_window("value", ("n", "sum_value"), "ts", size=3600, step=1800,
+                     fn=_n_sum_agg, out_types=("bigint", "double"),
+                     exact=True, emit_start="wstart")
+        .output("user_id", "wstart", "n", "sum_value")
+    )
+    return p.apply(ev, by="user_id")
+
+
 def q_towhee_reduce(spark, sf_dir):
     ev = load_events(spark, sf_dir)
 
@@ -646,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_window_count": q_towhee_window_count,
         "towhee_window_sliding": q_towhee_window_sliding,
         "towhee_time_window": q_towhee_time_window,
+        "towhee_time_window_exact": q_towhee_time_window_exact,
         "towhee_reduce": q_towhee_reduce,
         "towhee_concat": q_towhee_concat,
         "dedup_ngram_capped": q_dedup_ngram_capped,
@@ -776,6 +794,40 @@ def oracle_sql() -> dict[str, str]:
             FROM idx, UNNEST(range(CAST(greatest(0, ceil((i - 9) / 5.0)) AS BIGINT),
                                    CAST(floor(i / 5.0) AS BIGINT) + 1)) AS u(wid)
             GROUP BY user_id, wid""",
+        "towhee_time_window_exact": """
+            WITH m AS (
+                SELECT user_id, value, epoch_us(ts) / 1000.0 AS ms FROM events
+            ),
+            l AS (
+                SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+                FROM m
+            ),
+            b AS (
+                SELECT *, CASE WHEN ms >=
+                    CASE WHEN prev IS NULL THEN 3600000.0
+                         ELSE floor(prev / 1800000) * 1800000
+                              + (CASE WHEN prev - floor(prev / 1800000) * 1800000
+                                           < 3600000 THEN 1800000 ELSE 0 END)
+                              + 3600000 END
+                THEN floor(ms / 1800000) * 1800000 END AS base_evt
+                FROM l
+            ),
+            r AS (
+                SELECT *, coalesce(max(base_evt) OVER (
+                    PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING
+                ), 0.0) AS bb
+                FROM b
+            ),
+            x AS (
+                SELECT user_id, value, wid
+                FROM r, UNNEST(range(
+                    CAST(greatest(bb / 1800000,
+                                  floor((ms - 3600000) / 1800000) + 1, 0) AS BIGINT),
+                    CAST(floor(ms / 1800000) AS BIGINT) + 1)) AS u(wid)
+            )
+            SELECT user_id, CAST(wid * 1800 AS BIGINT) AS wstart,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+            FROM x GROUP BY user_id, wstart""",
         "towhee_time_window": """
             SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
