@@ -93,3 +93,22 @@ def test_profile_run_reports_metrics(spark):
     assert any("Aggregate" in p["op"] for p in prof), [p["op"] for p in prof]
     assert metric_total(prof, "number of output rows") > 0
     assert "Aggregate" in format_profile(prof)
+
+
+def test_exact_time_window_native_plan(spark):
+    """The exact Towhee time_window must compile with ZERO Python evals
+    when the fn is a native aggregate — the closed-form realign recurrence
+    replaced the per-key Python buffer."""
+    from towhee_spark.pipeline import Pipeline
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = (
+        Pipeline.input("value")
+        .time_window("value", ("n", "s"), "ts", 3600, 1800,
+                     lambda v: (F.count(v), F.round(F.sum(v), 4)),
+                     exact=True, emit_start="wstart")
+        .output("user_id", "wstart", "n", "s")
+    )
+    out = p.apply(ev, by="user_id")
+    st = plan_stats(out)
+    assert st["python_evals"] == 0, st
