@@ -522,14 +522,17 @@ def q_dedup_ngram_capped(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    # hyperplane-blocked cosine near-dup with exact verify; the oracle
-    # re-runs the blocking algorithm in SQL (seeded plane constants), so the
-    # gate checks bucketing + candidate join + exact cosine end-to-end
+    # OR-amplified hyperplane-blocked cosine near-dup with exact verify; the
+    # oracle re-runs the multi-table blocking + 1-bit multi-probe in SQL
+    # (seeded plane constants), so the gate checks every stage end-to-end.
+    # Gate config (4 tables × 6 planes, probes=2) is sized for a
+    # deterministic sf0.01 oracle; production default is 16 × 16 (recall
+    # ≈0.96 at cos=0.95, per-table junk-collision 2^-16 — see dedup.py).
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )  # double math end-to-end: bit-parity with the oracle's DOUBLE[] cosine
     return dedup.embedding_neardup_pairs(
-        embs, threshold=0.3, block_planes=6, seed=7, dim=64
+        embs, threshold=0.3, block_planes=6, tables=4, probes=2, seed=7, dim=64
     )
 
 
@@ -908,7 +911,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings""",
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
-        "embedding_neardup": _neardup_sql(block_planes=6, dim=64, seed=7, threshold=0.3),
+        "embedding_neardup": _neardup_sql(
+            block_planes=6, tables=4, probes=2, dim=64, seed=7, threshold=0.3
+        ),
         "rag_search": _rag_sql(norm, dim=32, k=2, chunk=12, step=8),
         "chunk_text": f"""
             WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM documents)
@@ -1102,34 +1107,54 @@ def _simhash_sql(norm: str, threshold: float = 0.5, blocks: int = 6,
             WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}"""
 
 
-def _neardup_sql(block_planes: int = 6, dim: int = 64, seed: int = 7,
-                 threshold: float = 0.3) -> str:
-    """Oracle that re-runs hyperplane-blocked cosine near-dup in SQL: same
-    seeded planes as dedup.embedding_neardup_pairs → same buckets, bucket
-    self-join candidates, exact cosine verify."""
-    import numpy as np  # noqa: PLC0415
+def _neardup_sql(block_planes: int = 6, tables: int = 4, probes: int = 2,
+                 dim: int = 64, seed: int = 7, threshold: float = 0.3) -> str:
+    """Oracle that re-runs OR-amplified hyperplane-blocked cosine near-dup
+    in SQL: the SAME seeded plane bank as dedup.embedding_neardup_pairs
+    (via dedup.neardup_planes) → identical per-table buckets, 1-bit-flip
+    multi-probe on one join side, DISTINCT (least, greatest) candidate
+    pairs, exact cosine verify."""
+    from towhee_spark.functions.dedup import neardup_planes  # noqa: PLC0415
 
-    pl = np.random.default_rng(seed).normal(size=(block_planes, dim))
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in pl[p])}]) > 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(block_planes)
+    bank = neardup_planes(tables, block_planes, dim, seed)
+
+    def bucket_terms(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, "
+            f"[{', '.join(repr(float(x)) for x in bank[t * block_planes + p])}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(block_planes)
+        )
+
+    sigs = "\n                UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_terms(t)} AS bucket FROM e"
+        for t in range(tables)
     )
+    flips = [0] + [1 << p for p in range(min(probes - 1, block_planes))]
     return f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e),
+            sigs AS (
+                {sigs}
+            ),
+            probed AS (
+                SELECT vec_id, tbl, xor(bucket, f.off) AS bucket
+                FROM sigs, (SELECT unnest([{', '.join(str(o) for o in flips)}]) AS off) f
+            ),
             cand AS (
-                SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
-                FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+                SELECT DISTINCT least(x.vec_id, y.vec_id) AS id_a,
+                                greatest(x.vec_id, y.vec_id) AS id_b
+                FROM sigs x JOIN probed y
+                  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
             )
             SELECT id_a, id_b,
-                   ROUND(list_dot_product(va, vb)
-                         / (sqrt(list_dot_product(va, va))
-                            * sqrt(list_dot_product(vb, vb))), 6) AS cosine
-            FROM cand
-            WHERE ROUND(list_dot_product(va, vb)
-                        / (sqrt(list_dot_product(va, va))
-                           * sqrt(list_dot_product(vb, vb))), 6) >= {threshold}"""
+                   ROUND(list_dot_product(va.v, vb.v)
+                         / (sqrt(list_dot_product(va.v, va.v))
+                            * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
+            FROM cand JOIN e va ON cand.id_a = va.vec_id
+                      JOIN e vb ON cand.id_b = vb.vec_id
+            WHERE ROUND(list_dot_product(va.v, vb.v)
+                        / (sqrt(list_dot_product(va.v, va.v))
+                           * sqrt(list_dot_product(vb.v, vb.v))), 6) >= {threshold}"""
 
 
 def _pii_sql() -> str:
