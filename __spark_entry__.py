@@ -247,6 +247,23 @@ def q_towhee_time_window_exact(spark, sf_dir):
     return p.apply(ev, by="user_id")
 
 
+def q_towhee_time_window_exact_chunked(spark, sf_dir):
+    # HOT-KEY variant of the exact path: the same recurrence computed per
+    # (key, time-chunk) with a tiny cross-chunk carry (chunk_seconds=3600 →
+    # many chunks on this corpus), so a mega-conversation never serializes
+    # onto one task. Chunking must be invisible: gated against the SAME
+    # recurrence-mirror oracle as towhee_time_window_exact.
+    ev = load_events(spark, sf_dir)
+    p = (
+        Pipeline.input("value")
+        .time_window("value", ("n", "sum_value"), "ts", size=3600, step=1800,
+                     fn=_n_sum_agg, out_types=("bigint", "double"),
+                     exact=True, emit_start="wstart", chunk_seconds=3600)
+        .output("user_id", "wstart", "n", "sum_value")
+    )
+    return p.apply(ev, by="user_id")
+
+
 def q_towhee_reduce(spark, sf_dir):
     ev = load_events(spark, sf_dir)
 
@@ -667,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_window_sliding": q_towhee_window_sliding,
         "towhee_time_window": q_towhee_time_window,
         "towhee_time_window_exact": q_towhee_time_window_exact,
+        "towhee_time_window_exact_chunked": q_towhee_time_window_exact_chunked,
         "towhee_reduce": q_towhee_reduce,
         "towhee_concat": q_towhee_concat,
         "dedup_ngram_capped": q_dedup_ngram_capped,
@@ -702,6 +720,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql()
+    # chunking must be invisible: the hot-key chunked exact time_window is
+    # gated against the SAME recurrence-mirror SQL as the unchunked path
+    d["towhee_time_window_exact_chunked"] = d["towhee_time_window_exact"]
+    return d
+
+
+def _oracle_sql() -> dict[str, str]:
     tok_cnt = (
         "CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE "
         "len(string_split_regex(trim(text), '\\s+')) END"

@@ -241,6 +241,27 @@ def test_locf_chunked_matches_locf_with_mega_conversation(spark):
     assert nchunks > 1
 
 
+def test_carry_join_broadcast_guard_plan_flips(spark, sdfs):
+    """broadcast_carry is a plan hint only: False must flip the carry join
+    from BroadcastHashJoin to a shuffled join (the 10^9-carry-rows escape
+    hatch) with byte-identical results."""
+    from towhee_spark.temporal import locf_chunked
+
+    st, _ = sdfs
+    bcast = locf_chunked(st, ["tool"], chunk_seconds=600.0, broadcast_carry=True)
+    shuf = locf_chunked(st, ["tool"], chunk_seconds=600.0, broadcast_carry=False)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in plan(bcast)
+    p = plan(shuf)
+    assert "BroadcastHashJoin" not in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p)
+    key = lambda r: (r.conv_id, r.turn_idx)
+    assert sorted(((key(r), r.tool_ff) for r in bcast.collect())) == \
+           sorted(((key(r), r.tool_ff) for r in shuf.collect()))
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 @pytest.mark.parametrize("allow_exact", [True, False])
 def test_asof_chunked_matches_asof(spark, corpus, sdfs, direction, allow_exact):

@@ -68,6 +68,83 @@ def test_exhaustive_grid_vs_reference_sim():
             assert got == expected, (size, step)
 
 
+def test_chunked_exact_matches_buffer_model(spark):
+    """The HOT-KEY chunked recurrence (per-(key, time-chunk) lag/max with a
+    tiny cross-chunk carry) must reproduce the Towhee buffer model exactly —
+    chunk boundaries chosen small so the carry path fires many times per
+    stream."""
+    import random
+
+    from towhee_spark.pipeline import Pipeline, towhee_time_window_ids
+
+    rng = random.Random(7)
+    for trial in range(12):
+        n = rng.randint(1, 40)
+        ts = sorted(rng.randint(0, 50) * 1000 for _ in range(n))
+        vals = list(range(len(ts)))
+        size = rng.randint(1, 9)
+        step = rng.randint(1, 11)
+        chunk = rng.choice([2, 3, 7, 13])
+        rows = [("k", v, t) for v, t in zip(vals, ts)]
+        df = spark.createDataFrame(rows, "k string, v long, t long")
+        p = (
+            Pipeline.input("v")
+            .time_window("v", "members", "t", size, step,
+                         lambda v: sorted(v),
+                         out_types=("array<bigint>",), exact=True,
+                         emit_start="wstart", chunk_seconds=chunk)
+            .output("k", "wstart", "members")
+        )
+        got = {
+            (r.k, r.wstart): list(r.members)
+            for r in p.apply(df, by="k").collect()
+        }
+        exp = {
+            ("k", ws // 1000): sorted(vals[i] for i in idxs)
+            for ws, idxs in towhee_time_window_ids(ts, size, step, with_starts=True)
+        }
+        assert got == exp, (ts, size, step, chunk, got, exp)
+
+
+def test_chunked_exact_megakey_multitask(spark):
+    """A planted mega-key (one conversation, 100k turns): the chunked plan
+    must (a) window on (key, chunk) — no per-row window partitioned on the
+    bare key, the single-task serialization hazard — and (b) agree with the
+    unchunked exact path window-for-window."""
+    from pyspark.sql import functions as F
+
+    from towhee_spark.pipeline import Pipeline
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit("mega").alias("k"),
+        F.col("id").alias("v"),
+        # irregular spacing w/ gaps so realignment fires
+        (F.col("id") * 1700 + (F.col("id") % 97) * 3000
+         + F.when(F.col("id") % 1000 == 0, 900_000).otherwise(0)).alias("t"),
+    )
+
+    def mk(chunk):
+        return (
+            Pipeline.input("v")
+            .time_window("v", ("cnt", "vsum"), "t", 3600, 1800,
+                         lambda v: (F.count(v), F.sum(v)),
+                         exact=True, emit_start="wstart",
+                         chunk_seconds=chunk)
+            .output("k", "wstart", "cnt", "vsum")
+        )
+
+    chunked = mk(3_600).apply(df, by="k")  # ~47 chunks over the 170k-s span
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "__ck" not in line and "__wstart" not in line:
+            raise AssertionError(f"per-row window without chunk key:\n{line}")
+    got = {(r.wstart): (r.cnt, r.vsum) for r in chunked.collect()}
+    exp = {(r.wstart): (r.cnt, r.vsum) for r in mk(None).apply(df, by="k").collect()}
+    assert got == exp
+    assert len(got) > 80  # sanity: ~95 overlapping windows over the span
+
+
 def test_native_exact_plan_matches_buffer_model(spark):
     """The compiled exact time_window (closed-form realign recurrence,
     fully native) must reproduce the Towhee buffer model's window contents

@@ -295,14 +295,24 @@ class Pipeline:
 
     def time_window(self, in_cols, out_cols, timestamp_col: str, size: int, step: int,
                     fn, out_types=None, exact: bool = True,
-                    emit_start: str | None = None) -> "Pipeline":
+                    emit_start: str | None = None,
+                    chunk_seconds: float | None = None,
+                    broadcast_carry: bool | None = True) -> "Pipeline":
         """Time window [start, start+size) advancing by ``step`` seconds.
         ``emit_start`` names an extra output carrying the window start in
-        epoch seconds (both exact and scale paths)."""
+        epoch seconds (both exact and scale paths).
+
+        ``chunk_seconds`` (exact path only) is the HOT-KEY lever: the
+        realign recurrence is computed per (key, time-chunk) with a tiny
+        per-chunk carry — same results, but a mega-key no longer serializes
+        onto one task (cf. temporal.locf_chunked). ``broadcast_carry``
+        controls the carry join strategy (see temporal.carry_join)."""
         return self._append(_Node("time_window", _tup(in_cols), _tup(out_cols), fn,
                                   {"ts": timestamp_col, "size": size, "step": step,
                                    "out_types": out_types, "exact": exact,
-                                   "emit_start": emit_start}))
+                                   "emit_start": emit_start,
+                                   "chunk_seconds": chunk_seconds,
+                                   "broadcast_carry": broadcast_carry}))
 
     def window_all(self, in_cols, out_cols, fn, out_types=None) -> "Pipeline":
         return self._append(_Node("window_all", _tup(in_cols), _tup(out_cols), fn,
@@ -865,32 +875,102 @@ def _compile_time_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
         # window range at the base. Fully JVM (one window spec + explode) —
         # no per-key Python buffer, no single-task mega-key hazard beyond
         # the native lag/last sort every windowed op shares.
-        kw = (
-            Window.partitionBy(*keys).orderBy("__ms")
-            if keys
-            else Window.orderBy("__ms")
-        )
-        prev = F.lag("__ms").over(kw)
-        prev_base = F.floor(prev / step_ms) * step_ms
-        thr = F.when(prev.isNull(), F.lit(float(size_ms))).otherwise(
-            prev_base
-            + F.when(prev - prev_base < size_ms, F.lit(step_ms)).otherwise(F.lit(0))
-            + F.lit(size_ms)
-        )
-        base_evt = F.when(
-            F.col("__ms") >= thr, F.floor(F.col("__ms") / step_ms) * step_ms
-        )
-        run_base = F.coalesce(
-            F.last("__base_evt", ignorenulls=True).over(
-                kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-            F.lit(0.0),
-        )
-        src = (
-            df.withColumn("__ms", ms)
-            .withColumn("__base_evt", base_evt)
-            .withColumn("__B", run_base)
-        )
+        def pair_base(prev, t):
+            # the pairwise recurrence kernel: the realign base contributed
+            # by consecutive rows (prev, t); null when no realign fires
+            prev_base = F.floor(prev / step_ms) * step_ms
+            thr = F.when(prev.isNull(), F.lit(float(size_ms))).otherwise(
+                prev_base
+                + F.when(prev - prev_base < size_ms, F.lit(step_ms)).otherwise(F.lit(0))
+                + F.lit(size_ms)
+            )
+            return F.when(t >= thr, F.floor(t / step_ms) * step_ms)
+
+        chunk_s = node.params.get("chunk_seconds")
+        if chunk_s:
+            # HOT-KEY path: the recurrence state between consecutive rows is
+            # just (prev ts); the running base is a MAX-aggregate of the
+            # pairwise bases (monotone in ts, so last-non-null == running
+            # max). Both chunk cleanly: compute per (key, time-chunk), carry
+            # (last ts, max base) across chunks via a tiny per-chunk frame —
+            # a mega-key fans out across chunks instead of one task.
+            # Equal ts always share a chunk (floor bucketing), so tie
+            # handling is identical to the global-window path.
+            from towhee_spark.temporal import carry_join  # noqa: PLC0415
+
+            chunk_ms = float(chunk_s) * 1000
+            ckw = Window.partitionBy(*keys, "__ck").orderBy("__ms")
+            s0 = (
+                df.withColumn("__ms", ms)
+                .withColumn("__ck", F.floor(F.col("__ms") / F.lit(chunk_ms)).cast("long"))
+                .withColumn("__pl", F.lag("__ms").over(ckw))
+            )
+            # per-chunk aggregates: first/last ts + max pairwise base among
+            # rows with an IN-chunk predecessor (row 1 recomputed below with
+            # the carried predecessor)
+            agg = s0.withColumn(
+                "__bloc", F.when(F.col("__pl").isNotNull(),
+                                 pair_base(F.col("__pl"), F.col("__ms")))
+            ).groupBy(*keys, "__ck").agg(
+                F.min("__ms").alias("__first"),
+                F.max("__ms").alias("__last"),
+                F.max("__bloc").alias("__bmax"),
+            )
+            cw = Window.partitionBy(*keys).orderBy("__ck")
+            cagg = (
+                agg.withColumn("__prevlast", F.lag("__last").over(cw))
+                .withColumn(
+                    "__contrib",
+                    F.greatest(
+                        "__bmax", pair_base(F.col("__prevlast"), F.col("__first"))
+                    ),
+                )
+            )
+            carry = cagg.select(
+                *keys, "__ck", "__prevlast",
+                F.max("__contrib").over(
+                    cw.rowsBetween(Window.unboundedPreceding, -1)
+                ).alias("__carryB"),
+            )
+            joined = carry_join(
+                s0, carry, [*keys, "__ck"],
+                broadcast=node.params.get("broadcast_carry", True),
+            )
+            be = pair_base(
+                F.coalesce(F.col("__pl"), F.col("__prevlast")), F.col("__ms")
+            )
+            run_local = F.last("__base_evt", ignorenulls=True).over(
+                ckw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            src = (
+                joined.withColumn("__base_evt", be)
+                .withColumn(
+                    "__B",
+                    F.coalesce(
+                        F.greatest(run_local, F.col("__carryB")), F.lit(0.0)
+                    ),
+                )
+                .drop("__ck", "__pl", "__prevlast", "__carryB")
+            )
+        else:
+            kw = (
+                Window.partitionBy(*keys).orderBy("__ms")
+                if keys
+                else Window.orderBy("__ms")
+            )
+            prev = F.lag("__ms").over(kw)
+            base_evt = pair_base(prev, F.col("__ms"))
+            run_base = F.coalesce(
+                F.last("__base_evt", ignorenulls=True).over(
+                    kw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                F.lit(0.0),
+            )
+            src = (
+                df.withColumn("__ms", ms)
+                .withColumn("__base_evt", base_evt)
+                .withColumn("__B", run_base)
+            )
         lo_e = F.greatest(lo, (F.col("__B") / step_ms).cast("long"))
         wids = F.when(lo_e <= hi, F.sequence(lo_e, hi)).otherwise(
             F.array().cast("array<long>")

@@ -338,6 +338,35 @@ def sessionize(
     return df.drop(tmp)
 
 
+def carry_join(
+    df: DataFrame,
+    carry: DataFrame,
+    on: Sequence[str],
+    broadcast: bool | None = True,
+    how: str = "left",
+) -> DataFrame:
+    """Join a per-(key, time-chunk) carry frame back onto the row frame —
+    the shared final step of every chunked hot-key operator.
+
+    ``broadcast`` picks the strategy for the carry side:
+
+    * ``True``  (default) — force a broadcast hash join. Right whenever the
+      carry fits one executor: it has ONE row per (key, chunk), i.e.
+      n_keys · span/chunk_seconds rows; with day chunks over a year that is
+      365·n_keys — broadcastable up to ~10M distinct keys.
+    * ``False`` — force a shuffled sort-merge join. Use beyond that scale
+      (10^9+ carry rows would exceed broadcast/driver limits).
+    * ``None``  — no hint; AQE picks from runtime sizes
+      (spark.sql.adaptive.autoBroadcastJoinThreshold).
+
+    The choice is a plan hint only — results are identical (unit-tested)."""
+    if broadcast is True:
+        carry = F.broadcast(carry)
+    elif broadcast is False:
+        carry = carry.hint("shuffle_merge")
+    return df.join(carry, on=list(on), how=how)
+
+
 def locf_chunked(
     df: DataFrame,
     cols: Sequence[str],
@@ -346,6 +375,7 @@ def locf_chunked(
     chunk_seconds: float = 86400.0,
     suffix: str = "_ff",
     order_extra: Sequence[str] = ("turn_idx",),
+    broadcast_carry: bool | None = True,
 ) -> DataFrame:
     """LOCF for HOT keys: value-chunked two-pass fill, 100% JVM.
 
@@ -400,7 +430,7 @@ def locf_chunked(
             for c in cols
         ],
     )
-    out = filled.join(F.broadcast(carry), on=keys + [chunk], how="left")
+    out = carry_join(filled, carry, keys + [chunk], broadcast=broadcast_carry)
     for c in cols:
         out = out.withColumn(
             c + suffix, F.coalesce(F.col(c + suffix), F.col(c + "__carry"))
@@ -419,6 +449,7 @@ def asof_join_chunked(
     right_cols: Sequence[str] | None = None,
     suffix: str = "",
     chunk_seconds: float = 86400.0,
+    broadcast_carry: bool | None = True,
 ) -> DataFrame:
     """As-of join for HOT keys: the :func:`asof_join` sweep partitioned on
     (key, time-chunk) so no single conversation serializes one task, plus a
@@ -490,8 +521,8 @@ def asof_join_chunked(
     )
 
     res = (
-        filled.filter(F.col(_SRC) == 1)
-        .join(F.broadcast(carry), on=keys + [chunk], how="left")
+        carry_join(filled.filter(F.col(_SRC) == 1), carry, keys + [chunk],
+                   broadcast=broadcast_carry)
         .withColumn(_PAY, F.coalesce(F.col(_PAY), F.col("__carry")))
         .drop("__carry", chunk)
         .withColumn(_RTS, F.col(_PAY)["__rts"])
