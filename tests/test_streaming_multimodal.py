@@ -191,6 +191,110 @@ def test_stateful_stream_locf_rows(spark, corpus_df, tmp_path):
     spark.catalog.dropTempView("locf_state")
 
 
+def _ooo_stream_fixture(spark, tmp_path, name):
+    """A deliberately OUT-OF-ORDER micro-batch stream: rows are shuffled
+    across three files (each file mixes early and late event times), plus
+    two far-future sentinel files that advance the global watermark so
+    buffered tails flush via event-time timeouts. Timestamps are strictly
+    distinct per key, so ordered results are unambiguous and the comparison
+    with batch semantics can be EXACT. Returns (batch_df, stream_df)."""
+    import random
+    import time as _time
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    base = pd.Timestamp("2026-03-01")
+    rows = []
+    for ci in range(6):
+        for t in range(40):
+            tool = f"tool{t // 9}" if t % 7 == 0 else None
+            # distinct, irregular, gap-bearing timestamps (span ~3.3 h)
+            ts = base + pd.Timedelta(seconds=t * 300 + (ci * 37 + t * 11) % 250)
+            rows.append((f"c{ci}", t, "user", f"txt{t}", tool, ts))
+    rng.shuffle(rows)
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    batch_df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / name)
+    n = len(pdf)
+    for i in range(3):  # shuffled thirds: every file spans the full range
+        part = pdf.iloc[i * n // 3:(i + 1) * n // 3]
+        spark.createDataFrame(part, schema=batch_df.schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    for j, days in enumerate((2, 3)):  # watermark-advancing sentinels
+        sent = pdf.iloc[:1].copy()
+        sent["conv_id"] = f"__sentinel{j}"
+        sent["ts"] = (base + pd.Timedelta(days=days)).as_unit("us")
+        sent["tool"] = None
+        sent = sent.astype({"tool": object})
+        spark.createDataFrame(sent, schema=batch_df.schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return batch_df, stream_df
+
+
+def test_stateful_sessionize_out_of_order(spark, tmp_path):
+    """ordered=False sessionize on shuffled micro-batches must EXACTLY match
+    batch sessionize: the watermark-sorted state buffer re-orders rows
+    before the sequential session logic sees them."""
+    from towhee_spark import sessionize
+    from towhee_spark.streaming.stateful import stream_sessionize_rows
+
+    batch_df, stream_df = _ooo_stream_fixture(spark, tmp_path, "ooo_sess")
+    labeled = stream_sessionize_rows(
+        stream_df, gap=600.0, watermark="4 hours", ordered=False)
+    q = (
+        labeled.writeStream.format("memory").queryName("ooo_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx): r.session_seq
+        for r in spark.sql("select * from ooo_sess").collect()
+        if not r.conv_id.startswith("__sentinel")
+    }
+    exp = {(r.conv_id, r.turn_idx): r.seq
+           for r in sessionize(batch_df, gap=600.0, seq_out="seq").collect()}
+    assert got == exp, (len(got), len(exp))
+    spark.catalog.dropTempView("ooo_sess")
+
+
+def test_stateful_locf_out_of_order(spark, tmp_path):
+    """ordered=False streaming LOCF on shuffled micro-batches must EXACTLY
+    match batch locf row-for-row."""
+    from towhee_spark import locf
+    from towhee_spark.streaming.stateful import stream_locf_rows
+
+    batch_df, stream_df = _ooo_stream_fixture(spark, tmp_path, "ooo_locf")
+    filled = stream_locf_rows(
+        stream_df, cols=("tool",), watermark="4 hours", ordered=False)
+    q = (
+        filled.writeStream.format("memory").queryName("ooo_locf")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx): r.tool_ff
+        for r in spark.sql("select * from ooo_locf").collect()
+        if not r.conv_id.startswith("__sentinel")
+    }
+    exp = {
+        (r.conv_id, r.turn_idx): (None if r.tool_ff is None else str(r.tool_ff))
+        for r in locf(batch_df, ["tool"]).collect()
+    }
+    assert got == exp, (len(got), len(exp))
+    spark.catalog.dropTempView("ooo_locf")
+
+
 def test_detect_objects_shape(spark):
     """Detection struct (boxes/classes/scores), deterministic stub model,
     boxes clamped to the frame; composes after decode_images like the

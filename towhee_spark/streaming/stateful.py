@@ -7,15 +7,33 @@ so each arriving turn gets its session sequence incrementally — the shape
 Towhee's stateful PyOperator (towhee/operator/base.py:240-252) would take
 on an unbounded stream.
 
-Contract: these sequential stateful ops assume per-key EVENT-TIME-ORDERED
-arrival across micro-batches (within a batch they sort). Out-of-order
-sources need an ordered ingestion layer (time-sliced files, Kafka keyed by
-conversation with in-partition ordering) or a watermark-delayed sort stage
-ahead of them.
+Ordering contract — two modes:
+
+* ``ordered=True`` (default): assumes per-key EVENT-TIME-ORDERED arrival
+  across micro-batches (within a batch they sort). Right for ordered
+  ingestion layers (time-sliced files, Kafka keyed by conversation with
+  in-partition ordering); zero buffering cost.
+* ``ordered=False``: out-of-order tolerant. Rows are BUFFERED in per-key
+  state and released in event-time order only once the watermark passes
+  them (no earlier row can still arrive — the engine drops rows older than
+  the watermark before they reach the operator), so the sequential logic
+  sees a correctly ordered stream even from shuffled sources. Buffered
+  tails flush via event-time timeouts as the watermark advances; the final
+  tail flushes when any later data (any key) advances the global watermark
+  past it — standard streaming semantics, exercised in tests with a
+  sentinel row. Rows with equal timestamps are inherently order-ambiguous
+  in any mode. Buffer residency is bounded by the watermark delay
+  (delay × per-key arrival rate rows). Streaming-only (a batch frame has
+  no watermark; batch mode keeps the sort-within-batch behavior).
+
+One stateful operator does both jobs because Structured Streaming does not
+support chaining (flat)MapGroupsWithState-family operators — the sort
+buffer cannot be a separate upstream stage.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,6 +50,73 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _ts_us(pdf: pd.DataFrame, ts: str) -> pd.Series:
+    from towhee_spark.temporal import pandas_epoch_us  # noqa: PLC0415
+
+    if pd.api.types.is_datetime64_any_dtype(pdf[ts]):
+        return pandas_epoch_us(pdf[ts])  # unit-aware, not ns-assuming
+    return pdf[ts].astype("int64")  # numeric ts column: already epoch-µs
+
+
+def _enc_val(v, dtype) -> object:
+    """JSON-safe encoding of one cell for the state buffer."""
+    if v is None or v != v:  # null / NaN / NaT (NaT != NaT)
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return int(pd.Timestamp(v).value // 1000)  # epoch-µs
+    if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dtype, T.BooleanType):
+        return bool(v)
+    return str(v)
+
+
+def _dec_series(vals: list, dtype) -> pd.Series:
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return pd.Series(pd.to_datetime(
+            pd.Series(vals, dtype="float64"), unit="us"))
+    return pd.Series(vals, dtype=object)
+
+
+def _buffer_merge(state: GroupState, batches, ts: str, carry_cols, schema):
+    """Decode the state buffer, append this batch's rows, and split into
+    (ready, hold) by the current watermark: ready rows (ts ≤ watermark) are
+    safe to process in event-time order — the engine has already dropped
+    anything older than the watermark, so no earlier row can still arrive.
+
+    Buffered rows are carried as JSON arrays [ts_us, v1, v2, ...] (one slot
+    per carry col; timestamps as epoch-µs ints) — a fixed array<string>
+    state field regardless of the carried schema."""
+    buf_rows = [json.loads(s) for s in (state.get[-1] or [])] if state.exists else []
+    if not state.hasTimedOut:
+        for pdf in batches:
+            us = _ts_us(pdf, ts).tolist()
+            cols = [pdf[c].tolist() for c in carry_cols]
+            for i, t_us in enumerate(us):
+                buf_rows.append(
+                    [int(t_us)]
+                    + [_enc_val(col[i], schema[c].dataType)
+                       for c, col in zip(carry_cols, cols)]
+                )
+    buf_rows.sort(key=lambda r: r[0])
+    wm_ms = state.getCurrentWatermarkMs()
+    cutoff_us = wm_ms * 1000
+    ready = [r for r in buf_rows if r[0] <= cutoff_us]
+    hold = [r for r in buf_rows if r[0] > cutoff_us]
+    return ready, hold, wm_ms
+
+
+def _store_and_arm(state: GroupState, persist: tuple, hold: list, wm_ms: int):
+    """Persist (logic state..., encoded hold buffer) and arm an event-time
+    timeout at the earliest buffered row so the tail flushes when the
+    watermark passes it — even if this key receives no further rows."""
+    state.update((*persist, [json.dumps(r) for r in hold]))
+    if hold:
+        state.setTimeoutTimestamp(max(hold[0][0] // 1000, wm_ms + 1))
+
+
 def stream_sessionize_rows(
     df: DataFrame,
     gap: float = 1800.0,
@@ -40,49 +125,76 @@ def stream_sessionize_rows(
     out_cols: tuple[str, ...] = ("conv_id", "turn_idx", "ts"),
     seq_col: str = "session_seq",
     watermark: str = "30 minutes",
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-row session labelling over a stream (or batch df in tests).
 
-    Rows within each micro-batch are processed in (ts) order per key; the
-    (last_us, seq) state persists across batches. Late rows beyond the
-    watermark are dropped by the engine before reaching the operator."""
+    ``ordered=True``: rows within each micro-batch are processed in (ts)
+    order per key; the (last_us, seq) state persists across batches.
+    ``ordered=False``: watermark-sorted buffering first (module docstring) —
+    correct on out-of-order sources at the cost of watermark-delay latency."""
     gap_us = int(gap * 1_000_000)
+    in_schema = df.schema  # bound locally: closures must not capture df
     out_schema = T.StructType(
-        [df.schema[c] for c in out_cols] + [T.StructField(seq_col, T.LongType())]
+        [in_schema[c] for c in out_cols] + [T.StructField(seq_col, T.LongType())]
     )
     out_names = [f.name for f in out_schema.fields]
+
+    def session_pass(us_list, last_us, seq):
+        seqs = []
+        for t_us in us_list:
+            if last_us is None or t_us - last_us > gap_us:
+                seq += 1
+            last_us = int(t_us)
+            seqs.append(seq)
+        return seqs, last_us, seq
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             last_us, seq = state.get
         else:
             last_us, seq = None, 0
-        from towhee_spark.temporal import pandas_epoch_us  # noqa: PLC0415
-
         for pdf in batches:
             pdf = pdf.sort_values(ts, kind="mergesort")
-            if pd.api.types.is_datetime64_any_dtype(pdf[ts]):
-                us = pandas_epoch_us(pdf[ts])  # unit-aware, not ns-assuming
-            else:  # numeric ts column: values are already epoch-µs
-                us = pdf[ts].astype("int64")
-            seqs = []
-            for t_us in us:
-                if last_us is None or t_us - last_us > gap_us:
-                    seq += 1
-                last_us = int(t_us)
-                seqs.append(seq)
+            us = _ts_us(pdf, ts)
+            seqs, last_us, seq = session_pass(us, last_us, seq)
             out = pdf[list(out_cols)].copy()
             out[seq_col] = seqs
             yield out[out_names]
         state.update((last_us, seq))
 
-    src = df.withWatermark(ts, watermark) if df.isStreaming else df
-    return src.groupBy(key).applyInPandasWithState(
-        fn,
+    def fn_ooo(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        last_us, seq = (state.get[0], state.get[1]) if state.exists else (None, 0)
+        ready, hold, wm_ms = _buffer_merge(state, batches, ts, out_cols, in_schema)
+        if ready:
+            seqs, last_us, seq = session_pass([r[0] for r in ready], last_us, seq)
+            out = pd.DataFrame({
+                c: _dec_series([r[1 + i] for r in ready], in_schema[c].dataType)
+                for i, c in enumerate(out_cols)
+            })
+            out[seq_col] = seqs
+            yield out[out_names]
+        _store_and_arm(state, (last_us, seq), hold, wm_ms)
+
+    if ordered or not df.isStreaming:
+        src = df.withWatermark(ts, watermark) if df.isStreaming else df
+        return src.groupBy(key).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    state_schema = T.StructType(
+        list(_STATE_SCHEMA.fields)
+        + [T.StructField("buf", T.ArrayType(T.StringType()))]
+    )
+    return df.withWatermark(ts, watermark).groupBy(key).applyInPandasWithState(
+        fn_ooo,
         outputStructType=out_schema,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -94,6 +206,7 @@ def stream_locf_rows(
     out_cols: tuple[str, ...] = ("conv_id", "turn_idx", "ts"),
     suffix: str = "_ff",
     watermark: str = "30 minutes",
+    ordered: bool = True,
 ) -> DataFrame:
     """Streaming last-observation-carried-forward: per-key state carries the
     last non-null value of each ``cols`` across micro-batches, so every
@@ -101,38 +214,75 @@ def stream_locf_rows(
     face of temporal.locf (north_rule backfill on unbounded transcripts).
 
     State schema: one nullable string slot per filled column (values are
-    carried in their string form; cast downstream if needed)."""
+    carried in their string form; cast downstream if needed).
+    ``ordered=False`` adds the watermark-sorted buffer (module docstring)."""
     state_schema = T.StructType(
         [T.StructField(f"last_{c}", T.StringType()) for c in cols]
     )
+    in_schema = df.schema  # bound locally: closures must not capture df
     out_schema = T.StructType(
-        [df.schema[c] for c in out_cols]
+        [in_schema[c] for c in out_cols]
         + [T.StructField(f"{c}{suffix}", T.StringType()) for c in cols]
     )
     out_names = [f.name for f in out_schema.fields]
+    carry = list(out_cols) + [c for c in cols if c not in out_cols]
+
+    def locf_pass(col_seqs, last):
+        """col_seqs: per fill-col list of raw values in event-time order."""
+        filled = [[] for _ in cols]
+        n = len(col_seqs[0]) if cols else 0
+        for j in range(n):
+            for i in range(len(cols)):
+                v = col_seqs[i][j]
+                if v is not None and v == v:  # non-null, non-NaN
+                    last[i] = str(v)
+                filled[i].append(last[i])
+        return filled, last
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         last = list(state.get) if state.exists else [None] * len(cols)
         for pdf in batches:
             pdf = pdf.sort_values(ts, kind="mergesort")
-            filled: dict[str, list] = {f"{c}{suffix}": [] for c in cols}
-            for _, row in pdf.iterrows():
-                for i, c in enumerate(cols):
-                    v = row[c]
-                    if v is not None and v == v:  # non-null, non-NaN
-                        last[i] = str(v)
-                    filled[f"{c}{suffix}"].append(last[i])
+            filled, last = locf_pass([pdf[c].tolist() for c in cols], last)
             out = pdf[list(out_cols)].copy()
-            for name, vals in filled.items():
-                out[name] = vals
+            for c, vals in zip(cols, filled):
+                out[f"{c}{suffix}"] = vals
             yield out[out_names]
         state.update(tuple(last))
 
-    src = df.withWatermark(ts, watermark) if df.isStreaming else df
-    return src.groupBy(key).applyInPandasWithState(
-        fn,
+    def fn_ooo(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        last = list(state.get[: len(cols)]) if state.exists else [None] * len(cols)
+        ready, hold, wm_ms = _buffer_merge(state, batches, ts, carry, in_schema)
+        if ready:
+            idx = {c: 1 + i for i, c in enumerate(carry)}
+            filled, last = locf_pass(
+                [[r[idx[c]] for r in ready] for c in cols], last)
+            out = pd.DataFrame({
+                c: _dec_series([r[idx[c]] for r in ready], in_schema[c].dataType)
+                for c in out_cols
+            })
+            for c, vals in zip(cols, filled):
+                out[f"{c}{suffix}"] = vals
+            yield out[out_names]
+        _store_and_arm(state, tuple(last), hold, wm_ms)
+
+    if ordered or not df.isStreaming:
+        src = df.withWatermark(ts, watermark) if df.isStreaming else df
+        return src.groupBy(key).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    ooo_state = T.StructType(
+        list(state_schema.fields)
+        + [T.StructField("buf", T.ArrayType(T.StringType()))]
+    )
+    return df.withWatermark(ts, watermark).groupBy(key).applyInPandasWithState(
+        fn_ooo,
         outputStructType=out_schema,
-        stateStructType=state_schema,
+        stateStructType=ooo_state,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
