@@ -109,13 +109,17 @@ def sample_video_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip-over-columns (no iterrows): per-row Series construction costs
+        # more than the fake decode itself
         for pdf in batches:
+            ids = [pdf[c].tolist() for c in id_cols]
+            contents = pdf[content_col].tolist()
             rows = []
-            for _, r in pdf.iterrows():
+            for ridx, content in enumerate(contents):
                 for i in range(n_frames):
-                    frame = _fake_decode((r[content_col] or b"") + bytes([i]), 8, 8)
+                    frame = _fake_decode((content or b"") + bytes([i]), 8, 8)
                     rows.append(
-                        {**{c: r[c] for c in id_cols},
+                        {**{c: col[ridx] for c, col in zip(id_cols, ids)},
                          "frame_idx": i,
                          "frame": {"data": frame.tobytes(), "mode": "RGB",
                                    "ts_ms": i * fps_ms, "key_frame": int(i == 0)}}

@@ -249,13 +249,23 @@ def embed_text_udf(dim: int = 64):
 
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def np_normalize(vecs: pd.Series) -> pd.Series:
-    """L2-normalize an array<float> column (Arrow-batched)."""
+    """L2-normalize an array<float> column (Arrow-batched). Uniform-width
+    batches (the normal embedding case) take ONE (n, d) matrix normalize;
+    ragged batches fall back to a per-element loop."""
+    vals = vecs.tolist()
+    lens = {len(v) for v in vals}
+    if len(lens) == 1:
+        m = np.asarray(vals, dtype=np.float32)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        out = m / np.where(n > 0, n, 1.0)
+        return pd.Series(list(out))
+
     def norm1(v):
         a = np.asarray(v, dtype=np.float32)
         n = float(np.linalg.norm(a))
         return (a / n).tolist() if n > 0 else a.tolist()
 
-    return vecs.map(norm1)
+    return pd.Series([norm1(v) for v in vals])
 
 
 def cosine_expr(a, b):

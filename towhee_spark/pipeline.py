@@ -595,17 +595,24 @@ def _compile_flat_map(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
                 return tuple(item)
             raise TypeError(f"flat_map fn item {item!r} not splittable into {out_cols}")
 
+        # zip-over-columns, not iterrows: per-row Series materialization is
+        # ~10× the cost of the (contractual) per-row fn call itself
+        passthru = [c for c in names if c not in out_cols and c != "__pos"]
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                for j, item in enumerate(fn(*[row[c] for c in in_cols])):
-                    d = row.to_dict()
-                    d.update(dict(zip(out_cols, as_outputs(item))))
-                    d["__pos"] = j
-                    rows.append(d)
-            yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
-                {c: pd.Series([], dtype=object) for c in names}
-            )
+            in_lists = [pdf[c].tolist() for c in in_cols]
+            pt_lists = [pdf[c].tolist() for c in passthru]
+            out_data: dict[str, list] = {c: [] for c in names}
+            for ridx, args in enumerate(zip(*in_lists)):
+                for j, item in enumerate(fn(*args)):
+                    for c, v in zip(out_cols, as_outputs(item)):
+                        out_data[c].append(v)
+                    for c, col in zip(passthru, pt_lists):
+                        out_data[c].append(col[ridx])
+                    out_data["__pos"].append(j)
+            if out_data["__pos"]:
+                yield pd.DataFrame(out_data, columns=names)
+            else:
+                yield pd.DataFrame({c: pd.Series([], dtype=object) for c in names})
 
     schema = T.StructType(list(schema.fields) + [T.StructField("__pos", T.IntegerType())])
     names = [f.name for f in schema.fields]
