@@ -549,7 +549,9 @@ def q_embedding_neardup(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )  # double math end-to-end: bit-parity with the oracle's DOUBLE[] cosine
     return dedup.embedding_neardup_pairs(
-        embs, threshold=0.3, block_planes=6, tables=4, probes=2, seed=7, dim=64
+        embs, threshold=0.3, block_planes=6, tables=4, probes=2, seed=7, dim=64,
+        impl="expr",  # oracle-reproducible signatures; production default is
+        # the Arrow matmul kernel (same buckets, ~15x faster — see dedup.py)
     )
 
 
@@ -1241,10 +1243,18 @@ def _rag_sql(norm: str, dim: int = 32, k: int = 2, chunk: int = 12, step: int = 
                 FROM qraw r JOIN qnorm n ON r.key1 = n.key1
             ),
             scored AS (
-                SELECT q.query_id, c.doc_id, c.start, SUM(q.val * c.val) AS dot
-                FROM qemb q JOIN cemb c ON q.dim_idx = c.dim_idx
-                WHERE c.doc_id != q.query_id
-                GROUP BY q.query_id, c.doc_id, c.start
+                -- TOTAL over query×chunk (ADVICE): structurally-zero pairs
+                -- (no shared nonzero dim) score 0.0 exactly like the dense
+                -- Spark plan, instead of being absent from the sparse join
+                SELECT qk.query_id, ck.doc_id, ck.start,
+                       COALESCE(SUM(q.val * c.val), 0.0) AS dot
+                FROM (SELECT DISTINCT key1 AS query_id FROM qraw) qk
+                CROSS JOIN (SELECT DISTINCT key1 AS doc_id, key2 AS start FROM craw) ck
+                LEFT JOIN qemb q ON q.query_id = qk.query_id
+                LEFT JOIN cemb c ON c.doc_id = ck.doc_id AND c.start = ck.start
+                                AND c.dim_idx = q.dim_idx
+                WHERE ck.doc_id != qk.query_id
+                GROUP BY qk.query_id, ck.doc_id, ck.start
             ),
             ranked AS (
                 SELECT query_id, doc_id, start,

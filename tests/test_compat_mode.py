@@ -123,3 +123,34 @@ def test_native_probe_semantics_guard(spark):
     out = q.apply(ndf)
     assert plan_stats(out)["python_evals"] == 0
     assert out.collect()[0][0] == 4
+
+
+def test_native_probe_negative_and_zero_samples(spark):
+    """ADVICE fix (round 3): Python and Spark MOD agree on positives but
+    diverge on negatives (Python (-7) % 5 == 3, Spark == -2), so a
+    positive-only probe would silently bless the native compilation. The
+    multi-sample probe (3, -7, 0) must route `v % 5` to the Python path and
+    keep Python semantics on negative data."""
+    from towhee_spark.plans import plan_stats
+
+    ndf = spark.createDataFrame([(-7,), (7,), (0,)], "x long")
+    p = Pipeline.input("x").map("x", "m", lambda v: v % 5,
+                                out_types=("bigint",)).output("x", "m")
+    out = p.apply(ndf)
+    got = {r.x: r.m for r in out.collect()}
+    assert got == {-7: 3, 7: 2, 0: 0}, got
+    assert plan_stats(out)["python_evals"] > 0  # guard rejected the native plan
+
+    # a fn that div-by-zero-raises on the zero probe must not be
+    # misclassified as Column-only: remaining rows still discriminate
+    q = Pipeline.input("x").map("x", "m", lambda v: (1 if v == 0 else v // abs(v)),
+                                out_types=("bigint",)).output("x", "m")
+    got2 = {r.x: r.m for r in q.apply(ndf).collect()}
+    assert got2 == {-7: -1, 7: 1, 0: 1}
+
+    # genuinely SQL-safe arithmetic still goes native (no false demotion)
+    r_ = Pipeline.input("x").map("x", "y", lambda v: v * 2 + 1,
+                                 out_types=("bigint",)).output("y")
+    out3 = r_.apply(ndf)
+    assert plan_stats(out3)["python_evals"] == 0
+    assert sorted(r.y for r in out3.collect()) == [-13, 1, 15]

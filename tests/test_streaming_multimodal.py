@@ -357,3 +357,23 @@ def test_readthedocs_local_mirror(spark, tmp_path):
              for r in readthedocs_texts(spark, str(tmp_path), exclude="skip").collect()}
     assert texts["a.html"] == "Alpha one two"
     assert texts["b.html"] == "Beta & gamma"
+
+
+def test_readthedocs_dead_link_degrades_to_empty(spark, tmp_path):
+    """ADVICE fix: a dead page link must not kill the whole crawl — the
+    per-page fetch degrades to empty text (the loaders' contract); only the
+    driver-side index fetch hard-raises."""
+    import pytest as _pytest
+
+    from towhee_spark.sources.readthedocs import readthedocs_texts
+
+    (tmp_path / "index.html").write_text(
+        '<a href="ok.html">ok</a> <a href="gone.html">gone</a>'
+    )
+    (tmp_path / "ok.html").write_text("<p>fine</p>")  # gone.html never written
+    texts = {r.url.split("/")[-1]: r.text
+             for r in readthedocs_texts(spark, str(tmp_path)).collect()}
+    assert texts == {"ok.html": "fine", "gone.html": ""}
+    # missing INDEX is a misconfiguration: still a hard driver-side error
+    with _pytest.raises(Exception):
+        readthedocs_texts(spark, str(tmp_path / "no_such_dir")).collect()

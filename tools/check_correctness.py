@@ -55,7 +55,10 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            got = fn(spark, sf_dir).toPandas()
+            d = fn(spark, sf_dir)
+            got = d.toPandas()
+            from towhee_spark.functions.dedup import release_cached
+            release_cached(d)  # don't accumulate cached shingle frames
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)

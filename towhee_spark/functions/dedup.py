@@ -21,6 +21,26 @@ from pyspark.sql import functions as F
 from towhee_spark.functions.text import normalize_text
 
 
+def _with_cached_deps(out: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Tag the result with the intermediate frames this builder cached (the
+    shingle/signature/sketch frames reused by 2+ downstream branches).
+    Callers that materialize many dedup queries in one session (bench, the
+    correctness gate) call release_cached() afterwards so cached storage
+    doesn't accumulate across invocations (ADVICE)."""
+    out._cached_deps = list(deps)  # noqa: SLF001
+    return out
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the intermediates a dedup builder cached for ``df``
+    (no-op for frames without any)."""
+    for dep in getattr(df, "_cached_deps", []):
+        try:
+            dep.unpersist()
+        except Exception:  # noqa: BLE001, S110
+            pass
+
+
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the lowest-id representative of each exact (normalized) text.
     Returns (id, text, dup_count). Single hash aggregation."""
@@ -103,7 +123,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _jaccard_join(inter, sizes, threshold)
+    return _with_cached_deps(_jaccard_join(inter, sizes, threshold), sh)
 
 
 def _verify_pairs_exact_jaccard(
@@ -191,7 +211,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify == "exact":
-        return _verify_pairs_exact_jaccard(cand, sh, threshold)
+        return _with_cached_deps(
+            _verify_pairs_exact_jaccard(cand, sh, threshold), sh, sig)
     est = (
         cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -203,7 +224,7 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    return est
+    return _with_cached_deps(est, sig)
 
 
 def simhash_hash_expr(col, hash: str = "xxhash64"):
@@ -275,10 +296,11 @@ def simhash_pairs(
     from segment-bucket joins, verified with bit_count(xor)."""
     sk = simhash_sketch(df, id_col, text_col).cache()
     cand = _simhash_candidates(sk, blocks)
-    return (
+    return _with_cached_deps(
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sk,
     )
 
 
@@ -343,7 +365,8 @@ def simhash_jaccard_pairs(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming
         )
     sh = shingles(df, id_col, text_col, n)
-    return _verify_pairs_exact_jaccard(cand.select("id_a", "id_b"), sh, threshold)
+    return _with_cached_deps(
+        _verify_pairs_exact_jaccard(cand.select("id_a", "id_b"), sh, threshold), sk)
 
 
 def neardup_planes(tables: int, block_planes: int, dim: int, seed: int):
@@ -366,6 +389,7 @@ def embedding_neardup_pairs(
     probes: int = 1,
     seed: int = 7,
     dim: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold) via
     OR-amplified random-hyperplane blocking + exact cosine verification.
@@ -386,6 +410,16 @@ def embedding_neardup_pairs(
     collide per table with prob 2^-b, so expected junk candidates are
     ≈ L · n² / 2^b — size b to the corpus (16 bits ⇒ 1/65k per table).
 
+    ``impl`` picks the signature computation. "arrow" (default, the 100 TB
+    path): ONE float64 matmul (batch, dim) @ (dim, tables·planes) per Arrow
+    batch packs every table's bits at once. "expr": native Column
+    expressions — Spark's array HOF lambdas are INTERPRETED, so 256 plane
+    dots per row run ~15× slower than the kernel (measured), but the exact
+    expression is reproducible in the DuckDB oracle, which is what the gate
+    config needs. Both produce identical buckets on non-degenerate data
+    (sign flips only at dot == 0 boundaries); each is self-consistent
+    because both join sides share one signature frame.
+
     ``dim`` is required: the hyperplanes are plan constants, and inferring
     the width would trigger a hidden Spark job at plan-construction time."""
     from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
@@ -399,21 +433,32 @@ def embedding_neardup_pairs(
         )
     bank = neardup_planes(tables, block_planes, dim, seed)
     vec = F.col(vec_col)
-    # (id, table, bucket) — one row per table; the table id lives in the
-    # join key so buckets from different tables never collide
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _bucket_expr(vec, bank[t * block_planes:(t + 1) * block_planes])
-                    .alias("bucket"),
-                )
-                for t in range(tables)
-            ])
-        ).alias("tb"),
-    ).select("id", "tb.tbl", "tb.bucket")
+    if impl == "arrow":
+        from towhee_spark.kernels import hyperplane_bucket_kernel  # noqa: PLC0415
+
+        kern = hyperplane_bucket_kernel(bank.T.copy(), tables, block_planes)
+        sigs = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(kern(vec)).alias("tbl", "bucket"),
+        )
+    elif impl == "expr":
+        # (id, table, bucket) — one row per table; the table id lives in the
+        # join key so buckets from different tables never collide
+        sigs = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr(vec, bank[t * block_planes:(t + 1) * block_planes])
+                        .alias("bucket"),
+                    )
+                    for t in range(tables)
+                ])
+            ).alias("tb"),
+        ).select("id", "tb.tbl", "tb.bucket")
+    else:
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     if probes > 1:
         flips = [0] + [1 << p for p in range(min(probes - 1, block_planes))]
         probed = sigs.select(

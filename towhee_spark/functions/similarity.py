@@ -114,7 +114,8 @@ def scan_topk(
     # id types follow the inputs (string keys work like brute_force_topk)
     q_t = queries.schema[q_id].dataType.simpleString()
     i_t = index.schema[i_id].dataType.simpleString()
-    out_schema = f"query_id {q_t}, match_id {i_t}, score double"
+    iv_t = index.schema[i_vec].dataType.simpleString()
+    out_schema = f"query_id {q_t}, match_id {i_t}, score double, __iv {iv_t}"
 
     def round6(a):
         # half-AWAY-from-zero like F.round / DuckDB ROUND — np.round is
@@ -126,9 +127,11 @@ def scan_topk(
         nq = len(ids)
         best_s = [np.empty(0, dtype=np.float64) for _ in range(nq)]
         best_m = [np.empty(0, dtype=object) for _ in range(nq)]
+        best_v = [np.empty(0, dtype=object) for _ in range(nq)]
         for pdf in batches:
             if not len(pdf):
                 continue
+            raw = pdf["__iv"].to_numpy()  # survivors carry their vector out
             m = np.array(pdf["__iv"].tolist(), dtype=np.float64)
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
             mids = pdf["match_id"].to_numpy()
@@ -136,9 +139,10 @@ def scan_topk(
             for qi in range(nq):
                 s = np.concatenate([best_s[qi], scores[qi]])
                 mm = np.concatenate([best_m[qi], mids])
+                vv = np.concatenate([best_v[qi], raw])
                 if exclude_self:
                     keep = mm != ids[qi]
-                    s, mm = s[keep], mm[keep]
+                    s, mm, vv = s[keep], mm[keep], vv[keep]
                 if len(s) > k:
                     # total order (score desc, match_id asc)
                     try:
@@ -146,17 +150,28 @@ def scan_topk(
                     except TypeError:  # non-numeric ids
                         sel = np.array(sorted(range(len(s)),
                                               key=lambda i: (-s[i], mm[i]))[:k])
-                    s, mm = s[sel], mm[sel]
-                best_s[qi], best_m[qi] = s, mm
+                    s, mm, vv = s[sel], mm[sel], vv[sel]
+                best_s[qi], best_m[qi], best_v[qi] = s, mm, vv
         rows = {
             "query_id": np.repeat(ids, [len(b) for b in best_m]),
             "match_id": np.concatenate(best_m) if best_m else np.empty(0, object),
             "score": np.concatenate(best_s) if best_s else np.empty(0, np.float64),
+            "__iv": np.concatenate(best_v) if best_v else np.empty(0, object),
         }
         yield pd.DataFrame(rows)
 
     pruned = ix.mapInPandas(part_topk, out_schema)
-    return _global_topk(pruned, k, shards=None)
+    # the kernel's BLAS scores (pairwise summation order) prune only; the
+    # ≤ n_parts·n_q·k survivors are RE-SCORED with the same native
+    # cosine_expr brute_force_topk uses, so final scores/ranks are
+    # bit-identical to the SQL-oracle ordering (ADVICE: a dot product
+    # landing on a 1e-6 rounding boundary could otherwise flip a rank)
+    qside = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
+    rescored = pruned.join(F.broadcast(qside), "query_id").select(
+        "query_id", "match_id",
+        F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+    )
+    return _global_topk(rescored, k, shards=None)
 
 
 def _bucket_expr(vec_col, planes: np.ndarray):

@@ -247,6 +247,24 @@ def embed_text_udf(dim: int = 64):
 # ---------------------------------------------------------------------------
 # numpy utility kernels (Towhee towhee.np_normalize, hub_ops/utils.py:23)
 
+def hyperplane_bucket_kernel(bank_T: np.ndarray, tables: int, block_planes: int):
+    """Arrow kernel factory: array<float/double> column → array<long> of
+    per-table hyperplane bucket ids. ONE float64 matmul
+    (batch, dim) @ (dim, tables·block_planes) per Arrow batch, bits packed
+    per table — the 100 TB signature path for embedding_neardup_pairs
+    (Spark's array HOF lambdas are interpreted, ~15× slower per plane)."""
+    weights = 1 << np.arange(block_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (m @ bank_T > 0).astype(np.int64)
+        packed = bits.reshape(len(m), tables, block_planes) @ weights
+        return pd.Series(list(packed))
+
+    return buckets
+
+
 @F.pandas_udf(T.ArrayType(T.FloatType()))
 def np_normalize(vecs: pd.Series) -> pd.Series:
     """L2-normalize an array<float> column (Arrow-batched). Uniform-width

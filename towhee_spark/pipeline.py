@@ -152,72 +152,92 @@ def _try_native(fn: Callable, in_cols: Sequence[str], mode=None,
     return cols
 
 
-def _sample_for(dt: T.DataType):
-    """A plain-Python probe value for a column type; None = unvalidatable."""
+def _samples_for(dt: T.DataType) -> list | None:
+    """Plain-Python probe values for a column type; None = unvalidatable.
+    Numerics probe positive, NEGATIVE and ZERO — Python and SQL agree on
+    positives for ops they disagree on elsewhere (mod/floordiv sign rules:
+    Python (-7) % 5 == 3 vs Spark pmod-less MOD == -2), so a
+    positive-only sample would bless wrong native compilations."""
     if isinstance(dt, T.StringType):
-        return "ab ab"
+        return ["ab ab"]
     if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-        return 3
+        return [3, -7, 0]
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return 2.5
+        return [2.5, -7.5, 0.0]
     if isinstance(dt, T.BooleanType):
-        return True
+        return [True, False]
     if isinstance(dt, T.ArrayType):
-        inner = _sample_for(dt.elementType)
-        return None if inner is None else [inner, inner]
+        inner = _samples_for(dt.elementType)
+        return None if inner is None else [[v, v] for v in inner]
     return None
 
 
 def _probe_agrees(fn, in_cols, cols, df: DataFrame) -> bool:
     """True unless fn is ALSO a plain-Python fn whose Python result differs
-    from the compiled Columns' result on a sampled literal row."""
+    from the compiled Columns' result on any sampled literal row.
+
+    Sample rows take the diagonal of each input's sample list (padded with
+    its last value), so every input sees its negative/zero probes. Rows
+    where the PYTHON eval raises (e.g. 1/0 on the zero probe) are skipped —
+    they can't discriminate; if every row raises the fn is Column-only and
+    native is right. A SQL-side error on the comparable rows means SQL
+    semantics diverge where Python works → keep the Python path."""
     try:
-        samples = [_sample_for(df.schema[c].dataType) for c in in_cols]
+        per_col = [_samples_for(df.schema[c].dataType) for c in in_cols]
     except Exception:
         return True
-    if any(s is None for s in samples):
+    if any(s is None for s in per_col):
         return True  # no probe value for this type — trust the Column probe
-    try:
-        py_res = fn(*samples)
-    except Exception:
+    n_rows = max(len(s) for s in per_col)
+    rows = [tuple(s[min(j, len(s) - 1)] for s in per_col) for j in range(n_rows)]
+
+    py_ok: list[tuple] = []   # (row, py_result) where python evaluated
+    for r in rows:
+        try:
+            py_ok.append((r, fn(*r)))
+        except Exception:
+            continue
+    if not py_ok:
         return True  # Column-only fn (raises on plain values) — native is right
-    flat = py_res if isinstance(py_res, (tuple, list)) else (py_res,)
-    if any(isinstance(v, Column) for v in flat):
+    if any(isinstance(v, Column)
+           for _, res in py_ok
+           for v in (res if isinstance(res, (tuple, list)) else (res,))):
         return True  # fn builds Columns regardless of input — native
     spark = df.sparkSession
     schema = T.StructType([T.StructField(c, df.schema[c].dataType) for c in in_cols])
     try:
-        row = (
-            spark.createDataFrame([tuple(samples)], schema=schema)
+        sql_rows = (
+            spark.createDataFrame([r for r, _ in py_ok], schema=schema)
             .select(*[c.alias(f"__v{i}") for i, c in enumerate(cols)])
-            .first()
+            .collect()
         )
     except Exception:
         return False  # SQL meaning errors where Python works (ANSI cast etc.)
-    if len(cols) == 1:
-        py_vals = [py_res]
-    else:
-        py_vals = list(py_res) if isinstance(py_res, (tuple, list)) else [py_res]
-    if len(py_vals) != len(row):
-        return False
     import math  # noqa: PLC0415
 
-    for p, s in zip(py_vals, row):
-        if p is None and s is None:
-            continue
-        if isinstance(p, float) or isinstance(s, float):
-            if p is None or s is None or not math.isclose(float(p), float(s), rel_tol=1e-9):
-                return False
-            continue
-        if isinstance(p, (tuple, list)):
-            if not isinstance(s, (tuple, list)):
-                return False  # Python fn yields a collection, SQL a scalar
-            p, s = list(p), list(s)
-        try:
-            if p != s:
-                return False
-        except Exception:
-            return False  # incomparable shapes → keep Python semantics
+    for (_, py_res), row in zip(py_ok, sql_rows):
+        if len(cols) == 1:
+            py_vals = [py_res]
+        else:
+            py_vals = list(py_res) if isinstance(py_res, (tuple, list)) else [py_res]
+        if len(py_vals) != len(row):
+            return False
+        for p, s in zip(py_vals, row):
+            if p is None and s is None:
+                continue
+            if isinstance(p, float) or isinstance(s, float):
+                if p is None or s is None or not math.isclose(float(p), float(s), rel_tol=1e-9):
+                    return False
+                continue
+            if isinstance(p, (tuple, list)):
+                if not isinstance(s, (tuple, list)):
+                    return False  # Python fn yields a collection, SQL a scalar
+                p, s = list(p), list(s)
+            try:
+                if p != s:
+                    return False
+            except Exception:
+                return False  # incomparable shapes → keep Python semantics
     return True
 
 

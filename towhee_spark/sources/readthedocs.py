@@ -109,7 +109,15 @@ def readthedocs_texts(
         for pdf in batches:
             texts = []
             for u in pdf["url"]:
-                t = _read_page(u)
+                # best-effort per page (the loaders' 'unparseable → empty'
+                # degrade contract): one dead link must not kill a crawl of
+                # thousands of pages; the hard raise stays on the
+                # driver-side index fetch where it means misconfiguration
+                try:
+                    t = _read_page(u)
+                except Exception:  # noqa: BLE001
+                    texts.append("")
+                    continue
                 t = re.sub(r"<(script|style)[^>]*>.*?</\1>", " ", t, flags=re.S | re.I)
                 t = re.sub(r"<[^>]+>", " ", t)
                 # single stdlib unescape — a manual &amp;-first replace chain
