@@ -631,6 +631,42 @@ def q_rag_search(spark, sf_dir):
     )
 
 
+def q_rag_search_lsh(spark, sf_dir):
+    # the RAG composite on the LSH index path (SURVEY §7.2): chunk →
+    # md5-parity embed → similarity.lsh_topk over the chunk index (8-plane
+    # buckets, 4 probes, exact cosine rerank) → context. Own-document
+    # chunks are excluded BEFORE ranking via exclude_fn. The oracle
+    # re-runs chunking, sparse embedding, plane bucketing, probing and the
+    # rerank in SQL, so the whole index path is gate-checked end-to-end.
+    from towhee_spark.kernels import embed_text_parity_udf  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = embed_text_parity_udf(dim=32)
+    ch = text.chunk_text("text", size=12, overlap=4)
+    cindex = (
+        docs.select("doc_id", F.explode(ch).alias("c"))
+        .select("doc_id", F.col("c.start").alias("start"), F.col("c.chunk").alias("chunk"))
+        .withColumn("cv", emb(F.col("chunk")))
+        .filter(F.size(F.filter(F.col("cv"), lambda v: v != 0)) > 0)
+        .withColumn("cid", F.col("doc_id") * 100_000 + F.col("start"))
+    )
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), emb(F.col("text")).alias("qv")
+    )
+    top = similarity.lsh_topk(
+        qs, cindex, k=2, q_id="query_id", q_vec="qv", i_id="cid", i_vec="cv",
+        planes=8, probes=4, dim=32, seed=7,
+        exclude_fn=lambda q, m: F.floor(m / 100_000) != q,
+    )
+    return (
+        top.withColumn("doc_id", F.floor(F.col("match_id") / 100_000).cast("long"))
+        .withColumn("start", F.pmod(F.col("match_id"), F.lit(100_000)).cast("int"))
+        .join(cindex.select("doc_id", "start", "chunk"), ["doc_id", "start"])
+        .select("query_id", "rank", "doc_id", "start",
+                F.round(F.col("score"), 4).alias("score4"), "chunk")
+    )
+
+
 def q_scan_topk(spark, sf_dir):
     # shuffle-free Arrow scan top-k (scored pairs never shuffle) — same
     # oracle as similarity_topk since the result is the exact top-k
@@ -694,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "chunk_text": q_chunk_text,
         "rag_search": q_rag_search,
+        "rag_search_lsh": q_rag_search_lsh,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "tpch_q1": q_tpch_q1,
@@ -943,6 +980,8 @@ def _oracle_sql() -> dict[str, str]:
             block_planes=6, tables=4, probes=2, dim=64, seed=7, threshold=0.3
         ),
         "rag_search": _rag_sql(norm, dim=32, k=2, chunk=12, step=8),
+        "rag_search_lsh": _rag_lsh_sql(norm, dim=32, k=2, chunk=12, step=8,
+                                       planes=8, probes=4, seed=7),
         "chunk_text": f"""
             WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM documents)
             SELECT doc_id, CAST(s AS INT) AS start,
@@ -1262,6 +1301,112 @@ def _rag_sql(norm: str, dim: int = 32, k: int = 2, chunk: int = 12, step: int = 
                        CAST(row_number() OVER (
                            PARTITION BY query_id
                            ORDER BY ROUND(dot, 6) DESC, doc_id, start) AS INT) AS rank
+                FROM scored
+            )
+            SELECT r.query_id, r.rank, r.doc_id, r.start, r.score4, ch.chunk
+            FROM ranked r JOIN chunks ch
+              ON ch.doc_id = r.doc_id AND ch.start = r.start
+            WHERE r.rank <= {k}"""
+
+
+def _rag_lsh_sql(norm: str, dim: int = 32, k: int = 2, chunk: int = 12,
+                 step: int = 8, planes: int = 8, probes: int = 4,
+                 seed: int = 7) -> str:
+    """Oracle for the LSH-index RAG composite: the _rag_sql chunk/embed
+    CTEs composed with the _lsh_topk_sql algorithm mirror — plane dots are
+    computed from the SPARSE embeddings via a (plane, dim_idx, weight)
+    constant table, buckets packed with CASE sums, queries probe 1-bit
+    flips, candidates dedup, and survivors are exactly cosine-reranked with
+    the (score desc, doc_id, start) total order. Total over candidates
+    (COALESCE dot 0) like the dense Spark plan."""
+    import numpy as np  # noqa: PLC0415
+
+    pl = np.random.default_rng(seed).normal(size=(planes, dim))
+    plane_rows = ", ".join(
+        f"({p}, {d}, {pl[p, d]!r})" for p in range(planes) for d in range(dim)
+    )
+    offsets = [0] + [1 << p for p in range(min(probes - 1, planes))]
+    probe_list = ", ".join(f"xor(b0, {off})" for off in offsets)
+    embed = f"""
+                SELECT key1, key2, CAST(h % {dim} AS INT) AS dim_idx,
+                       SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS v
+                FROM (SELECT key1, key2,
+                             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                      FROM (SELECT key1, key2,
+                                   unnest(string_split_regex(trim(body), '\\s+')) AS tok
+                            FROM __SRC__ WHERE trim(coalesce(body, '')) <> ''))
+                GROUP BY key1, key2, dim_idx
+                HAVING SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) <> 0"""
+    return f"""
+            WITH chunks AS (
+                SELECT doc_id, CAST(s AS INT) AS start,
+                       array_to_string(toks[s + 1 : s + {chunk}], ' ') AS chunk
+                FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+                     UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, {step})) AS u(s)
+            ),
+            craw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, start AS key2, chunk AS body FROM chunks)")}),
+            cnorm AS (SELECT key1, key2, sqrt(SUM(v * v)) AS nrm FROM craw GROUP BY key1, key2),
+            cemb AS (
+                SELECT r.key1 AS doc_id, r.key2 AS start, r.dim_idx, r.v / n.nrm AS val
+                FROM craw r JOIN cnorm n ON r.key1 = n.key1 AND r.key2 = n.key2
+            ),
+            qraw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, 0 AS key2, text AS body FROM documents WHERE doc_id < 3)")}),
+            qnorm AS (SELECT key1, sqrt(SUM(v * v)) AS nrm FROM qraw GROUP BY key1),
+            qemb AS (
+                SELECT r.key1 AS query_id, r.dim_idx, r.v / n.nrm AS val
+                FROM qraw r JOIN qnorm n ON r.key1 = n.key1
+            ),
+            pl(p, d, w) AS (SELECT * FROM (VALUES {plane_rows})),
+            cdot AS (
+                SELECT c.doc_id, c.start, pl.p, SUM(c.val * pl.w) AS dot
+                FROM cemb c JOIN pl ON c.dim_idx = pl.d
+                GROUP BY c.doc_id, c.start, pl.p
+            ),
+            cbuck AS (
+                SELECT doc_id, start,
+                       CAST(SUM(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+                       AS bucket
+                FROM cdot GROUP BY doc_id, start
+            ),
+            qdot AS (
+                SELECT q.query_id, pl.p, SUM(q.val * pl.w) AS dot
+                FROM qemb q JOIN pl ON q.dim_idx = pl.d
+                GROUP BY q.query_id, pl.p
+            ),
+            qbuck AS (
+                SELECT query_id,
+                       CAST(SUM(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+                       AS b0
+                FROM qdot GROUP BY query_id
+            ),
+            pr AS (SELECT query_id, unnest([{probe_list}]) AS bucket FROM qbuck),
+            cand AS (
+                SELECT DISTINCT p.query_id, cb.doc_id, cb.start
+                FROM pr p JOIN cbuck cb ON cb.bucket = p.bucket
+                WHERE cb.doc_id != p.query_id
+            ),
+            qn2 AS (SELECT query_id, sqrt(SUM(val * val)) AS qn FROM qemb GROUP BY query_id),
+            cn2 AS (SELECT doc_id, start, sqrt(SUM(val * val)) AS cn FROM cemb GROUP BY doc_id, start),
+            scored AS (
+                SELECT ca.query_id, ca.doc_id, ca.start,
+                       COALESCE(SUM(q.val * c.val), 0.0)
+                       / (qn2.qn * cn2.cn) AS score
+                FROM cand ca
+                JOIN qn2 ON qn2.query_id = ca.query_id
+                JOIN cn2 ON cn2.doc_id = ca.doc_id AND cn2.start = ca.start
+                LEFT JOIN qemb q ON q.query_id = ca.query_id
+                LEFT JOIN cemb c ON c.doc_id = ca.doc_id AND c.start = ca.start
+                                AND c.dim_idx = q.dim_idx
+                GROUP BY ca.query_id, ca.doc_id, ca.start, qn2.qn, cn2.cn
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, start,
+                       ROUND(ROUND(score, 6), 4) AS score4,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY ROUND(score, 6) DESC, doc_id, start) AS INT) AS rank
                 FROM scored
             )
             SELECT r.query_id, r.rank, r.doc_id, r.start, r.score4, ch.chunk

@@ -146,6 +146,7 @@ def main() -> None:
         "lsh_topk",
         "embed_text",
         "rag_search",
+        "rag_search_lsh",
         "text_stats",
         "text_repetition",
         "pii_scrub",

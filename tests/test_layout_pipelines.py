@@ -72,6 +72,24 @@ def test_data_collection_entity(spark):
     rt = DataCollection.from_dict(d)
     assert sorted(e.x for e in rt) == [1, 2]
 
+    # round-3 conveniences: column access, copy semantics, show() grid
+    assert sorted(dc["x"]) == [1, 2]
+    shallow, deep = dc.copy(), dc.copy(deep=True)
+    assert shallow[0] is dc[0] and deep[0] is not dc[0] and deep[0] == dc[0]
+    assert Entity.from_dict({"x": 9}).x == 9
+    headers, rows = dc.prepare_table_data(limit=1)
+    assert headers == ["x", "y"] and len(rows) == 1
+    big = DataCollection([Entity(v=list(range(100)), s="x" * 100)])
+    _, brows = big.prepare_table_data()
+    assert all(len(c) <= 40 for c in brows[0])  # cells truncated
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dc.show(limit=1)
+    out = buf.getvalue()
+    assert "| x" in out and "showing 1 of 2" in out
+
     # DataLoader parity: iterable + parser → distributed DataFrame
     loaded = data_loader(
         spark, range(10), parser=lambda i: (i, i * i), schema="i long, sq long"

@@ -17,6 +17,14 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _short(v) -> str:
+    if isinstance(v, float):
+        return f"{v:.4g}"
+    if isinstance(v, bytes):
+        return f"<{len(v)} bytes>"
+    return str(v)
+
+
 class Entity:
     """Dynamic attribute bag (entity.py:17-39)."""
 
@@ -25,6 +33,11 @@ class Entity:
 
     def to_dict(self) -> dict:
         return dict(self.__dict__)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Entity":
+        """entity.py:36-39 parity."""
+        return Entity(**d)
 
     def __repr__(self) -> str:
         fields = ", ".join(f"{k}={v!r}" for k, v in self.__dict__.items())
@@ -47,6 +60,11 @@ class DataCollection:
         return iter(self._data)
 
     def __getitem__(self, index):
+        """Row access by int/slice (data_collection.py:73-88); a string key
+        returns that COLUMN as a list (convenience beyond the reference —
+        its tutorials reach columns via per-entity attributes)."""
+        if isinstance(index, str):
+            return [getattr(e, index, None) for e in self._data]
         return self._data[index]
 
     def __setitem__(self, index, value):
@@ -73,6 +91,49 @@ class DataCollection:
         keys = list(data.keys())
         n = len(data[keys[0]]) if keys else 0
         return DataCollection([Entity(**{k: data[k][i] for k in keys}) for i in range(n)])
+
+    def copy(self, deep: bool = False) -> "DataCollection":
+        """data_collection.py:187-212 parity: shallow copies share Entities,
+        deep copies duplicate them."""
+        if deep:
+            return DataCollection([Entity(**e.to_dict()) for e in self._data])
+        return DataCollection(list(self._data))
+
+    def prepare_table_data(self, limit: int = 5) -> tuple[list[str], list[list]]:
+        """(headers, rows) for display (display.py:21-26 shape); negative
+        limit = all rows; cells stringified + truncated like the
+        reference's console table."""
+        rows = self._data if limit < 0 else self._data[:limit]
+        headers = list(self._data[0].to_dict().keys()) if self._data else []
+
+        def cell(v) -> str:
+            if isinstance(v, (list, tuple)) and len(v) > 6:
+                s = "[" + ", ".join(_short(x) for x in v[:3]) + f", …] len={len(v)}"
+            else:
+                s = _short(v)
+            return s if len(s) <= 40 else s[:37] + "..."
+
+        return headers, [[cell(getattr(e, h, None)) for h in headers] for e in rows]
+
+    def show(self, limit: int = 5, tablefmt: str = "grid") -> None:
+        """Print the first ``limit`` rows as a console grid
+        (DisplayMixin.show, display.py:28-49; html format descoped — no
+        notebook frontend here, grid covers the CLI surface)."""
+        headers, rows = self.prepare_table_data(limit)
+        if not headers:
+            print("<empty DataCollection>")
+            return
+        widths = [
+            max(len(h), *(len(r[i]) for r in rows)) if rows else len(h)
+            for i, h in enumerate(headers)
+        ]
+        sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+        def line(vals):
+            return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+        out = [sep, line(headers), sep] + [line(r) for r in rows] + [sep]
+        if limit >= 0 and len(self._data) > limit:
+            out.append(f"(showing {limit} of {len(self._data)} rows)")
+        print("\n".join(out))
 
     def __repr__(self) -> str:
         head = ", ".join(repr(e) for e in self._data[:5])

@@ -210,6 +210,7 @@ def lsh_topk(
     seed: int = 7,
     exclude_self: bool = True,
     shards: int | None = None,
+    exclude_fn=None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact rerank.
 
@@ -217,7 +218,10 @@ def lsh_topk(
     buckets (1-bit flips) — recall/scan-cost dial. Index side is bucketed
     once (re-usable as a materialized layout at 100 TB scale). ``dim`` is
     required: the hyperplanes are plan constants, and inferring the width
-    would trigger a hidden Spark job at plan-construction time."""
+    would trigger a hidden Spark job at plan-construction time.
+    ``exclude_fn(query_id_col, match_id_col) -> Column`` replaces the
+    default self-exclusion with a custom keep-predicate applied BEFORE
+    ranking (e.g. RAG: drop chunks of the query's own document)."""
     if dim is None:
         raise ValueError(
             "lsh_topk: pass dim= (embedding width); it is a plan constant and "
@@ -249,6 +253,8 @@ def lsh_topk(
         )
         .dropDuplicates(["query_id", "match_id"])
     )
-    if exclude_self:
+    if exclude_fn is not None:
+        scored = scored.filter(exclude_fn(F.col("query_id"), F.col("match_id")))
+    elif exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
     return _global_topk(scored, k, shards)
