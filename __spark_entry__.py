@@ -490,7 +490,10 @@ def q_minhash_lsh(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # bands=64 (1 row/band): a J>=0.5 pair is missed only if NO single
     # minhash agrees - P(miss) = (1-J)^64 <= 5e-20, so the exact-pair oracle
-    # is deterministic in practice on any corpus
+    # is deterministic in practice on any corpus.
+    # DO NOT copy this config into a production job: 64 one-row bands are
+    # near-all-pairs at corpus scale. The scale default is bands=16 (4 rows
+    # per band) with verify="estimate" - benched as prod_minhash_lsh_16x4.
     return dedup.minhash_lsh_pairs(
         docs, threshold=0.5, num_hashes=64, bands=64, verify="exact"
     )
@@ -512,7 +515,8 @@ def q_lsh_topk(spark, sf_dir):
     # recall covers the true top-k → output equals brute force → hard oracle
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = embs.filter(F.col("vec_id") < 10)
-    out = similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4, dim=64)
+    out = similarity.lsh_topk(qs, embs, k=3, planes=8, probes=4, dim=64,
+                              impl="expr")  # oracle-reproducible buckets
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
@@ -655,7 +659,7 @@ def q_rag_search_lsh(spark, sf_dir):
     )
     top = similarity.lsh_topk(
         qs, cindex, k=2, q_id="query_id", q_vec="qv", i_id="cid", i_vec="cv",
-        planes=8, probes=4, dim=32, seed=7,
+        planes=8, probes=4, dim=32, seed=7, impl="expr",
         exclude_fn=lambda q, m: F.floor(m / 100_000) != q,
     )
     return (

@@ -59,6 +59,16 @@ def test_manifest_contents(spark, corpus_df, tmp_path):
     assert m["metrics"]["write_job_wall_sec"] > 0
     assert m["exec_conf"]["spark.sql.adaptive.enabled"] == "true"
     assert int(m["exec_conf"]["spark.sql.shuffle.partitions"]) >= 1
+    # per-operator SQLMetrics of the verification pass attached to lineage
+    # (Towhee time_profiler analogue, SURVEY §7.1 item 9): the profile must
+    # contain the scan + checksum aggregation with real row counts
+    prof = m["metrics"]["verify_plan_profile"]
+    ops = " ".join(p["op"] for p in prof)
+    assert "Scan" in ops and "Aggregate" in ops, ops
+    assert any(
+        v > 0 for p in prof for k, v in p["metrics"].items()
+        if "output rows" in k
+    ), prof
 
 
 def test_io_parquet_roundtrip(spark, corpus_df, tmp_path):

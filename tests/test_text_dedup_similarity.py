@@ -156,6 +156,19 @@ def test_lsh_topk_subset_of_valid_scores(embs):
         assert r.score <= best[r.query_id] + 1e-6
 
 
+def test_lsh_topk_arrow_equals_expr(embs):
+    """The Arrow matmul bucket kernel (production default) and the
+    oracle-reproducible expr path must return identical top-k rows."""
+    qs = embs.limit(5)
+    def rows(impl):
+        return sorted(
+            (r.query_id, r.rank, r.match_id, r.score)
+            for r in similarity.lsh_topk(
+                qs, embs, k=3, planes=8, probes=4, dim=64, impl=impl).collect()
+        )
+    assert rows("arrow") == rows("expr")
+
+
 def test_embedding_neardup_pairs(spark):
     base = np.random.default_rng(0).normal(size=(20, 16)).astype("float32")
     rows = []

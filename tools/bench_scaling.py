@@ -120,8 +120,17 @@ Raw results:
 {json.dumps({"levels": results, "efficiencies": effs}, indent=2)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written narrative sections ("## ..." blocks after the
+    # autogenerated part) across re-runs
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(json.dumps({"levels": results, "efficiencies": effs}))
 
 

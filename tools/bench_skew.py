@@ -79,8 +79,26 @@ def main() -> None:
             lambda: force(asof_join_chunked(corpus, ctx, chunk_seconds=3600.0))
         ),
     }
+    # exact Towhee time_window: per-key recurrence window vs the (key,
+    # time-chunk) chunked-carry variant (round 3) — the mega conversation
+    # spans ~278 one-hour chunks, so the chunked plan fans it out
+    from towhee_spark.pipeline import Pipeline
+
+    def tw(chunk):
+        p = (
+            Pipeline.input("turn_idx")
+            .time_window("turn_idx", ("n", "s"), "ts", 3600, 1800,
+                         lambda v: (F.count(v), F.sum(v)), exact=True,
+                         emit_start="wstart", chunk_seconds=chunk)
+            .output("conv_id", "wstart", "n", "s")
+        )
+        return p.apply(corpus, by="conv_id")
+
+    res["tw_exact_window_sec"] = timed(lambda: force(tw(None)))
+    res["tw_exact_chunked_sec"] = timed(lambda: force(tw(3600.0)))
     res["locf_speedup"] = round(res["locf_window_sec"] / res["locf_chunked_sec"], 2)
     res["asof_speedup"] = round(res["asof_window_sec"] / res["asof_chunked_sec"], 2)
+    res["tw_speedup"] = round(res["tw_exact_window_sec"] / res["tw_exact_chunked_sec"], 2)
     print(json.dumps(res))
 
 

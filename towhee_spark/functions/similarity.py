@@ -211,6 +211,7 @@ def lsh_topk(
     exclude_self: bool = True,
     shards: int | None = None,
     exclude_fn=None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact rerank.
 
@@ -221,7 +222,11 @@ def lsh_topk(
     would trigger a hidden Spark job at plan-construction time.
     ``exclude_fn(query_id_col, match_id_col) -> Column`` replaces the
     default self-exclusion with a custom keep-predicate applied BEFORE
-    ranking (e.g. RAG: drop chunks of the query's own document)."""
+    ranking (e.g. RAG: drop chunks of the query's own document).
+    ``impl``: "arrow" (default) computes bucket signatures with one float64
+    matmul per Arrow batch (kernels.hyperplane_bucket_kernel); "expr" uses
+    native Column expressions — interpreted HOF lambdas, slower per plane,
+    but reproducible in the DuckDB oracle (the gate config)."""
     if dim is None:
         raise ValueError(
             "lsh_topk: pass dim= (embedding width); it is a plan constant and "
@@ -230,13 +235,25 @@ def lsh_topk(
     rng = np.random.default_rng(seed)
     pl = rng.normal(size=(planes, dim))
 
+    if impl == "arrow":
+        from towhee_spark.kernels import hyperplane_bucket_kernel  # noqa: PLC0415
+
+        kern = hyperplane_bucket_kernel(pl.T.copy(), 1, planes)
+        def bucket_of(c):
+            return F.element_at(kern(c), 1)
+    elif impl == "expr":
+        def bucket_of(c):
+            return _bucket_expr(c, pl)
+    else:
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+
     ix = index.select(
         F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
-        _bucket_expr(F.col(i_vec), pl).alias("bucket"),
+        bucket_of(F.col(i_vec)).alias("bucket"),
     )
     q0 = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
-        _bucket_expr(F.col(q_vec), pl).alias("__b0"),
+        bucket_of(F.col(q_vec)).alias("__b0"),
     )
     probe_offsets = [0] + [1 << p for p in range(min(probes - 1, planes))]
     q = q0.select(

@@ -64,6 +64,7 @@ def write_with_lineage(
     n_buckets: int = 16,
     input_snapshot: str = "unknown",
     checksum_cols: list[str] | None = None,
+    attach_profile: bool = True,
 ) -> dict:
     """Write ``df`` to ``base`` partitioned by bucket, skipping buckets whose
     manifest already exists. Returns {written: [...], skipped: [...]}.
@@ -113,11 +114,27 @@ def write_with_lineage(
     written_df = spark.read.parquet(os.path.join(base, "data")).filter(
         F.col(BUCKET_COL).isin([int(b) for b in missing])
     )
-    stats = (
-        written_df.groupBy(BUCKET_COL)
-        .agg(F.count(F.lit(1)).alias("rows"), row_checksum(checksum_cols))
-        .collect()
+    stats_df = written_df.groupBy(BUCKET_COL).agg(
+        F.count(F.lit(1)).alias("rows"), row_checksum(checksum_cols)
     )
+    stats = stats_df.collect()
+    # per-operator SQLMetrics of the verification pass (scan + checksum agg
+    # over the data JUST committed) — the Towhee time_profiler analogue
+    # attached to lineage (SURVEY §7.1 item 9). The collect() above ran this
+    # exact plan instance, so its metrics are populated; zero-valued metrics
+    # are dropped to keep manifests small.
+    plan_prof = None
+    if attach_profile:
+        try:
+            from towhee_spark.plans.profile import plan_profile  # noqa: PLC0415
+
+            plan_prof = [
+                {"op": p["op"], "depth": p["depth"],
+                 "metrics": {k: v for k, v in p["metrics"].items() if v}}
+                for p in plan_profile(stats_df)
+            ]
+        except Exception:  # noqa: BLE001  # py4j metric walk is best-effort
+            plan_prof = None
     os.makedirs(os.path.join(base, MANIFEST_DIR), exist_ok=True)
 
     def _bucket_bytes(b: int) -> int:
@@ -144,6 +161,7 @@ def write_with_lineage(
             "metrics": {
                 "bytes": _bucket_bytes(int(r[BUCKET_COL])),
                 "write_job_wall_sec": job_wall_sec,  # shared across this job's buckets
+                **({"verify_plan_profile": plan_prof} if plan_prof else {}),
             },
             "exec_conf": exec_conf,
         }

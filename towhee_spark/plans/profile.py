@@ -41,8 +41,10 @@ def _walk(jplan, depth: int, out: list[dict[str, Any]]) -> None:
     children = jplan.children()
     for i in range(children.size()):
         _walk(children.apply(i), depth + 1, out)
-    # adaptive plans hide the real tree behind finalPlan/inputPlan
-    for attr in ("executedPlan", "finalPhysicalPlan"):
+    # adaptive plans hide the real tree behind finalPlan/inputPlan, and AQE
+    # query stages (Shuffle/BroadcastQueryStage) wrap their materialized
+    # subtree behind .plan() — descend through both so scans stay visible
+    for attr in ("executedPlan", "finalPhysicalPlan", "plan"):
         try:
             inner = getattr(jplan, attr)()
             _walk(inner, depth + 1, out)
