@@ -295,6 +295,40 @@ def test_stateful_locf_out_of_order(spark, tmp_path):
     spark.catalog.dropTempView("ooo_locf")
 
 
+def test_stream_time_window_exact_matches_buffer_model(spark, tmp_path):
+    """Streaming EXACT Towhee time_window (per-key recurrence state in
+    applyInPandasWithState) must label every turn with exactly the windows
+    the reference buffer model assigns — across micro-batch boundaries, on
+    an OUT-OF-ORDER stream (ordered=False buffer in front of the
+    recurrence). Overlapping 900/600 windows with gaps force realignment."""
+    from towhee_spark.pipeline import towhee_time_window_ids
+    from towhee_spark.streaming.stateful import stream_time_window_exact_rows
+
+    batch_df, stream_df = _ooo_stream_fixture(spark, tmp_path, "ooo_tw")
+    labeled = stream_time_window_exact_rows(
+        stream_df, size=900, step=600, watermark="4 hours", ordered=False)
+    q = (
+        labeled.writeStream.format("memory").queryName("ooo_tw")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.conv_id, r.turn_idx, r.wstart)
+        for r in spark.sql("select * from ooo_tw").collect()
+        if not r.conv_id.startswith("__sentinel")
+    }
+    # reference: the Towhee buffer model per conversation
+    exp = set()
+    pdf = batch_df.toPandas().sort_values(["conv_id", "ts"])
+    for conv, g in pdf.groupby("conv_id"):
+        ts_ms = [int(t.value // 1_000_000) for t in g["ts"]]
+        turns = g["turn_idx"].tolist()
+        for ws, idxs in towhee_time_window_ids(ts_ms, 900, 600, with_starts=True):
+            for i in idxs:
+                exp.add((conv, turns[i], ws // 1000))
+    assert got == exp, (len(got), len(exp))
+
+
 def test_detect_objects_shape(spark):
     """Detection struct (boxes/classes/scores), deterministic stub model,
     boxes clamped to the frame; composes after decode_images like the

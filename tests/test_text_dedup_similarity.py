@@ -169,6 +169,47 @@ def test_lsh_topk_arrow_equals_expr(embs):
     assert rows("arrow") == rows("expr")
 
 
+def test_simhash_weighted_sketch(spark):
+    """weight='count' = Charikar term-frequency voting, checked against a
+    pure-Python reference; unigram weighted == unigram bag (same votes,
+    pre-aggregated); n-gram weighted DIFFERS from set semantics when a
+    shingle repeats."""
+    import zlib
+
+    from pyspark.sql.functions import xxhash64  # noqa: F401  (hash parity via Spark)
+
+    rows = [(0, "spam spam spam spam unique words here"),
+            (1, "alpha beta gamma alpha beta gamma alpha beta gamma delta x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni_bag = {r.id: r.simhash for r in dedup.simhash_sketch(df, "doc_id", "text").collect()}
+    uni_w = {r.id: r.simhash
+             for r in dedup.simhash_sketch(df, "doc_id", "text", weight="count").collect()}
+    assert uni_bag == uni_w  # per-occurrence voting == tf-weighted voting
+
+    tri_set = {r.id: r.simhash
+               for r in dedup.simhash_sketch(df, "doc_id", "text", ngram=2).collect()}
+    tri_w = {r.id: r.simhash
+             for r in dedup.simhash_sketch(df, "doc_id", "text", ngram=2,
+                                           weight="count").collect()}
+    # doc 1 repeats the ('alpha beta' etc.) shingles 3x — weighting must bias
+    # its sketch toward those shingles' bits, diverging from set semantics
+    assert tri_w[1] != tri_set[1]
+
+    # cross-check doc 1's weighted sketch against a Python reference using
+    # Spark's own xxhash64 for hash parity
+    sh = dedup.shingles(df.filter("doc_id = 1"), "doc_id", "text", 2,
+                        distinct=False)
+    hw = (sh.groupBy("shingle").count()
+          .withColumn("h", xxhash64("shingle")).collect())
+    votes = [0] * 63
+    for r in hw:
+        for b in range(63):
+            votes[b] += r["count"] if (r.h >> b) & 1 else -r["count"]
+    expected = sum(1 << b for b in range(63) if votes[b] > 0)
+    assert tri_w[1] == expected
+
+
 def test_embedding_neardup_pairs(spark):
     base = np.random.default_rng(0).normal(size=(20, 16)).astype("float32")
     rows = []

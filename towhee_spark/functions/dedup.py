@@ -55,9 +55,12 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word-level n-gram shingles of the
-    normalized text. Documents shorter than n words yield their full text
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+             distinct: bool = True) -> DataFrame:
+    """(id, shingle) pairs: word-level n-gram shingles of the normalized
+    text, distinct per doc by default (set semantics — what Jaccard wants).
+    ``distinct=False`` keeps multiplicity (bag semantics — what weighted
+    SimHash wants). Documents shorter than n words yield their full text
     as a single shingle (so trivially-short docs still compare)."""
     toks = F.split(normalize_text(text_col), " ")
     grams = F.when(
@@ -67,10 +70,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _jaccard_join(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
@@ -243,6 +244,7 @@ def simhash_hash_expr(col, hash: str = "xxhash64"):
 def simhash_sketch(
     df: DataFrame, id_col: str, text_col: str, ngram: int = 1,
     hash: str = "xxhash64", bits: int = 63,
+    weight: str | None = None,
 ) -> DataFrame:
     """(id, simhash: bigint) 64-bit SimHash: per-bit majority vote of
     feature hashes, built natively from bitwise expressions.
@@ -254,6 +256,13 @@ def simhash_sketch(
     inter-doc hamming < 24), while 3-gram sketches separate (450k candidates,
     hamming≤12 keeps 263). Use shingles for near-dup blocking.
 
+    ``weight``: Charikar feature weighting. None = current semantics
+    (unigram tokens vote per occurrence; n-gram shingles vote once per
+    distinct shingle). "count" = votes weighted by term frequency for BOTH
+    granularities, pre-aggregated per (id, feature) so the per-bit vote agg
+    sees one row per distinct feature — identical result to bag voting,
+    fewer rows into the wide aggregate.
+
     ``hash``/``bits``: see simhash_hash_expr — "md5" with bits=60 makes the
     sketch reproducible in ANSI SQL for the oracle."""
     if ngram <= 1:
@@ -262,14 +271,21 @@ def simhash_sketch(
             F.explode(F.split(normalize_text(text_col), " ")).alias("shingle"),
         )
     else:
-        feats = shingles(df, id_col, text_col, ngram)
+        feats = shingles(df, id_col, text_col, ngram, distinct=(weight is None))
     # hash ONCE, not per bit: referencing the hash expr inside each of the
     # per-bit aggregates made Catalyst evaluate it per bit per feature
     feats = feats.select("id", simhash_hash_expr(F.col("shingle"), hash).alias("__h"))
     h = F.col("__h")
+    if weight == "count":
+        feats = feats.groupBy("id", "__h").agg(F.count(F.lit(1)).alias("__w"))
+        w = F.col("__w")
+    elif weight is None:
+        w = F.lit(1)
+    else:
+        raise ValueError(f"weight must be None or 'count', got {weight!r}")
     votes = feats.groupBy("id").agg(
         *[
-            F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+            F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, w).otherwise(-w)).alias(f"b{b}")
             for b in range(bits)  # bit 63 excluded by default: sketch stays positive
         ]
     )

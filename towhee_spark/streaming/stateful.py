@@ -73,6 +73,14 @@ def _enc_val(v, dtype) -> object:
     return str(v)
 
 
+def _dec_one(v, dtype):
+    """Decode one buffered cell (see _enc_val): timestamps come back from
+    epoch-µs ints."""
+    if v is not None and isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return pd.Timestamp(int(v) * 1000)  # µs → ns
+    return v
+
+
 def _dec_series(vals: list, dtype) -> pd.Series:
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return pd.Series(pd.to_datetime(
@@ -193,6 +201,116 @@ def stream_sessionize_rows(
         fn_ooo,
         outputStructType=out_schema,
         stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_time_window_exact_rows(
+    df: DataFrame,
+    size: int,
+    step: int,
+    key: str = "conv_id",
+    ts: str = "ts",
+    out_cols: tuple[str, ...] = ("conv_id", "turn_idx", "ts"),
+    wstart_col: str = "wstart",
+    watermark: str = "30 minutes",
+    ordered: bool = True,
+) -> DataFrame:
+    """EXACT Towhee time_window semantics on an unbounded stream, as a
+    row-labelling fan-out: every arriving turn is emitted once per window
+    [k·step, k·step + size) that contains it under the buffer's gap-realign
+    rule — the streaming face of the batch closed-form recurrence
+    (pipeline._compile_time_window exact path; ref _time_window.py:54-99).
+
+    The recurrence state per key is tiny — (previous event ms, running
+    realign base) — so it fits GroupState exactly like the sessionizer's.
+    Windows the realignment skips are never emitted; downstream aggregation
+    (groupBy key, wstart) is the caller's, so the op composes with plain
+    streaming aggregates. ``ordered=False`` adds the watermark-sorted state
+    buffer (module docstring)."""
+    import math  # noqa: PLC0415
+
+    size_ms, step_ms = size * 1000.0, step * 1000.0
+    in_schema = df.schema  # bound locally: closures must not capture df
+    out_schema = T.StructType(
+        [in_schema[c] for c in out_cols] + [T.StructField(wstart_col, T.LongType())]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    state_schema = T.StructType([
+        T.StructField("last_ms", T.DoubleType()),
+        T.StructField("base", T.DoubleType()),
+    ])
+
+    def windows_of(t_ms: float, last_ms, base: float):
+        """One recurrence step: window ids for this row + new state.
+        Mirrors the batch expressions term for term (float floor math)."""
+        if last_ms is None:
+            thr = size_ms
+        else:
+            prev_base = math.floor(last_ms / step_ms) * step_ms
+            thr = (prev_base
+                   + (step_ms if last_ms - prev_base < size_ms else 0.0)
+                   + size_ms)
+        if t_ms >= thr:
+            base = max(base, math.floor(t_ms / step_ms) * step_ms)
+        hi = int(math.floor(t_ms / step_ms))
+        lo = max(int(math.floor((t_ms - size_ms) / step_ms)) + 1, 0,
+                 int(base // step_ms))
+        return range(lo, hi + 1), t_ms, base
+
+    def label_pass(ms_list, row_vals: list[list], last_ms, base):
+        """ms_list event-time-ordered; row_vals one list per out col."""
+        out: dict[str, list] = {c: [] for c in out_names}
+        for j, t_ms in enumerate(ms_list):
+            wids, last_ms, base = windows_of(float(t_ms), last_ms, base)
+            for wid in wids:
+                for c, col in zip(out_cols, row_vals):
+                    out[c].append(col[j])
+                out[wstart_col].append(wid * step)
+        return out, last_ms, base
+
+    def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        last_ms, base = state.get if state.exists else (None, 0.0)
+        for pdf in batches:
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            ms = (_ts_us(pdf, ts) / 1000.0).tolist()
+            out, last_ms, base = label_pass(
+                ms, [pdf[c].tolist() for c in out_cols], last_ms, base)
+            if out[wstart_col]:
+                yield pd.DataFrame(out, columns=out_names)
+        state.update((last_ms, base))
+
+    def fn_ooo(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
+        last_ms, base = (state.get[0], state.get[1]) if state.exists else (None, 0.0)
+        ready, hold, wm_ms = _buffer_merge(state, batches, ts, out_cols, in_schema)
+        if ready:
+            out, last_ms, base = label_pass(
+                [r[0] / 1000.0 for r in ready],
+                [[_dec_one(r[1 + i], in_schema[c].dataType) for r in ready]
+                 for i, c in enumerate(out_cols)],
+                last_ms, base)
+            if out[wstart_col]:
+                yield pd.DataFrame(out, columns=out_names)
+        _store_and_arm(state, (last_ms, base), hold, wm_ms)
+
+    if ordered or not df.isStreaming:
+        src = df.withWatermark(ts, watermark) if df.isStreaming else df
+        return src.groupBy(key).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    ooo_state = T.StructType(
+        list(state_schema.fields)
+        + [T.StructField("buf", T.ArrayType(T.StringType()))]
+    )
+    return df.withWatermark(ts, watermark).groupBy(key).applyInPandasWithState(
+        fn_ooo,
+        outputStructType=out_schema,
+        stateStructType=ooo_state,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
