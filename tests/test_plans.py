@@ -81,6 +81,52 @@ def test_scan_topk_single_tiny_shuffle(spark):
     assert st["exchanges"] <= 1, st
 
 
+def test_aqe_skew_join_splits_mega_key(spark):
+    """Demonstrates the AQE runtime skew lever the engine relies on at
+    100 TB (CLAUDE.md hot-key story): a join where one key holds 95% of the
+    fact side gets its skewed partition SPLIT at runtime —
+    SortMergeJoin(skew=true) — instead of serializing onto one task.
+    Thresholds are shrunk so the demonstration runs on a test-sized input;
+    production uses the defaults (256MB/5x)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(500_000).select(
+            F.when(F.col("id") % 100 < 95, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1001).select(
+            F.when(F.col("id") == 1000, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.col("id").cast("string"))).alias("k"),
+            (F.col("id") * 2).alias("w"),
+        )
+        j = big.join(dim, "k")
+        jplan = j._jdf.queryExecution().executedPlan()
+        jplan.execute().count()  # drive THIS plan instance so AQE finalizes
+        plan = jplan.toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_profile_run_reports_metrics(spark):
     """Per-operator SQLMetrics profiler (Towhee time_profiler analogue):
     after a forced run, operators report output-row counts and the formatted
