@@ -329,6 +329,43 @@ def test_stream_time_window_exact_matches_buffer_model(spark, tmp_path):
     assert got == exp, (len(got), len(exp))
 
 
+def test_stream_time_window_chains_with_aggregation(spark, tmp_path):
+    """The streaming exact time_window label stream must COMPOSE with a
+    downstream streaming groupBy aggregation (the docstring's claim): the
+    chained per-window counts equal the reference buffer model's window
+    sizes."""
+    import pandas as pd
+
+    from towhee_spark.pipeline import towhee_time_window_ids
+    from towhee_spark.streaming.stateful import stream_time_window_exact_rows
+
+    src = str(tmp_path / "chain_src")
+    base = pd.Timestamp("2026-03-01")
+    rows = [("c0", t, "user", "x", None,
+             (base + pd.Timedelta(seconds=t * 300 + (t * 11) % 250)))
+            for t in range(60)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    bdf = spark.createDataFrame(pdf)
+    bdf.write.parquet(src)
+    sdf = spark.readStream.schema(bdf.schema).parquet(src)
+
+    labeled = stream_time_window_exact_rows(sdf, size=900, step=600)
+    agg = labeled.groupBy("conv_id", "wstart").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory").queryName("chain_agg")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.wstart: r.n for r in spark.sql("select * from chain_agg").collect()}
+    ts_ms = [int(t.value // 1_000_000) for t in pdf["ts"]]
+    exp = {ws // 1000: len(idxs)
+           for ws, idxs in towhee_time_window_ids(ts_ms, 900, 600, with_starts=True)}
+    assert got == exp
+    spark.catalog.dropTempView("chain_agg")
+
+
 def test_detect_objects_shape(spark):
     """Detection struct (boxes/classes/scores), deterministic stub model,
     boxes clamped to the frame; composes after decode_images like the

@@ -28,7 +28,9 @@ def plan_stats(df: DataFrame) -> dict[str, int]:
         "sorts": len(re.findall(r"^\s*[+:]?-?\s*\*?\(?\d*\)?\s*Sort\s", plan, re.M)),
         "windows": len(re.findall(r"\bWindow\b", plan)),
         "python_evals": len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan)),
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        # the simple plan string marks codegen stages as "*(n)"; the word
+        # "WholeStageCodegen" only appears in the formatted/tree renderings
+        "codegen_spans": len({m for m in re.findall(r"\*\((\d+)\)", plan)}),
         "scans": len(re.findall(r"FileScan|BatchScan", plan)),
     }
 
