@@ -257,6 +257,8 @@ def hyperplane_bucket_kernel(bank_T: np.ndarray, tables: int, block_planes: int)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # empty Arrow batch: asarray([]) would be 1-D
+            return pd.Series([], dtype=object)
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
         bits = (m @ bank_T > 0).astype(np.int64)
         packed = bits.reshape(len(m), tables, block_planes) @ weights
