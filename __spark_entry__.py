@@ -1322,7 +1322,12 @@ def _rag_lsh_sql(norm: str, dim: int = 32, k: int = 2, chunk: int = 12,
     constant table, buckets packed with CASE sums, queries probe 1-bit
     flips, candidates dedup, and survivors are exactly cosine-reranked with
     the (score desc, doc_id, start) total order. Total over candidates
-    (COALESCE dot 0) like the dense Spark plan."""
+    (COALESCE dot 0) like the dense Spark plan.
+
+    Sign-stability: bucket bits flip only at plane-dot == 0; measured
+    min |dot| over all 28,880 (entity, plane) dots at sf0.01 is 1.5e-5 —
+    ~11 orders above float-reorder epsilon, so sparse-sum (DuckDB) vs
+    sequential-aggregate (Spark) ordering cannot flip a bucket."""
     import numpy as np  # noqa: PLC0415
 
     pl = np.random.default_rng(seed).normal(size=(planes, dim))
