@@ -559,6 +559,16 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_simhash_weighted(spark, sf_dir):
+    # Charikar tf-WEIGHTED SimHash sketch (weight="count"): per-bit votes
+    # weighted by each 3-gram shingle's in-document frequency, md5 60-bit
+    # hash so the oracle re-runs the weighted vote + bit-pack in SQL
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = dedup.simhash_sketch(docs, "doc_id", "text", ngram=3,
+                              hash="md5", bits=60, weight="count")
+    return sk.select(F.col("id").alias("doc_id"), "simhash")
+
+
 def q_text_repetition(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", text.repetition_ratio("text").alias("rep_ratio"))
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_search": q_rag_search,
         "rag_search_lsh": q_rag_search_lsh,
         "text_repetition": q_text_repetition,
+        "simhash_weighted": q_simhash_weighted,
         "pii_scrub": q_pii_scrub,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
@@ -980,6 +991,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM embeddings""",
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
+        "simhash_weighted": _simhash_weighted_sql(norm),
         "embedding_neardup": _neardup_sql(
             block_planes=6, tables=4, probes=2, dim=64, seed=7, threshold=0.3
         ),
@@ -1176,6 +1188,40 @@ def _simhash_sql(norm: str, threshold: float = 0.5, blocks: int = 6,
                    ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
             WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}"""
+
+
+def _simhash_weighted_sql(norm: str, bits: int = 60) -> str:
+    """Oracle mirroring dedup.simhash_sketch(ngram=3, hash="md5", bits=60,
+    weight="count"): NON-distinct 3-gram shingles (bag), per-(doc, shingle)
+    counts as vote weights, md5 60-bit feature hash, per-bit weighted
+    majority vote, bit-pack."""
+    vote_cols = ",\n                       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN w ELSE -w END) AS b{b}"
+        for b in range(bits)
+    )
+    sketch_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+            WITH sh AS (
+                SELECT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+                )
+            ),
+            hw AS (
+                SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h,
+                       COUNT(*) AS w
+                FROM sh GROUP BY id, shingle
+            ),
+            votes AS (SELECT id, {vote_cols}
+                      FROM hw GROUP BY id)
+            SELECT id AS doc_id, CAST({sketch_sum} AS BIGINT) AS simhash
+            FROM votes"""
 
 
 def _neardup_sql(block_planes: int = 6, tables: int = 4, probes: int = 2,
