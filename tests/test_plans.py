@@ -81,6 +81,40 @@ def test_scan_topk_single_tiny_shuffle(spark):
     assert st["exchanges"] <= 1, st
 
 
+def test_native_gate_queries_have_zero_python_stages(spark):
+    """Sweeping plan guard: every gate query whose semantics are fully
+    native must plan with ZERO Python eval stages (ArrowEvalPython /
+    mapInPandas / applyInPandas). A Python stage sneaking into one of
+    these (a probe mis-verdict, an accidental impl default flip) is a
+    10-100x regression at scale that row-correctness checks can't see."""
+    import __spark_entry__ as entry
+
+    from towhee_spark.plans.explain import plan_stats
+
+    native = [
+        "asof_backward", "asof_forward", "asof_strict", "asof_tolerance",
+        "asof_chunked", "lag_lead", "locf_backfill", "locf_chunked", "bfill",
+        "sessionize", "session_stats", "towhee_map", "towhee_filter",
+        "towhee_flat_map", "towhee_time_window", "towhee_time_window_exact",
+        "towhee_time_window_exact_chunked", "towhee_window_sliding",
+        "towhee_concat", "dedup_exact", "dedup_ngram_jaccard",
+        "dedup_ngram_capped", "minhash_lsh", "simhash_pairs",
+        "simhash_weighted", "embedding_neardup", "similarity_topk",
+        "embedding_norms", "text_stats", "text_repetition", "quality_score",
+        "pii_scrub", "chunk_text", "conv_prompt", "rerank", "json_extract",
+        "tpch_q1", "tpch_q3ish", "tpch_q5ish", "cube_agg", "monthly_orders",
+        "topk_orders", "window_analytics", "anti_semi_join", "flagship",
+    ]
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name in native:
+        n = plan_stats(qs[name](spark, sf))["python_evals"]
+        if n:
+            bad[name] = n
+    assert not bad, f"python stages in native plans: {bad}"
+
+
 def test_aqe_skew_join_splits_mega_key(spark):
     """Demonstrates the AQE runtime skew lever the engine relies on at
     100 TB (CLAUDE.md hot-key story): a join where one key holds 95% of the
