@@ -140,6 +140,7 @@ def main() -> None:
         "dedup_ngram_capped",
         "minhash_lsh",
         "simhash_pairs",
+        "simhash_weighted",
         "embedding_neardup",
         "similarity_topk",
         "scan_topk",
