@@ -154,3 +154,20 @@ def test_native_probe_negative_and_zero_samples(spark):
     out3 = r_.apply(ndf)
     assert plan_stats(out3)["python_evals"] == 0
     assert sorted(r.y for r in out3.collect()) == [-13, 1, 15]
+
+
+def test_native_probe_mixed_sign_multi_input(spark):
+    """Code-review fix: a TWO-input fn diverging only on MIXED signs
+    (a % b: Python (-7) % 5 == 3 vs Spark -2) must be demoted — the
+    diagonal probe rows (3,3)/(-7,-7)/(0,0) all agree, so the probe must
+    cover off-diagonal combinations."""
+    from towhee_spark.plans import plan_stats
+
+    df = spark.createDataFrame([(-7, 5), (3, -2), (7, 3)], "a long, b long")
+    p = (Pipeline.input("a", "b")
+         .map(("a", "b"), "m", lambda a, b: a % b, out_types=("bigint",))
+         .output("a", "b", "m"))
+    out = p.apply(df)
+    got = {(r.a, r.b): r.m for r in out.collect()}
+    assert got == {(-7, 5): 3, (3, -2): -1, (7, 3): 1}, got  # Python semantics
+    assert plan_stats(out)["python_evals"] > 0

@@ -2,6 +2,7 @@
 multimodal decode plumbing."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -364,6 +365,64 @@ def test_stream_time_window_chains_with_aggregation(spark, tmp_path):
            for ws, idxs in towhee_time_window_ids(ts_ms, 900, 600, with_starts=True)}
     assert got == exp
     spark.catalog.dropTempView("chain_agg")
+
+
+def test_stream_time_window_numeric_ts_is_milliseconds(spark, tmp_path):
+    """Code-review fix: a NUMERIC ts column means epoch-MILLISECONDS
+    (Towhee's unit, same as the batch exact path) — not µs. Batch-mode
+    labels must match the buffer model on raw-ms data."""
+    from towhee_spark.pipeline import towhee_time_window_ids
+    from towhee_spark.streaming.stateful import stream_time_window_exact_rows
+
+    ts_ms = [0, 1000, 2500, 9000, 9500, 21000]
+    rows = [("k", i, t) for i, t in enumerate(ts_ms)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts long")
+    src = str(tmp_path / "numts_src")
+    df.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_time_window_exact_rows(
+        sdf, size=3, step=2, key="conv_id", ts="ts",
+        out_cols=("conv_id", "turn_idx", "ts"))
+    q = (out.writeStream.format("memory").queryName("numts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.turn_idx, r.wstart) for r in spark.sql("select * from numts").collect()}
+    exp = {(i, ws // 1000)
+           for ws, idxs in towhee_time_window_ids(ts_ms, 3, 2, with_starts=True)
+           for i in idxs}
+    assert got == exp, (got, exp)
+    spark.catalog.dropTempView("numts")
+
+
+def test_ooo_rejects_unsupported_configs(spark, tmp_path):
+    """Code-review fixes: ordered=False must FAIL LOUDLY at plan time for
+    (a) carry columns the JSON state buffer would silently mangle
+    (arrays/structs) and (b) non-UTC session timezones, where buffered
+    event times and the UTC-epoch watermark disagree."""
+    import pytest as _pytest
+
+    from towhee_spark.streaming.stateful import stream_sessionize_rows
+
+    src = str(tmp_path / "reject_src")
+    df = spark.createDataFrame(
+        [("c", 0, pd.Timestamp("2026-01-01").to_pydatetime(), ["a"])],
+        "conv_id string, turn_idx int, ts timestamp, tags array<string>")
+    df.write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+
+    with _pytest.raises(NotImplementedError, match="tags"):
+        stream_sessionize_rows(
+            sdf, out_cols=("conv_id", "turn_idx", "ts", "tags"), ordered=False)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _pytest.raises(ValueError, match="timeZone"):
+            stream_sessionize_rows(sdf, ordered=False)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # UTC + primitive columns still plans fine
+    stream_sessionize_rows(sdf, ordered=False)
 
 
 def test_detect_objects_shape(spark):

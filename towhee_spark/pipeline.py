@@ -188,8 +188,26 @@ def _probe_agrees(fn, in_cols, cols, df: DataFrame) -> bool:
         return True
     if any(s is None for s in per_col):
         return True  # no probe value for this type — trust the Column probe
-    n_rows = max(len(s) for s in per_col)
-    rows = [tuple(s[min(j, len(s) - 1)] for s in per_col) for j in range(n_rows)]
+    # full cartesian when small (multi-input sign traps like a % b need
+    # MIXED-sign rows — the diagonal (3,3)/(-7,-7)/(0,0) agrees on ops that
+    # diverge only at (-7, 5)); beyond the cap, diagonal + rotated
+    # diagonals still mixes every column pair
+    import itertools  # noqa: PLC0415
+
+    n_comb = 1
+    for s in per_col:
+        n_comb *= len(s)
+    if n_comb <= 32:
+        rows = list(itertools.product(*per_col))
+    else:
+        n_rows = max(len(s) for s in per_col)
+        rows = []
+        for shift in range(min(len(per_col), 3)):
+            rows += [
+                tuple(s[(j + i * shift) % len(s)] for i, s in enumerate(per_col))
+                for j in range(n_rows)
+            ]
+        rows = list(dict.fromkeys(rows))
 
     py_ok: list[tuple] = []   # (row, py_result) where python evaluated
     for r in rows:

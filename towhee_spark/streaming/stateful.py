@@ -24,7 +24,11 @@ Ordering contract — two modes:
   sentinel row. Rows with equal timestamps are inherently order-ambiguous
   in any mode. Buffer residency is bounded by the watermark delay
   (delay × per-key arrival rate rows). Streaming-only (a batch frame has
-  no watermark; batch mode keeps the sort-within-batch behavior).
+  no watermark).
+
+All ops here are STREAMING-only: Spark rejects applyInPandasWithState in
+batch queries ("use applyInPandas instead") — batch equivalents are the
+temporal/pipeline modules these mirror.
 
 One stateful operator does both jobs because Structured Streaming does not
 support chaining (flat)MapGroupsWithState-family operators — the sort
@@ -116,6 +120,47 @@ def _buffer_merge(state: GroupState, batches, ts: str, carry_cols, schema):
     return ready, hold, wm_ms
 
 
+_OOO_OK_TYPES = (T.StringType, T.TimestampType, T.TimestampNTZType,
+                 T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                 T.FloatType, T.DoubleType, T.BooleanType)
+
+
+def _require_ooo_supported(df: DataFrame, carry_cols, ts: str) -> None:
+    """Loud plan-time errors for the ordered=False configurations the JSON
+    state buffer cannot handle silently (code-review findings):
+
+    * non-UTC session timezone — buffered event times are compared against
+      the engine watermark, which is UTC-epoch-based; a tz offset would
+      release rows the watermark does not yet cover;
+    * non-primitive carry columns — arrays/maps/structs would be silently
+      str()-mangled by the JSON encoding."""
+    if not df.isStreaming:
+        return
+    if not isinstance(df.schema[ts].dataType,
+                      (T.TimestampType, T.TimestampNTZType)):
+        raise ValueError(
+            f"ordered=False requires a timestamp-typed event-time column "
+            f"(got {ts!r}: {df.schema[ts].dataType.simpleString()}): the "
+            f"watermark is the buffer's release signal"
+        )
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"ordered=False requires spark.sql.session.timeZone=UTC (got "
+            f"{tz!r}): the state buffer compares buffered event times "
+            f"against the engine watermark (UTC epoch); a session offset "
+            f"would release rows before the watermark covers them"
+        )
+    for c in carry_cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, _OOO_OK_TYPES):
+            raise NotImplementedError(
+                f"ordered=False carries column {c!r} of type "
+                f"{dt.simpleString()} through JSON state; only primitive "
+                f"and timestamp columns are supported"
+            )
+
+
 def _store_and_arm(state: GroupState, persist: tuple, hold: list, wm_ms: int):
     """Persist (logic state..., encoded hold buffer) and arm an event-time
     timeout at the earliest buffered row so the tail flushes when the
@@ -135,7 +180,7 @@ def stream_sessionize_rows(
     watermark: str = "30 minutes",
     ordered: bool = True,
 ) -> DataFrame:
-    """Per-row session labelling over a stream (or batch df in tests).
+    """Per-row session labelling over a stream.
 
     ``ordered=True``: rows within each micro-batch are processed in (ts)
     order per key; the (last_us, seq) state persists across batches.
@@ -185,7 +230,9 @@ def stream_sessionize_rows(
         _store_and_arm(state, (last_us, seq), hold, wm_ms)
 
     if ordered or not df.isStreaming:
-        src = df.withWatermark(ts, watermark) if df.isStreaming else df
+        is_time = isinstance(in_schema[ts].dataType,
+                             (T.TimestampType, T.TimestampNTZType))
+        src = df.withWatermark(ts, watermark) if (df.isStreaming and is_time) else df
         return src.groupBy(key).applyInPandasWithState(
             fn,
             outputStructType=out_schema,
@@ -193,6 +240,7 @@ def stream_sessionize_rows(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    _require_ooo_supported(df, out_cols, ts)
     state_schema = T.StructType(
         list(_STATE_SCHEMA.fields)
         + [T.StructField("buf", T.ArrayType(T.StringType()))]
@@ -274,7 +322,11 @@ def stream_time_window_exact_rows(
         last_ms, base = state.get if state.exists else (None, 0.0)
         for pdf in batches:
             pdf = pdf.sort_values(ts, kind="mergesort")
-            ms = (_ts_us(pdf, ts) / 1000.0).tolist()
+            if pd.api.types.is_datetime64_any_dtype(pdf[ts]):
+                ms = (_ts_us(pdf, ts) / 1000.0).tolist()
+            else:  # numeric ts: epoch-MILLISECONDS — Towhee's unit, same as
+                # the batch exact path (pipeline._compile_time_window)
+                ms = pdf[ts].astype("float64").tolist()
             out, last_ms, base = label_pass(
                 ms, [pdf[c].tolist() for c in out_cols], last_ms, base)
             if out[wstart_col]:
@@ -295,7 +347,9 @@ def stream_time_window_exact_rows(
         _store_and_arm(state, (last_ms, base), hold, wm_ms)
 
     if ordered or not df.isStreaming:
-        src = df.withWatermark(ts, watermark) if df.isStreaming else df
+        is_time = isinstance(in_schema[ts].dataType,
+                             (T.TimestampType, T.TimestampNTZType))
+        src = df.withWatermark(ts, watermark) if (df.isStreaming and is_time) else df
         return src.groupBy(key).applyInPandasWithState(
             fn,
             outputStructType=out_schema,
@@ -303,6 +357,7 @@ def stream_time_window_exact_rows(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    _require_ooo_supported(df, out_cols, ts)
     ooo_state = T.StructType(
         list(state_schema.fields)
         + [T.StructField("buf", T.ArrayType(T.StringType()))]
@@ -374,7 +429,10 @@ def stream_locf_rows(
         if ready:
             idx = {c: 1 + i for i, c in enumerate(carry)}
             filled, last = locf_pass(
-                [[r[idx[c]] for r in ready] for c in cols], last)
+                # decode cells first: a timestamp fill col must stringify as
+                # its Timestamp form, not its buffered epoch-µs int
+                [[_dec_one(r[idx[c]], in_schema[c].dataType) for r in ready]
+                 for c in cols], last)
             out = pd.DataFrame({
                 c: _dec_series([r[idx[c]] for r in ready], in_schema[c].dataType)
                 for c in out_cols
@@ -385,7 +443,9 @@ def stream_locf_rows(
         _store_and_arm(state, tuple(last), hold, wm_ms)
 
     if ordered or not df.isStreaming:
-        src = df.withWatermark(ts, watermark) if df.isStreaming else df
+        is_time = isinstance(in_schema[ts].dataType,
+                             (T.TimestampType, T.TimestampNTZType))
+        src = df.withWatermark(ts, watermark) if (df.isStreaming and is_time) else df
         return src.groupBy(key).applyInPandasWithState(
             fn,
             outputStructType=out_schema,
@@ -393,6 +453,7 @@ def stream_locf_rows(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    _require_ooo_supported(df, carry, ts)
     ooo_state = T.StructType(
         list(state_schema.fields)
         + [T.StructField("buf", T.ArrayType(T.StringType()))]
