@@ -999,10 +999,11 @@ def _oracle_sql() -> dict[str, str]:
         "rag_search_lsh": _rag_lsh_sql(norm, dim=32, k=2, chunk=12, step=8,
                                        planes=8, probes=4, seed=7),
         "chunk_text": f"""
-            WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS toks FROM documents)
+            WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS toks
+                       FROM documents WHERE {{norm}} <> '')
             SELECT doc_id, CAST(s AS INT) AS start,
                    array_to_string(toks[s + 1 : s + 12], ' ') AS chunk
-            FROM t, UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, 8)) AS u(s)""".format(norm=norm),
+            FROM t, UNNEST(range(0, greatest(len(toks) - 5, 0) + 1, 8)) AS u(s)""".format(norm=norm),
         "pii_scrub": _pii_sql(),
         "text_repetition": f"""
             SELECT doc_id,
@@ -1316,8 +1317,10 @@ def _rag_sql(norm: str, dim: int = 32, k: int = 2, chunk: int = 12, step: int = 
             WITH chunks AS (
                 SELECT doc_id, CAST(s AS INT) AS start,
                        array_to_string(toks[s + 1 : s + {chunk}], ' ') AS chunk
-                FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
-                     UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, {step})) AS u(s)
+                FROM (SELECT doc_id, string_split({norm}, ' ') AS toks
+                      FROM documents WHERE {norm} <> ''),
+                     UNNEST(range(0, greatest(len(toks) - {chunk} + {step} - 1, 0) + 1,
+                                  {step})) AS u(s)
             ),
             craw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, start AS key2, chunk AS body FROM chunks)")}),
             cnorm AS (SELECT key1, key2, sqrt(SUM(v * v)) AS nrm FROM craw GROUP BY key1, key2),
@@ -1396,8 +1399,10 @@ def _rag_lsh_sql(norm: str, dim: int = 32, k: int = 2, chunk: int = 12,
             WITH chunks AS (
                 SELECT doc_id, CAST(s AS INT) AS start,
                        array_to_string(toks[s + 1 : s + {chunk}], ' ') AS chunk
-                FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
-                     UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, {step})) AS u(s)
+                FROM (SELECT doc_id, string_split({norm}, ' ') AS toks
+                      FROM documents WHERE {norm} <> ''),
+                     UNNEST(range(0, greatest(len(toks) - {chunk} + {step} - 1, 0) + 1,
+                                  {step})) AS u(s)
             ),
             craw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, start AS key2, chunk AS body FROM chunks)")}),
             cnorm AS (SELECT key1, key2, sqrt(SUM(v * v)) AS nrm FROM craw GROUP BY key1, key2),

@@ -145,8 +145,20 @@ def test_binary_loaders(spark, tmp_path):
     (tmp_path / "a.pdf").write_bytes(_mini_pdf("flate text"))
     (tmp_path / "a.docx").write_bytes(_mini_ooxml(
         "word/document.xml", "<w:t>Hello</w:t><w:t xml:space='preserve'> docx &amp; co</w:t>"))
-    (tmp_path / "a.xlsx").write_bytes(_mini_ooxml(
-        "xl/sharedStrings.xml", "<sst><si><t>alpha</t></si><si><t>beta</t></si></sst>"))
+    import io as _io
+    import zipfile as _zipfile
+    xbuf = _io.BytesIO()
+    with _zipfile.ZipFile(xbuf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml",
+                    "<sst><si><t>alpha</t></si><si><t>beta &amp; co</t></si></sst>")
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    '<worksheet><row>'
+                    '<c r="A1" t="s"><v>1</v></c>'   # shared-string ref -> 'beta & co'
+                    '<c r="B1"><v>42</v></c>'        # numeric cell
+                    '<c r="C1" t="inlineStr"><is><t>inline!</t></is></c>'
+                    '<c r="D1" t="s"><v>0</v></c>'   # -> 'alpha'
+                    "</row></worksheet>")
+    (tmp_path / "a.xlsx").write_bytes(xbuf.getvalue())
     (tmp_path / "a.pptx").write_bytes(_mini_ooxml(
         "ppt/slides/slide1.xml", "<a:t>slide text</a:t>"))
     (tmp_path / "legacy.docx").write_bytes(b"\xd0\xcf\x11\xe0 not a zip")
@@ -161,7 +173,9 @@ def test_binary_loaders(spark, tmp_path):
     assert docx["legacy.docx"] == ""  # non-zip legacy bytes degrade to empty
 
     xlsx = loaders.excel_loader(spark, str(tmp_path)).first().text
-    assert "alpha" in xlsx and "beta" in xlsx
+    # shared-string INDEXES must be resolved, not emitted (review finding):
+    # cell order with refs replaced, numeric + inline cells kept
+    assert xlsx == "beta & co 42 inline! alpha", xlsx
     pptx = loaders.powerpoint_loader(spark, str(tmp_path)).first().text
     assert pptx == "slide text"
 

@@ -135,19 +135,31 @@ def chunk_text(text: Column | str, size: int = 64, overlap: int = 16) -> Column:
     """Token-window document chunks as array<struct<start:int, chunk:string>>
     — the text_splitter / RAG-chunking op (fixed window, ``overlap`` tokens
     of context carry-over). Native expressions only (sequence/slice/
-    array_join), SQL-mirrorable; explode the result for (doc, chunk) rows."""
+    array_join), SQL-mirrorable; explode the result for (doc, chunk) rows.
+
+    A start is emitted only while it contributes NEW tokens — a trailing
+    start inside the final window's overlap region would produce a chunk
+    fully contained in its predecessor, double-indexing that text (RAG
+    duplicate inflation; code-review finding): starts stop at
+    len − size + step − 1. Empty/whitespace-only documents yield ZERO
+    chunks (not one empty chunk)."""
     if overlap >= size:
         raise ValueError("chunk_text: overlap must be < size")
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(normalize_text(c), " ")
+    norm = normalize_text(c)
+    toks = F.split(norm, " ")
     step = size - overlap
     starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+        F.lit(0),
+        F.greatest(F.size(toks) - size + step - 1, F.lit(0)),
+        F.lit(step),
     )
-    return F.transform(
+    chunks = F.transform(
         starts,
         lambda s: F.struct(
             s.cast("int").alias("start"),
             F.array_join(F.slice(toks, s + 1, size), " ").alias("chunk"),
         ),
     )
+    # slice-to-zero keeps the struct element type without a cast literal
+    return F.when(norm == "", F.slice(chunks, 1, 0)).otherwise(chunks)

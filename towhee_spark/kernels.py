@@ -273,14 +273,16 @@ def np_normalize(vecs: pd.Series) -> pd.Series:
     batches (the normal embedding case) take ONE (n, d) matrix normalize;
     ragged batches fall back to a per-element loop."""
     vals = vecs.tolist()
-    lens = {len(v) for v in vals}
-    if len(lens) == 1:
+    lens = {len(v) for v in vals if v is not None}
+    if len(lens) == 1 and not any(v is None for v in vals):
         m = np.asarray(vals, dtype=np.float32)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         out = m / np.where(n > 0, n, 1.0)
         return pd.Series(list(out))
 
     def norm1(v):
+        if v is None:  # nulls pass through (upstream may yield null vectors)
+            return None
         a = np.asarray(v, dtype=np.float32)
         n = float(np.linalg.norm(a))
         return (a / n).tolist() if n > 0 else a.tolist()

@@ -84,7 +84,9 @@ def notebook_loader(spark: SparkSession, path: str, pattern: str = "*.ipynb") ->
             nb = json.loads(_decode(b))
             cells = nb.get("cells", [])
             return "\n".join("".join(c.get("source", [])) for c in cells)
-        except (json.JSONDecodeError, AttributeError):
+        except (json.JSONDecodeError, AttributeError, TypeError):
+            # TypeError: non-string items inside a cell's source list — one
+            # malformed notebook must not fail the batch (best-effort '')
             return ""
 
     return _parse_df(read_glob(spark, path, pattern, binary=True), parse)
@@ -195,13 +197,58 @@ def doc_loader(spark: SparkSession, path: str, pattern: str = "*.docx") -> DataF
 
 
 def excel_loader(spark: SparkSession, path: str, pattern: str = "*.xlsx") -> DataFrame:
-    """data_loader.excel_loader: xlsx shared strings + inline/numeric cells."""
+    """data_loader.excel_loader: xlsx cell contents in sheet order.
+
+    Cells are RESOLVED, not dumped: ``t="s"`` cells hold sharedStrings
+    INDEXES in their <v>, so the index is replaced by the referenced string
+    (emitting the raw <v> would inject a garbage integer per string cell —
+    code-review finding); inline-string cells take their <is><t> run;
+    other cells (numeric/bool/formula result) emit their <v> as-is. A
+    container with shared strings but no worksheet members degrades to the
+    shared-string pool."""
+    import html as _html  # noqa: PLC0415
+    import io  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
     def parse(b: bytes) -> str:
-        shared = _zip_xml_texts(b, r"xl/sharedStrings\.xml", r"<t[^>]*>(.*?)</t>")
-        cells = _zip_xml_texts(
-            b, r"xl/worksheets/sheet\d+\.xml", r"<(?:v|t)[^>]*>(.*?)</(?:v|t)>"
-        )
-        return re.sub(r"\s+", " ", f"{shared} {cells}").strip()
+        try:
+            zf = zipfile.ZipFile(io.BytesIO(b or b""))
+        except (zipfile.BadZipFile, OSError):
+            return ""
+        shared: list[str] = []
+        pieces: list[str] = []
+        saw_sheet = False
+        with zf:
+            names = sorted(zf.namelist())
+            for name in names:
+                if re.fullmatch(r"xl/sharedStrings\.xml", name):
+                    xml = zf.read(name).decode("utf-8", errors="replace")
+                    shared = [_html.unescape(t)
+                              for t in re.findall(r"<t[^>]*>(.*?)</t>", xml, re.S)]
+            for name in names:
+                if not re.fullmatch(r"xl/worksheets/sheet\d+\.xml", name):
+                    continue
+                saw_sheet = True
+                xml = zf.read(name).decode("utf-8", errors="replace")
+                for cell in re.findall(r"<c\b[^>]*(?:/>|>.*?</c>)", xml, re.S):
+                    inline = re.search(r"<is>.*?<t[^>]*>(.*?)</t>", cell, re.S)
+                    if inline:
+                        pieces.append(_html.unescape(inline.group(1)))
+                        continue
+                    v = re.search(r"<v[^>]*>(.*?)</v>", cell, re.S)
+                    if not v:
+                        continue
+                    val = _html.unescape(v.group(1))
+                    if re.search(r'\bt="s"', cell):
+                        try:
+                            pieces.append(shared[int(val)])
+                        except (ValueError, IndexError):
+                            pass  # malformed ref: drop, don't emit the index
+                    else:
+                        pieces.append(val)
+        if not saw_sheet:
+            pieces = shared
+        return re.sub(r"\s+", " ", " ".join(pieces)).strip()
 
     return _parse_df(read_glob(spark, path, pattern, binary=True), parse)
 

@@ -67,6 +67,33 @@ def pandas_epoch_us(tsv) -> "pd.Series":  # noqa: F821
     return tsv.astype("int64") * mult // div
 
 
+def _orderable(dt) -> bool:
+    """Conservative recursive check that a type supports Spark ordering —
+    the asof payload tie-break and the chunked carry's max/min-struct both
+    need it. Arrays/binaries are excluded conservatively (matches the
+    historical top-level guard); maps are never orderable; structs recurse
+    (a struct<... map ...> is NOT orderable even though its top level is)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dt, (T.MapType, T.ArrayType, T.BinaryType)):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _chunk_id(ts: str, dtype, chunk_seconds: float) -> Column:
+    """Deterministic value-based time-chunk id: epoch-µs buckets for
+    temporal ts columns; for NUMERIC ts columns the raw value is bucketed
+    directly (``chunk_seconds`` then shares the column's unit) — plain
+    locf/asof support numeric ts, so the chunked variants must too."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.floor(epoch_us(ts) / F.lit(int(chunk_seconds * 1_000_000)))
+    return F.floor(F.col(ts).cast("double") / F.lit(float(chunk_seconds)))
+
+
 def _time_value(col: Column, dtype) -> Column:
     """Numeric time for tolerance/gap math: µs for timestamps (exact int),
     the raw value for numeric ts columns."""
@@ -99,9 +126,10 @@ def asof_join(
 
     The nearest right row is attached ATOMICALLY (a null in the matched row
     stays null — no stale per-column fill). Ties on duplicate right (key, ts)
-    rows resolve deterministically by payload ordering when the value columns
-    are orderable; keep the right side unique per (key, ts) for oracle-exact
-    results.
+    rows resolve deterministically when the value columns are orderable:
+    backward picks the MAX payload, forward the MIN (the resolutions the
+    chunked variant's struct carry can reproduce); keep the right side
+    unique per (key, ts) for oracle-exact results.
 
     Implementation: union-tag + one struct-payload window sweep — one
     shuffle, one sort, no Python.
@@ -151,12 +179,16 @@ def asof_join(
     asc = direction == "backward"
     tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
     order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie]
-    # struct tie-break only when orderable (no arrays/maps among right cols)
-    if not any(
-        isinstance(f.dataType, (T.ArrayType, T.MapType, T.BinaryType))
-        for f in rhs.schema[_PAY].dataType.fields
-    ):
-        order.append(F.col(_PAY).asc_nulls_first())
+    # struct tie-break only when orderable — RECURSIVELY: a struct<...map>
+    # payload field passes a top-level isinstance check but still breaks
+    # the orderBy (code-review finding)
+    if _orderable(rhs.schema[_PAY].dataType):
+        # direction-dependent: backward resolves duplicate right (key, ts)
+        # rows to the MAX payload, forward to the MIN — the resolutions a
+        # single max/min-struct carry can express, keeping asof_join and
+        # asof_join_chunked identical on duplicate ties
+        order.append(F.col(_PAY).asc_nulls_first() if asc
+                     else F.col(_PAY).desc_nulls_last())
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)
@@ -222,7 +254,14 @@ def asof_join_cogroup(
         + [T.StructField(f.name, f.dataType, True) for f in right.schema.fields if f.name in rcols]
     )
     lcols = left.columns
-    tol = pd.Timedelta(seconds=tolerance) if tolerance is not None else None
+    ts_is_time = isinstance(
+        right.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+    )
+    # pd.merge_asof needs the tolerance in the ON column's own type:
+    # Timedelta for datetimes, a plain number for numeric ts columns
+    tol = None
+    if tolerance is not None:
+        tol = pd.Timedelta(seconds=tolerance) if ts_is_time else tolerance
 
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if ldf.empty:
@@ -323,7 +362,10 @@ def sessionize(
     w = Window.partitionBy(*keys).orderBy(ts, *order_extra)
     # exact integer µs for timestamps (oracle-parity-safe; float epoch-seconds
     # carries 16 significant digits — off-by-ulp at gap boundaries)
-    if dict(df.dtypes)[ts].startswith("timestamp"):
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(df.schema[ts].dataType,
+                  (T.TimestampType, T.TimestampNTZType, T.DateType)):
         tcol, gap_v = epoch_us(ts), F.lit(int(gap * 1_000_000))
     else:
         tcol, gap_v = F.col(ts).cast("double"), F.lit(float(gap))
@@ -396,8 +438,8 @@ def locf_chunked(
     """
     keys = _as_list(key)
     chunk = "__locf_chunk"
-    us = epoch_us(ts)
-    df2 = df.withColumn(chunk, F.floor(us / F.lit(int(chunk_seconds * 1_000_000))))
+    ts_dtype = df.schema[ts].dataType
+    df2 = df.withColumn(chunk, _chunk_id(ts, ts_dtype, chunk_seconds))
 
     extras = [c for c in order_extra if c in df.columns]
     w_local = (
@@ -411,7 +453,8 @@ def locf_chunked(
 
     # per-(key, chunk) last non-null per column, order-independent
     def last_nonnull(c):
-        ordk = [epoch_us(ts).alias("o")] + [F.col(e).alias(f"o{i}") for i, e in enumerate(extras)]
+        ordk = [_time_value(F.col(ts), ts_dtype).alias("o")] \
+            + [F.col(e).alias(f"o{i}") for i, e in enumerate(extras)]
         st = F.when(F.col(c).isNotNull(), F.struct(*ordk, F.col(c).alias("v")))
         return F.max(st)["v"].alias(c + "__last")
 
@@ -476,7 +519,6 @@ def asof_join_chunked(
         )
     ts_type = right.schema[ts].dataType
     chunk = "__asof_chunk"
-    span_us = int(chunk_seconds * 1_000_000)
 
     pay = F.struct(F.col(ts).alias("__rts"),
                    *[F.col(c).alias(out_names[c]) for c in rcols])
@@ -488,12 +530,24 @@ def asof_join_chunked(
     lhs = (left.withColumn(_SRC, F.lit(1))
            .withColumn(_PAY, F.lit(None).cast(rhs.schema[_PAY].dataType)))
     cols = [*keys, ts, _SRC, _PAY, *[c for c in lcols if c not in set(keys) | {ts}]]
+    if not _orderable(rhs.schema[_PAY].dataType):
+        raise ValueError(
+            "asof_join_chunked requires ORDERABLE right value columns (no "
+            "arrays/maps/binaries): the order-independent cross-chunk carry "
+            "is a max/min over (ts, payload) structs. Use asof_join for "
+            "unorderable payloads."
+        )
     u = lhs.select(*cols).unionByName(rhs.select(*cols))
-    u = u.withColumn(chunk, F.floor(epoch_us(ts) / F.lit(span_us)))
+    u = u.withColumn(chunk, _chunk_id(ts, ts_type, chunk_seconds))
 
     asc = direction == "backward"
     tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
-    order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie]
+    # payload tie-break mirrors asof_join exactly (backward→max payload,
+    # forward→min): the carry's max/min-struct makes the same choice, so
+    # duplicate right (key, ts) rows resolve identically on both paths
+    order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie,
+             F.col(_PAY).asc_nulls_first() if asc
+             else F.col(_PAY).desc_nulls_last()]
     w_local = (
         Window.partitionBy(*keys, chunk)
         .orderBy(*order)
