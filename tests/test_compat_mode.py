@@ -171,3 +171,15 @@ def test_native_probe_mixed_sign_multi_input(spark):
     got = {(r.a, r.b): r.m for r in out.collect()}
     assert got == {(-7, 5): 3, (3, -2): -1, (7, 3): 1}, got  # Python semantics
     assert plan_stats(out)["python_evals"] > 0
+
+    # 4 numeric inputs (cartesian 81 > old cap of 32): the trap between
+    # cols 0 and 3 must STILL be caught — rotated-diagonal sampling left
+    # index-distance-3 column pairs in lockstep (review finding)
+    df4 = spark.createDataFrame([(-7, 1, 1, 5), (9, 1, 1, 4)],
+                                "a long, b long, c long, d long")
+    p4 = (Pipeline.input("a", "b", "c", "d")
+          .map(("a", "b", "c", "d"), "m", lambda a, b, c, d: a % d,
+               out_types=("bigint",))
+          .output("a", "m"))
+    got4 = {r.a: r.m for r in p4.apply(df4).collect()}
+    assert got4 == {-7: 3, 9: 1}, got4  # Python % semantics on negatives

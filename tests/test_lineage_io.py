@@ -60,9 +60,12 @@ def test_manifest_contents(spark, corpus_df, tmp_path):
     assert m["exec_conf"]["spark.sql.adaptive.enabled"] == "true"
     assert int(m["exec_conf"]["spark.sql.shuffle.partitions"]) >= 1
     # per-operator SQLMetrics of the verification pass attached to lineage
-    # (Towhee time_profiler analogue, SURVEY §7.1 item 9): the profile must
-    # contain the scan + checksum aggregation with real row counts
-    prof = m["metrics"]["verify_plan_profile"]
+    # (Towhee time_profiler analogue, SURVEY §7.1 item 9): written ONCE per
+    # job and referenced from every bucket manifest; must contain the scan
+    # + checksum aggregation with real row counts
+    ref = m["metrics"]["verify_profile_ref"]
+    with open(os.path.join(base, ref)) as f:
+        prof = json.load(f)["verify_plan_profile"]
     ops = " ".join(p["op"] for p in prof)
     assert "Scan" in ops and "Aggregate" in ops, ops
     assert any(

@@ -49,5 +49,19 @@ def test_api_service_http_roundtrip(spark):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+        # review fixes: query strings route; a handler's OWN KeyError is a
+        # 500 handler error, not a bogus 'no such route' 404
+        status, body = _post(port, "/plus1?trace=1", [7])
+        assert (status, body) == (200, [8])
+
+        @service.api("/needs_text")
+        def needs_text(params):
+            return params["text"]
+
+        try:
+            _post(port, "/needs_text", {"txt": "oops"})
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
     finally:
         srv.stop()

@@ -256,13 +256,18 @@ def test_embedding_neardup_recall_at_boundary(spark):
     recall = sum(1 for p in planted if p in got) / n_pairs
     assert recall >= 0.95, f"boundary recall {recall:.3f} < 0.95"
     # the Arrow matmul signature kernel (production default) and the
-    # oracle-reproducible expr path must produce the same pair set
-    sub = df.filter(F.col("vec_id") < 10_100)
+    # oracle-reproducible expr path must produce the same pair set — ALSO
+    # in the presence of a NULL embedding (review fix: the kernel used to
+    # crash the batch; both paths must just drop the null row)
+    sub = df.filter(F.col("vec_id") < 10_100).unionByName(
+        spark.createDataFrame([(999_999, None)],
+                              "vec_id long, embedding array<double>"))
     arrow = {(r.id_a, r.id_b, r.cosine) for r in dedup.embedding_neardup_pairs(
         sub, threshold=0.95, dim=dim, impl="arrow").collect()}
     expr = {(r.id_a, r.id_b, r.cosine) for r in dedup.embedding_neardup_pairs(
         sub, threshold=0.95, dim=dim, impl="expr").collect()}
     assert arrow == expr
+    assert not any(999_999 in (a, b) for a, b, _ in arrow)
     # precision stays exact by construction (candidate-bounded cosine verify)
     for a, b in got:
         assert not (10_000 <= a < 10_000 + 2 * n_pairs) or (a, b) in planted or b >= 10_000

@@ -107,7 +107,8 @@ def ngram_jaccard_pairs(
     that many docs (a frequency cap — the standard defence against the
     O(freq²) pair blow-up of stop-shingles at corpus scale). None disables
     the cap (exact semantics; used by the sf0.01 oracle check)."""
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh_cached = shingles(df, id_col, text_col, n).cache()
+    sh = sh_cached
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_freq is not None:
         freq_ok = (
@@ -124,7 +125,10 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return _with_cached_deps(_jaccard_join(inter, sizes, threshold), sh)
+    # tag the CACHED frame itself — when the frequency cap rebinds sh to a
+    # derived join, unpersisting that join would be a no-op and the cached
+    # shingles would leak (code-review finding)
+    return _with_cached_deps(_jaccard_join(inter, sizes, threshold), sh_cached)
 
 
 def _verify_pairs_exact_jaccard(

@@ -125,6 +125,12 @@ def scan_topk(
     def part_topk(batches):
         ids, mat = bq.value
         nq = len(ids)
+        # prune margin: the kernel's BLAS-order rounded scores pick the
+        # survivors; a candidate within one 1e-6 rounding ulp of the kth
+        # score could be ordered differently by the native rescore, so keep
+        # a few extra per partition — the global window trims to k after
+        # the exact rescore (code-review finding)
+        k_keep = k + 4
         best_s = [np.empty(0, dtype=np.float64) for _ in range(nq)]
         best_m = [np.empty(0, dtype=object) for _ in range(nq)]
         best_v = [np.empty(0, dtype=object) for _ in range(nq)]
@@ -143,13 +149,13 @@ def scan_topk(
                 if exclude_self:
                     keep = mm != ids[qi]
                     s, mm, vv = s[keep], mm[keep], vv[keep]
-                if len(s) > k:
+                if len(s) > k_keep:
                     # total order (score desc, match_id asc)
                     try:
-                        sel = np.lexsort((mm, -s))[:k]
+                        sel = np.lexsort((mm, -s))[:k_keep]
                     except TypeError:  # non-numeric ids
                         sel = np.array(sorted(range(len(s)),
-                                              key=lambda i: (-s[i], mm[i]))[:k])
+                                              key=lambda i: (-s[i], mm[i]))[:k_keep])
                     s, mm, vv = s[sel], mm[sel], vv[sel]
                 best_s[qi], best_m[qi], best_v[qi] = s, mm, vv
         rows = {

@@ -259,10 +259,19 @@ def hyperplane_bucket_kernel(bank_T: np.ndarray, tables: int, block_planes: int)
     def buckets(vecs: pd.Series) -> pd.Series:
         if not len(vecs):  # empty Arrow batch: asarray([]) would be 1-D
             return pd.Series([], dtype=object)
-        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
-        bits = (m @ bank_T > 0).astype(np.int64)
-        packed = bits.reshape(len(m), tables, block_planes) @ weights
-        return pd.Series(list(packed))
+        vals = vecs.tolist()
+        # NULL vectors → NULL bucket arrays (posexplode emits no rows),
+        # matching the expr path where a null array yields a null bucket
+        # that joins nothing — instead of crashing the whole batch
+        mask = [v is not None for v in vals]
+        out = [None] * len(vals)
+        if any(mask):
+            m = np.asarray([v for v in vals if v is not None], dtype=np.float64)
+            bits = (m @ bank_T > 0).astype(np.int64)
+            packed = bits.reshape(len(m), tables, block_planes) @ weights
+            it = iter(packed)
+            out = [next(it) if ok else None for ok in mask]
+        return pd.Series(out)
 
     return buckets
 

@@ -136,6 +136,16 @@ def write_with_lineage(
         except Exception:  # noqa: BLE001  # py4j metric walk is best-effort
             plan_prof = None
     os.makedirs(os.path.join(base, MANIFEST_DIR), exist_ok=True)
+    # the profile describes the whole verification JOB — write it ONCE and
+    # reference it from every bucket manifest instead of duplicating the
+    # multi-operator metrics tree n_buckets times (code-review finding)
+    profile_rel = None
+    if plan_prof:
+        profile_rel = os.path.join(MANIFEST_DIR, "profile.json")
+        ptmp = os.path.join(base, profile_rel) + ".tmp"
+        with open(ptmp, "w") as f:
+            json.dump({"verify_plan_profile": plan_prof}, f)
+        os.replace(ptmp, os.path.join(base, profile_rel))
 
     def _bucket_bytes(b: int) -> int:
         d = os.path.join(base, "data", f"{BUCKET_COL}={b}")
@@ -161,7 +171,7 @@ def write_with_lineage(
             "metrics": {
                 "bytes": _bucket_bytes(int(r[BUCKET_COL])),
                 "write_job_wall_sec": job_wall_sec,  # shared across this job's buckets
-                **({"verify_plan_profile": plan_prof} if plan_prof else {}),
+                **({"verify_profile_ref": profile_rel} if profile_rel else {}),
             },
             "exec_conf": exec_conf,
         }

@@ -188,26 +188,37 @@ def _probe_agrees(fn, in_cols, cols, df: DataFrame) -> bool:
         return True
     if any(s is None for s in per_col):
         return True  # no probe value for this type — trust the Column probe
-    # full cartesian when small (multi-input sign traps like a % b need
+    # full cartesian when feasible (multi-input sign traps like a % b need
     # MIXED-sign rows — the diagonal (3,3)/(-7,-7)/(0,0) agrees on ops that
-    # diverge only at (-7, 5)); beyond the cap, diagonal + rotated
-    # diagonals still mixes every column pair
+    # diverge only at (-7, 5)); these are literal rows in one tiny local
+    # job, so up to ~1000 combinations is cheap. Beyond that (7+ numeric
+    # inputs), the diagonal is augmented with explicit PAIRWISE mixing rows
+    # — for every column pair, both (2nd sample, 1st sample) orientations —
+    # which covers every two-column sign interaction; rotated-diagonal
+    # schemes do NOT (columns whose index distance is a multiple of the
+    # sample count always move in lockstep — code-review finding)
     import itertools  # noqa: PLC0415
 
     n_comb = 1
     for s in per_col:
         n_comb *= len(s)
-    if n_comb <= 32:
+    if n_comb <= 1024:
         rows = list(itertools.product(*per_col))
     else:
         n_rows = max(len(s) for s in per_col)
-        rows = []
-        for shift in range(min(len(per_col), 3)):
-            rows += [
-                tuple(s[(j + i * shift) % len(s)] for i, s in enumerate(per_col))
-                for j in range(n_rows)
-            ]
-        rows = list(dict.fromkeys(rows))
+        # diagonal rows (all-pos / all-neg / all-zero) ...
+        rows = [tuple(s[min(j, len(s) - 1)] for s in per_col) for j in range(n_rows)]
+        # ... plus single-deviation rows: column i takes each of its other
+        # samples while every other column sits at its first (positive)
+        # sample — covers every (col_i value, col_j positive) interaction
+        for i, samples in enumerate(per_col):
+            for v in samples[1:]:
+                r = [s[0] for s in per_col]
+                r[i] = v
+                rows.append(tuple(r))
+        # dedupe by repr: sample values may be unhashable (array samples)
+        seen: set[str] = set()
+        rows = [r for r in rows if not (repr(r) in seen or seen.add(repr(r)))]
 
     py_ok: list[tuple] = []   # (row, py_result) where python evaluated
     for r in rows:

@@ -52,9 +52,14 @@ class APIService:
 
     def __call__(self, path: str, payload):
         """Dispatch without a server — the testable core."""
+        return self.resolve(path)(payload)
+
+    def resolve(self, path: str) -> Callable:
+        """Route lookup alone — lets the server distinguish 'no such route'
+        (404) from a handler's OWN KeyError (500)."""
         if path not in self._routes:
             raise KeyError(f"no route {path!r}; have {self.routes}")
-        return self._routes[path](payload)
+        return self._routes[path]
 
 
 class HTTPServer:
@@ -86,13 +91,20 @@ class HTTPServer:
                 self._send(200, {"desc": service.desc, "routes": service.routes})
 
             def do_POST(self):  # noqa: N802
+                from urllib.parse import urlsplit  # noqa: PLC0415
+
                 n = int(self.headers.get("Content-Length") or 0)
+                # strip the query string so POST /route?x=1 still routes;
+                # resolve OUTSIDE the handler try so a handler's own
+                # KeyError reports as 500, not a bogus 404
                 try:
-                    payload = json.loads(self.rfile.read(n) or b"null")
-                    result = service(self.path, payload)
-                    self._send(200, result)
+                    fn = service.resolve(urlsplit(self.path).path)
                 except KeyError as e:
                     self._send(404, {"error": str(e)})
+                    return
+                try:
+                    payload = json.loads(self.rfile.read(n) or b"null")
+                    self._send(200, fn(payload))
                 except Exception as e:  # noqa: BLE001
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 

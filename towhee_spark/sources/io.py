@@ -31,9 +31,25 @@ def read_table(spark: SparkSession, location: str) -> DataFrame:
 
 
 def write_table(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    """Write an engine table; ``mode`` carries DataFrameWriter semantics on
+    BOTH backends (overwrite / append / error[ifexists] / ignore) — the
+    Iceberg branch previously collapsed every non-overwrite mode into
+    append, silently discarding error/ignore semantics."""
     if "/" not in location and iceberg_available(df.sparkSession):
         w = df.writeTo(location)
-        (w.createOrReplace() if mode == "overwrite" else w.append())
+        if mode == "overwrite":
+            w.createOrReplace()
+        elif mode == "append":
+            w.append()
+        elif mode in ("error", "errorifexists"):
+            w.create()  # Iceberg create raises if the table exists
+        elif mode == "ignore":
+            try:
+                w.create()
+            except Exception:  # noqa: BLE001  # exists → no-op, per mode
+                pass
+        else:
+            raise ValueError(f"unknown write mode {mode!r}")
         return
     df.write.mode(mode).parquet(location)
 
@@ -50,7 +66,8 @@ def read_glob(spark: SparkSession, path: str, pattern: str = "*", binary: bool =
 def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
     """data_source.csv_reader → native CSV scan with schema inference off by
     default (pass schema= for production stability)."""
-    return spark.read.options(header=True, **{k: str(v) for k, v in options.items()}).csv(path)
+    opts = {"header": "true", **{k: str(v) for k, v in options.items()}}
+    return spark.read.options(**opts).csv(path)
 
 
 def read_jdbc(
