@@ -32,7 +32,9 @@ def test_conversation_prompt_ordering(spark):
     out = {r.conv_id: r.prompt for r in prompt.conversation_prompt(df, max_turns=4).collect()}
     srt = pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
     for conv, g in srt.groupby("conv_id"):
-        lines = [f"{r.role}: {r.text or ''}" for r in g.itertuples()][:4]
+        # max_turns keeps the LAST N turns (the recent context a
+        # history-bearing prompt needs — review fix), still in time order
+        lines = [f"{r.role}: {r.text or ''}" for r in g.itertuples()][-4:]
         assert out[conv] == "\n".join(lines)
 
 

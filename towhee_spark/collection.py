@@ -46,6 +46,12 @@ class Entity:
     def __eq__(self, other) -> bool:
         return isinstance(other, Entity) and self.__dict__ == other.__dict__
 
+    def __hash__(self) -> int:
+        # defining __eq__ alone would leave Entity UNHASHABLE (review
+        # finding); repr-based hashing stays consistent with dict equality
+        # even for unhashable cell values (lists/arrays)
+        return hash(tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())))
+
 
 class DataCollection:
     """List-of-Entity result wrapper (data_collection.py:23-223)."""

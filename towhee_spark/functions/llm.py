@@ -63,23 +63,33 @@ def llm_map(
     in_col: str = "messages",
     out_col: str = "answer",
     client_factory: Callable[[], Callable[[list[str]], list[str]]] | None = None,
-    cache_key: str = "llm_client",
+    cache_key: str | None = None,
     strict: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` = completion of ``in_col`` (a prompt string OR the
     reference's message-struct array). One client per worker, one call per
     Arrow batch — the service round-trip amortizes over the batch, never
-    per row. ``strict=True`` refuses to run on the offline fake."""
+    per row. ``strict=True`` refuses to run on the offline fake.
+
+    ``cache_key`` defaults to the factory's identity (module.qualname), so
+    two llm_map calls with DIFFERENT factories get different worker-cached
+    clients — a shared fixed key silently served the first factory's client
+    to both (code-review finding). Pass an explicit key to deliberately
+    share or separate clients."""
     if strict and client_factory is None:
         raise NotImplementedError(
             "no LLM service in this environment; pass client_factory= with a "
             "batched Callable[[list[str]], list[str]]"
         )
     factory = client_factory or _fake_client
+    key = cache_key or (
+        f"llm_client:{getattr(factory, '__module__', '?')}."
+        f"{getattr(factory, '__qualname__', repr(factory))}"
+    )
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        client = worker_singleton(cache_key, factory)
+        client = worker_singleton(key, factory)
         for pdf in batches:
             prompts = [render_messages(m) for m in pdf[in_col]]
             pdf[out_col] = client(prompts)

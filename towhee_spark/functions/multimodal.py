@@ -143,6 +143,9 @@ def image_embed(
         for pdf in batches:
             embs = []
             for img in pdf[image_col]:
+                if img is None:  # null struct (outer join / skipped decode)
+                    embs.append(None)
+                    continue
                 arr = np.frombuffer(img["data"], dtype=np.uint8).astype(np.float32)
                 hist = np.histogram(arr, bins=dim, range=(0, 256))[0].astype(np.float32)
                 n = np.linalg.norm(hist)
@@ -199,6 +202,9 @@ def image_crop(
         for pdf in batches:
             crops = []
             for img in pdf[image_col]:
+                if img is None:  # null struct passes through as null crop
+                    crops.append(None)
+                    continue
                 arr = np.frombuffer(img["data"], dtype=np.uint8).reshape(
                     img["height"], img["width"], 3
                 )
@@ -248,6 +254,9 @@ def detect_objects(
         for pdf in batches:
             dets = []
             for img in pdf[image_col]:
+                if img is None:  # null struct → zero detections, not a crash
+                    dets.append({"boxes": [], "classes": [], "scores": []})
+                    continue
                 h, w = int(img["height"]), int(img["width"])
                 if h < 1 or w < 1:  # degenerate frame → zero detections,
                     dets.append({"boxes": [], "classes": [], "scores": []})

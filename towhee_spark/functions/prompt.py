@@ -61,14 +61,22 @@ def conversation_prompt(
 ):
     """Per-conversation prompt assembly: collect ordered (role, text) turns
     into one chat transcript string — the transcript-table analogue of
-    history-bearing question_answer. One shuffle (the groupBy)."""
+    history-bearing question_answer. One shuffle (the groupBy).
+
+    ``max_turns`` keeps the LAST N turns (a history-bearing prompt needs
+    the recent exchanges; keeping the first N silently dropped exactly the
+    context the prompt exists to carry — code-review finding)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     w = Window.partitionBy(key).orderBy(*order)
     line = F.format_string("%s: %s", F.col(role), F.coalesce(F.col(text), F.lit("")))
     df2 = df.withColumn("__line", line).withColumn("__rn", F.row_number().over(w))
     if max_turns is not None:
-        df2 = df2.filter(F.col("__rn") <= max_turns)
+        order_cols = [order] if isinstance(order, str) else list(order)
+        w_desc = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols])
+        df2 = df2.withColumn("__rn_last", F.row_number().over(w_desc)) \
+                 .filter(F.col("__rn_last") <= max_turns).drop("__rn_last")
     # collect_list gives NO ordering guarantee → collect (rn, line) structs
     # and array_sort before joining (struct sort is field-ordered, rn first)
     lines = F.transform(

@@ -31,6 +31,6 @@ def sketch_profile(
     ]
     for q in quantiles:
         aggs.append(
-            F.percentile_approx(value_col, q).alias(f"p{int(q * 100)}_{value_col}")
+            F.percentile_approx(value_col, q).alias(f"p{int(round(q * 100))}_{value_col}")
         )
     return df.groupBy(*group_by).agg(*aggs)

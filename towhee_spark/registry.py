@@ -21,6 +21,19 @@ def register(name: str | None = None):
     mirrors factory.py:73 — '.'→'/', '_'→'-')."""
     def deco(fn: Callable) -> Callable:
         key = (name or fn.__name__).replace(".", "/").replace("_", "-")
+        prev = _REGISTRY.get(key)
+        if prev is not None and prev is not fn and getattr(prev, "__qualname__", None) != getattr(fn, "__qualname__", None):
+            # distinct names can normalize to one key ('ns/my_op' vs
+            # 'ns/my-op'): surface the silent replacement (review finding);
+            # same-qualname re-registration (notebook cell re-runs) stays quiet
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                f"operator {key!r} re-registered: replacing "
+                f"{getattr(prev, '__qualname__', prev)!r} with "
+                f"{getattr(fn, '__qualname__', fn)!r}",
+                stacklevel=3,
+            )
         _REGISTRY[key] = fn
         return fn
 

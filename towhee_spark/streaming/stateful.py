@@ -193,34 +193,50 @@ def stream_sessionize_rows(
     )
     out_names = [f.name for f in out_schema.fields]
 
-    def session_pass(us_list, last_us, seq):
+    def session_pass(t_list, last_t, seq, gap_t=None):
+        gap_t = gap_us if gap_t is None else gap_t
         seqs = []
-        for t_us in us_list:
-            if last_us is None or t_us - last_us > gap_us:
+        for t in t_list:
+            if last_t is None or t - last_t > gap_t:
                 seq += 1
-            last_us = int(t_us)
+            last_t = t  # full precision in-batch (fractional numeric ts)
             seqs.append(seq)
-        return seqs, last_us, seq
+        return seqs, last_t, seq
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             last_us, seq = state.get
         else:
             last_us, seq = None, 0
-        for pdf in batches:
+        # CONCATENATE the group's Arrow chunks before sorting: a >10k-row
+        # per-key batch arrives as multiple chunks in arbitrary order, and
+        # chunk-local sorts would feed the sequential logic out of order
+        # (code-review finding)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(ts, kind="mergesort")
-            us = _ts_us(pdf, ts)
-            seqs, last_us, seq = session_pass(us, last_us, seq)
+            if pd.api.types.is_datetime64_any_dtype(pdf[ts]):
+                tvals = _ts_us(pdf, ts)
+                gap_t = gap_us
+            else:  # numeric ts: RAW values, gap shares the column's unit —
+                # batch temporal.sessionize parity (was read as µs)
+                tvals = pdf[ts].astype("float64")
+                gap_t = gap
+            seqs, last_us, seq = session_pass(tvals, last_us, seq, gap_t)
             out = pdf[list(out_cols)].copy()
             out[seq_col] = seqs
             yield out[out_names]
-        state.update((last_us, seq))
+        # the Long state slot floors fractional numeric ts at batch
+        # boundaries only (within-batch math keeps full precision)
+        state.update((None if last_us is None else int(last_us), seq))
 
     def fn_ooo(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         last_us, seq = (state.get[0], state.get[1]) if state.exists else (None, 0)
         ready, hold, wm_ms = _buffer_merge(state, batches, ts, out_cols, in_schema)
         if ready:
             seqs, last_us, seq = session_pass([r[0] for r in ready], last_us, seq)
+
             out = pd.DataFrame({
                 c: _dec_series([r[1 + i] for r in ready], in_schema[c].dataType)
                 for i, c in enumerate(out_cols)
@@ -320,7 +336,10 @@ def stream_time_window_exact_rows(
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         last_ms, base = state.get if state.exists else (None, 0.0)
-        for pdf in batches:
+        chunks = [pdf for pdf in batches if len(pdf)]
+        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
+            # whole-group sort: chunk-local sorts break ordering for >10k-row
+            # per-key batches (code-review finding)
             pdf = pdf.sort_values(ts, kind="mergesort")
             if pd.api.types.is_datetime64_any_dtype(pdf[ts]):
                 ms = (_ts_us(pdf, ts) / 1000.0).tolist()
@@ -414,7 +433,10 @@ def stream_locf_rows(
 
     def fn(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         last = list(state.get) if state.exists else [None] * len(cols)
-        for pdf in batches:
+        chunks = [pdf for pdf in batches if len(pdf)]
+        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
+            # whole-group sort (see sessionize fn: chunk-local sorts break
+            # ordering for large per-key batches)
             pdf = pdf.sort_values(ts, kind="mergesort")
             filled, last = locf_pass([pdf[c].tolist() for c in cols], last)
             out = pdf[list(out_cols)].copy()

@@ -9,9 +9,13 @@ Two generators, same schema:
   using pure column arithmetic (splitmix-style integer hashing), no driver
   materialization; used at bench scale. Pure function of (seed, n_convs).
 
-Both exercise the hard paths: Zipf-skewed conversation lengths (hot-key
-salting), out-of-order (ts, turn_idx) pairs, null tools (LOCF target),
-and empty texts.
+Both exercise Zipf-skewed conversation lengths (hot-key salting) and null
+tools (LOCF target). Out-of-order (ts, turn_idx) pairs and empty texts are
+exercised by the PANDAS generators only (the correctness side);
+``transcripts_spark`` emits strictly monotone ts (cumsum of positive gaps)
+and non-empty texts by construction — bench numbers measure the ordered
+path, and the re-sort/empty-text edge cases are covered by the unit-test
+corpora, not the bench corpus.
 """
 
 from __future__ import annotations
