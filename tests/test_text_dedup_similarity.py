@@ -169,6 +169,24 @@ def test_lsh_topk_arrow_equals_expr(embs):
     assert rows("arrow") == rows("expr")
 
 
+def test_chunk_text_no_subset_chunks(spark):
+    """Review fix: no trailing chunk fully contained in its predecessor,
+    and empty/whitespace docs yield ZERO chunks."""
+    from towhee_spark.functions import text as _text
+
+    rows = [(0, " ".join(f"w{i}" for i in range(64))),   # exactly one window
+            (1, " ".join(f"w{i}" for i in range(100))),  # truncated final
+            (2, ""), (3, None), (4, "   "), (5, "short doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select("doc_id", _text.chunk_text("text", size=64, overlap=16).alias("c"))
+    got = {r.doc_id: [(s.start, len(s.chunk.split())) for s in r.c]
+           for r in out.collect()}
+    assert got[0] == [(0, 64)]          # start 48 would be a subset chunk
+    assert got[1] == [(0, 64), (48, 52)]  # final chunk adds tokens 65..100
+    assert got[2] == got[3] == got[4] == []  # empty docs: zero chunks
+    assert got[5] == [(0, 2)]
+
+
 def test_simhash_weighted_sketch(spark):
     """weight='count' = Charikar term-frequency voting, checked against a
     pure-Python reference; unigram weighted == unigram bag (same votes,
