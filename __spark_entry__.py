@@ -399,9 +399,11 @@ def q_anti_semi_join(spark, sf_dir):
 def q_json_extract(spark, sf_dir):
     # semi-structured path: events.props is a JSON object {"k": int}
     ev = load_events(spark, sf_dir)
+    # try_cast on both sides: ANSI Spark would THROW on a non-integer k
+    # where DuckDB CAST rounds — try_cast makes both engines yield NULL
     return ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k"),
     )
 
 
@@ -622,7 +624,9 @@ def q_rag_search(spark, sf_dir):
     )
     qs = docs.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), emb(F.col("text")).alias("qv")
-    )
+    ).filter(F.size(F.filter(F.col("qv"), lambda v: v != 0)) > 0)
+    # zero-vector queries (empty text / sign-cancelling tokens) are dropped
+    # on BOTH sides: the oracle's qraw CTE excludes them structurally
     # vectors are unit-norm, so dot == cosine
     from towhee_spark.kernels import dot_expr  # noqa: PLC0415
 
@@ -662,19 +666,20 @@ def q_rag_search_lsh(spark, sf_dir):
         .select("doc_id", F.col("c.start").alias("start"), F.col("c.chunk").alias("chunk"))
         .withColumn("cv", emb(F.col("chunk")))
         .filter(F.size(F.filter(F.col("cv"), lambda v: v != 0)) > 0)
-        .withColumn("cid", F.col("doc_id") * 100_000 + F.col("start"))
+        .withColumn("cid", F.col("doc_id") * 1_000_000_000 + F.col("start"))  # start < 1e9 for any realistic doc
     )
     qs = docs.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), emb(F.col("text")).alias("qv")
-    )
+    ).filter(F.size(F.filter(F.col("qv"), lambda v: v != 0)) > 0)
+    # zero-vector queries dropped on BOTH sides (oracle qraw excludes them)
     top = similarity.lsh_topk(
         qs, cindex, k=2, q_id="query_id", q_vec="qv", i_id="cid", i_vec="cv",
         planes=8, probes=4, dim=32, seed=7, impl="expr",
-        exclude_fn=lambda q, m: F.floor(m / 100_000) != q,
+        exclude_fn=lambda q, m: F.floor(m / 1_000_000_000) != q,
     )
     return (
-        top.withColumn("doc_id", F.floor(F.col("match_id") / 100_000).cast("long"))
-        .withColumn("start", F.pmod(F.col("match_id"), F.lit(100_000)).cast("int"))
+        top.withColumn("doc_id", F.floor(F.col("match_id") / 1_000_000_000).cast("long"))
+        .withColumn("start", F.pmod(F.col("match_id"), F.lit(1_000_000_000)).cast("int"))
         .join(cindex.select("doc_id", "start", "chunk"), ["doc_id", "start"])
         .select("query_id", "rank", "doc_id", "start",
                 F.round(F.col("score"), 4).alias("score4"), "chunk")
@@ -912,9 +917,12 @@ def _oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
             FROM x GROUP BY user_id, wstart""",
         "towhee_time_window": """
+            -- hour_id >= 0 mirrors the Spark path's lo-clamp at window 0:
+            -- pre-epoch rows explode to zero windows there
             SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-            FROM events GROUP BY user_id, hour_id""",
+            FROM events WHERE floor(epoch_us(ts) / 3600000000) >= 0
+            GROUP BY user_id, hour_id""",
         "towhee_reduce": """
             SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
                    ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
@@ -948,7 +956,7 @@ def _oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY n_name""",
         "json_extract": """
-            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events""",
         "monthly_orders": """
             SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,

@@ -47,9 +47,17 @@ def main() -> int:
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        try:  # DuckDB binds views eagerly; a missing optional table should
+            # only fail the queries that reference it
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        except Exception as e:  # noqa: BLE001
+            print(f"WARN  view {t}: {str(e)[:100]}")
 
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:  # a typo must not print ALL PASS with zero queries run
+        print(f"FAIL  unknown query names: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

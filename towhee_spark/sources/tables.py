@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 TRANSCRIPTS_SQL = """
 SELECT
     'conv-' || CAST(user_id AS VARCHAR)             AS conv_id,
-    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) - 1
          AS INTEGER)                                AS turn_idx,
     CASE CAST(event_id % 4 AS INTEGER)
         WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
@@ -44,7 +44,7 @@ SELECT conv_id, ts, ctx_score, ctx_label FROM (
         ts,
         value                               AS ctx_score,
         event_type                          AS ctx_label,
-        row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id NULLS FIRST) AS rn
     FROM events
     WHERE event_id % 5 = 0
 ) WHERE rn = 1
