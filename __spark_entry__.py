@@ -181,6 +181,12 @@ def _n_sum(vals):
     return (len(vals), _r4(float(sum(vals))))
 
 
+# Accepted residual risk (oracle-fragility review): the towhee_* value
+# aggregates gate unordered DOUBLE sums through ROUND(...,4) equality.
+# Accumulation-order noise (~1e-13) could flip a group landing exactly on a
+# x.xxxx5 boundary on some future corpus; the DECIMAL tactic used for TPC-H
+# revenue is not applicable here because the Python list-fold parity paths
+# must sum plain floats. Three rounds of gate runs have never hit it.
 def _n_sum_agg(col):
     # native aggregate fold — _native_agg compiles the node to one JVM hash
     # aggregate (map-side combine); the gate exercises that dispatch path
@@ -882,6 +888,12 @@ def _oracle_sql() -> dict[str, str]:
             FROM idx, UNNEST(range(CAST(greatest(0, ceil((i - 9) / 5.0)) AS BIGINT),
                                    CAST(floor(i / 5.0) AS BIGINT) + 1)) AS u(wid)
             GROUP BY user_id, wid""",
+        # NOTE (accepted): this oracle computes lag and the running base
+        # max over two independent sorts ordered by ms alone; rows with
+        # DUPLICATE (user_id, ts) could order differently between the two
+        # CTE sorts (and vs Spark's single shared sort). The events corpus
+        # has unique (user_id, ts); tie-bearing corpora would need an
+        # explicit tiebreak column threaded through both engines.
         "towhee_time_window_exact": """
             WITH m AS (
                 SELECT user_id, value, epoch_us(ts) / 1000.0 AS ms FROM events
