@@ -216,6 +216,23 @@ def q_towhee_window_sliding(spark, sf_dir):
     return p.apply(ev, by="user_id", order=("ts", "event_id"))
 
 
+def q_towhee_window_sliding_chunked(spark, sf_dir):
+    # HOT-KEY variant of the count window: the per-key row index comes from
+    # chunked_row_number (per-(key, time-chunk) local row_number +
+    # prefix-sum carry) instead of a bare-key row_number window, so a
+    # mega-conversation fans out. Chunking must be invisible: gated against
+    # the SAME oracle as towhee_window_sliding.
+    ev = load_events(spark, sf_dir)
+    p = (
+        Pipeline.input("value")
+        .window("value", ("n", "sum_value"), size=10, step=5, fn=_n_sum_agg,
+                out_types=("bigint", "double"), wid_col="wid",
+                chunk_seconds=3600)
+        .output("user_id", "wid", "n", "sum_value")
+    )
+    return p.apply(ev, by="user_id", order=("ts", "event_id"))
+
+
 def q_towhee_time_window(spark, sf_dir):
     # scale path (exact=False: step-aligned non-empty windows) — coincides
     # with the hour-bucket oracle because size == step
@@ -745,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_flat_map": q_towhee_flat_map,
         "towhee_window_count": q_towhee_window_count,
         "towhee_window_sliding": q_towhee_window_sliding,
+        "towhee_window_sliding_chunked": q_towhee_window_sliding_chunked,
         "towhee_time_window": q_towhee_time_window,
         "towhee_time_window_exact": q_towhee_time_window_exact,
         "towhee_time_window_exact_chunked": q_towhee_time_window_exact_chunked,
@@ -789,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
     # chunking must be invisible: the hot-key chunked exact time_window is
     # gated against the SAME recurrence-mirror SQL as the unchunked path
     d["towhee_time_window_exact_chunked"] = d["towhee_time_window_exact"]
+    d["towhee_window_sliding_chunked"] = d["towhee_window_sliding"]
     return d
 
 

@@ -145,6 +145,46 @@ def test_chunked_exact_megakey_multitask(spark):
     assert len(got) > 80  # sanity: ~95 overlapping windows over the span
 
 
+def test_chunked_count_window_matches_unchunked(spark):
+    """COUNT-window hot-key path (chunked_row_number: per-chunk local
+    row_number + prefix-sum carry) must equal the bare-key row_number plan
+    window-for-window on a planted mega-key, with no per-row window
+    partitioned on the key alone."""
+    from pyspark.sql import functions as F
+
+    from towhee_spark.pipeline import Pipeline
+
+    n = 60_000
+    df = spark.range(n).select(
+        F.lit("mega").alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") * 37 % 1_000_003).alias("tiebreak"),
+        (F.col("id") * 1000).alias("t"),  # ms, 0..60M → many 1h chunks
+    )
+
+    def mk(chunk):
+        return (
+            Pipeline.input("v")
+            .window("v", ("cnt", "vsum"), size=7, step=3,
+                    fn=lambda v: (F.count(v), F.sum(v)),
+                    wid_col="wid", chunk_seconds=chunk)
+            .output("k", "wid", "cnt", "vsum")
+        )
+
+    chunked = mk(3_600).apply(df, by="k", order=("t", "v"))
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if ("windowspecdefinition" in line and "__crn_ck" not in line
+                and "__wid" not in line and "row_order" not in line.lower()):
+            # the only remaining bare-key windows may be over the AGGREGATED
+            # frame (one row per window/chunk), never the per-row frame
+            assert "__cnt" in line or "__off" in line or "_w0" in line, line
+    got = {r.wid: (r.cnt, r.vsum) for r in chunked.collect()}
+    exp = {r.wid: (r.cnt, r.vsum)
+           for r in mk(None).apply(df, by="k", order=("t", "v")).collect()}
+    assert got == exp and len(got) == (n + 2) // 3
+
+
 def test_native_exact_plan_matches_buffer_model(spark):
     """The compiled exact time_window (closed-form realign recurrence,
     fully native) must reproduce the Towhee buffer model's window contents

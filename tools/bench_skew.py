@@ -96,9 +96,24 @@ def main() -> None:
 
     res["tw_exact_window_sec"] = timed(lambda: force(tw(None)))
     res["tw_exact_chunked_sec"] = timed(lambda: force(tw(3600.0)))
+
+    # COUNT window: bare-key row_number vs chunked_row_number (round 3)
+    def cw(chunk):
+        p = (
+            Pipeline.input("turn_idx")
+            .window("turn_idx", ("n", "s"), size=10, step=5,
+                    fn=lambda v: (F.count(v), F.sum(v)), wid_col="wid",
+                    chunk_seconds=chunk)
+            .output("conv_id", "wid", "n", "s")
+        )
+        return p.apply(corpus, by="conv_id", order=("ts", "turn_idx"))
+
+    res["cw_window_sec"] = timed(lambda: force(cw(None)))
+    res["cw_chunked_sec"] = timed(lambda: force(cw(3600.0)))
     res["locf_speedup"] = round(res["locf_window_sec"] / res["locf_chunked_sec"], 2)
     res["asof_speedup"] = round(res["asof_window_sec"] / res["asof_chunked_sec"], 2)
     res["tw_speedup"] = round(res["tw_exact_window_sec"] / res["tw_exact_chunked_sec"], 2)
+    res["cw_speedup"] = round(res["cw_window_sec"] / res["cw_chunked_sec"], 2)
     print(json.dumps(res))
 
 

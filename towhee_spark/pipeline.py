@@ -334,13 +334,21 @@ class Pipeline:
                                   {"filter_cols": _tup(filter_cols), "native": native}))
 
     def window(self, in_cols, out_cols, size: int, step: int, fn, out_types=None,
-               wid_col: str | None = None) -> "Pipeline":
+               wid_col: str | None = None,
+               chunk_seconds: float | None = None) -> "Pipeline":
         """Count window of ``size`` rows advancing by ``step``.  ``wid_col``
         names an extra output carrying the 0-based window id (Towhee emits
-        windows in order but anonymously; tables want the id addressable)."""
+        windows in order but anonymously; tables want the id addressable).
+
+        ``chunk_seconds`` is the HOT-KEY lever: the per-key row index is
+        computed per (key, time-chunk of the first order column) with a
+        prefix-sum carry (temporal.chunked_row_number) instead of one
+        bare-key row_number window — a mega-key no longer serializes onto
+        one task. Same results; requires apply(by=..., order=...)."""
         return self._append(_Node("window", _tup(in_cols), _tup(out_cols), fn,
                                   {"size": size, "step": step, "out_types": out_types,
-                                   "wid_col": wid_col}))
+                                   "wid_col": wid_col,
+                                   "chunk_seconds": chunk_seconds}))
 
     def time_window(self, in_cols, out_cols, timestamp_col: str, size: int, step: int,
                     fn, out_types=None, exact: bool = True,
@@ -805,12 +813,29 @@ def _compile_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
     size, step = node.params["size"], node.params["step"]
 
     def assign(df, keys, order):
-        w = (
-            Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
-            if keys
-            else Window.orderBy(*order) if order else Window.orderBy(F.monotonically_increasing_id())
-        )
-        df = df.withColumn("__idx", F.row_number().over(w) - 1)
+        chunk_s = node.params.get("chunk_seconds")
+        if chunk_s and keys and order:
+            # hot-key path: per-(key, chunk) local row_number + prefix-sum
+            # offsets — no bare-key per-row window (see window() docstring)
+            from towhee_spark.temporal import chunked_row_number  # noqa: PLC0415
+
+            first = order[0]
+            if not isinstance(first, str):
+                raise ValueError(
+                    "window(chunk_seconds=...) needs string order columns "
+                    "(the first one is value-chunked)"
+                )
+            df = chunked_row_number(
+                df, keys, first, chunk_s,
+                extra_order=[o for o in order[1:]], out="__idx",
+            )
+        else:
+            w = (
+                Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+                if keys
+                else Window.orderBy(*order) if order else Window.orderBy(F.monotonically_increasing_id())
+            )
+            df = df.withColumn("__idx", F.row_number().over(w) - 1)
         idx = F.col("__idx")
         lo = F.greatest(F.lit(0), F.ceil((idx - F.lit(size - 1)) / F.lit(step))).cast("long")
         hi = F.floor(idx / F.lit(step)).cast("long")

@@ -409,6 +409,45 @@ def carry_join(
     return df.join(carry, on=list(on), how=how)
 
 
+def chunked_row_number(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    chunk_span: float,
+    extra_order: Sequence = (),
+    out: str = "__idx",
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """0-based per-key row index WITHOUT a bare-key window — the hot-key
+    lever for COUNT-based windows (row_number over Window.partitionBy(key)
+    serializes a mega-key onto one task exactly like LOCF/time_window did):
+    local row_number per (key, value-chunk of ``ts``) + an exclusive
+    prefix-sum of per-chunk counts over the tiny chunk frame, carried back
+    with :func:`carry_join`. Ties always share a chunk (floor bucketing),
+    so tie handling matches the global window's. ``chunk_span`` is seconds
+    for temporal ``ts``, the column's own unit for numeric ``ts``."""
+    ck = _chunk_id(ts, df.schema[ts].dataType, chunk_span)
+    df2 = df.withColumn("__crn_ck", ck)
+    w_local = Window.partitionBy(*keys, "__crn_ck").orderBy(F.col(ts), *extra_order)
+    counts = df2.groupBy(*keys, "__crn_ck").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(*keys).orderBy("__crn_ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        *keys, "__crn_ck",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    joined = carry_join(
+        df2.withColumn("__lrn", F.row_number().over(w_local)),
+        offs, [*keys, "__crn_ck"], broadcast=broadcast_carry,
+    )
+    return (
+        joined.withColumn(out, (F.col("__off") + F.col("__lrn") - 1).cast("long"))
+        .drop("__crn_ck", "__lrn", "__off")
+    )
+
+
 def locf_chunked(
     df: DataFrame,
     cols: Sequence[str],
