@@ -114,6 +114,19 @@ def q_sessionize(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "session_seq")
 
 
+def q_sessionize_chunked(spark, sf_dir):
+    # HOT-KEY sessionize (per-(key, time-chunk) gap logic + carried
+    # predecessor and session-count base) — chunking must be invisible:
+    # gated against the SAME oracle as sessionize. chunk=3600s splits the
+    # transcript conversations into several chunks each.
+    from towhee_spark.temporal import sessionize_chunked  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    out = sessionize_chunked(t, gap=1800.0, seq_out="session_seq",
+                             chunk_seconds=3600.0)
+    return out.select("conv_id", "turn_idx", "session_seq")
+
+
 def q_session_stats(spark, sf_dir):
     t, _ = _t_c(spark, sf_dir)
     s = sessionize(t, gap=1800.0, seq_out="session_seq")
@@ -756,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_chunked": q_asof_chunked,
         "bfill": q_bfill,
         "sessionize": q_sessionize,
+        "sessionize_chunked": q_sessionize_chunked,
         "session_stats": q_session_stats,
         "towhee_map": q_towhee_map,
         "towhee_filter": q_towhee_filter,
@@ -808,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
     # gated against the SAME recurrence-mirror SQL as the unchunked path
     d["towhee_time_window_exact_chunked"] = d["towhee_time_window_exact"]
     d["towhee_window_sliding_chunked"] = d["towhee_window_sliding"]
+    d["sessionize_chunked"] = d["sessionize"]
     return d
 
 

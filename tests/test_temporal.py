@@ -241,6 +241,38 @@ def test_locf_chunked_matches_locf_with_mega_conversation(spark):
     assert nchunks > 1
 
 
+def test_sessionize_chunked_matches_sessionize(spark):
+    """Value-chunked sessionize == window sessionize row-for-row, including
+    a mega-conversation spanning many chunks, boundary rows landing exactly
+    at chunk edges, and sessions crossing chunk boundaries."""
+    from towhee_spark.temporal import sessionize_chunked
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for conv, n in [("mega", 8000)] + [(f"c{i}", 25) for i in range(15)]:
+        t = 0.0
+        for i in range(n):
+            # gaps straddle the 600s session gap AND the 900s chunk span
+            t += float(rng.choice([30, 300, 601, 899, 900, 901, 1800]))
+            rows.append((conv, i, "user", "x", None,
+                         pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+    exp = {(r.conv_id, r.turn_idx): (r.session_id, r.seq)
+           for r in sessionize(df, gap=600.0, seq_out="seq").collect()}
+    got_df = sessionize_chunked(df, gap=600.0, seq_out="seq", chunk_seconds=900.0)
+    got = {(r.conv_id, r.turn_idx): (r.session_id, r.seq) for r in got_df.collect()}
+    assert got == exp
+    # plan: no per-row window partitioned on the bare key
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(conv_id#" in line and "__sess_ck" not in line:
+            raise AssertionError(f"bare-key per-row window:\n{line}")
+
+
 def test_carry_join_broadcast_guard_plan_flips(spark, sdfs):
     """broadcast_carry is a plan hint only: False must flip the carry join
     from BroadcastHashJoin to a shuffled join (the 10^9-carry-rows escape

@@ -29,7 +29,7 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from towhee_spark import asof_join, locf
+    from towhee_spark import asof_join, locf, sessionize
     from towhee_spark.session import get_spark
     from towhee_spark.synth import transcripts_spark
     from towhee_spark.temporal import asof_join_chunked, locf_chunked
@@ -110,10 +110,20 @@ def main() -> None:
 
     res["cw_window_sec"] = timed(lambda: force(cw(None)))
     res["cw_chunked_sec"] = timed(lambda: force(cw(3600.0)))
+
+    # sessionize: bare-key lag+running-sum vs chunked gap logic (round 3)
+    from towhee_spark.temporal import sessionize_chunked
+
+    res["sess_window_sec"] = timed(
+        lambda: force(sessionize(corpus, gap=1800.0, seq_out="seq")))
+    res["sess_chunked_sec"] = timed(
+        lambda: force(sessionize_chunked(corpus, gap=1800.0, seq_out="seq",
+                                         chunk_seconds=3600.0)))
     res["locf_speedup"] = round(res["locf_window_sec"] / res["locf_chunked_sec"], 2)
     res["asof_speedup"] = round(res["asof_window_sec"] / res["asof_chunked_sec"], 2)
     res["tw_speedup"] = round(res["tw_exact_window_sec"] / res["tw_exact_chunked_sec"], 2)
     res["cw_speedup"] = round(res["cw_window_sec"] / res["cw_chunked_sec"], 2)
+    res["sess_speedup"] = round(res["sess_window_sec"] / res["sess_chunked_sec"], 2)
     print(json.dumps(res))
 
 

@@ -409,6 +409,89 @@ def carry_join(
     return df.join(carry, on=list(on), how=how)
 
 
+def sessionize_chunked(
+    df: DataFrame,
+    gap: float = 1800.0,
+    key: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    out: str = "session_id",
+    seq_out: str | None = None,
+    chunk_seconds: float = 86400.0,
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """:func:`sessionize` for HOT keys — the same gap logic computed per
+    (key, time-chunk) with a tiny carry, so a mega-conversation fans out
+    instead of serializing its lag + running-sum onto one task.
+
+    The recurrence state between consecutive rows is just the previous
+    event time, and the session sequence is a running SUM of boundary
+    flags — both chunk cleanly: per-chunk aggregates carry (last event
+    time, count of in-chunk boundaries); the tiny chunk frame resolves
+    each chunk's head-row boundary against the carried predecessor and
+    prefix-sums the session counts; rows then combine carried base + local
+    running sum. Ties always share a chunk (floor bucketing). Same results
+    as :func:`sessionize`; two shuffles + one carry join."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    keys = _as_list(key)
+    dtype = df.schema[ts].dataType
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        tcol, gap_v = epoch_us(ts), F.lit(int(gap * 1_000_000))
+    else:
+        tcol, gap_v = F.col(ts).cast("double"), F.lit(float(gap))
+    ck = "__sess_ck"
+    extras = [c for c in order_extra if c in df.columns]
+    d = df.withColumn("__t", tcol).withColumn(ck, _chunk_id(ts, dtype, chunk_seconds))
+    w_local = Window.partitionBy(*keys, ck).orderBy(F.col(ts), *extras)
+    prev_local = F.lag("__t").over(w_local)
+    is_new_local = F.when(
+        prev_local.isNotNull() & ((F.col("__t") - prev_local) > gap_v), 1
+    ).otherwise(0)  # head rows resolve against the carried predecessor below
+    d = d.withColumn("__new_loc", is_new_local)
+
+    agg = d.groupBy(*keys, ck).agg(
+        F.min("__t").alias("__first"),
+        F.max("__t").alias("__last"),
+        F.sum("__new_loc").alias("__n_loc"),
+    )
+    cw = Window.partitionBy(*keys).orderBy(ck)
+    cagg = (
+        agg.withColumn("__prev_last", F.lag("__last").over(cw))
+        .withColumn(
+            "__new_1",
+            F.when(
+                F.col("__prev_last").isNull()
+                | ((F.col("__first") - F.col("__prev_last")) > gap_v),
+                1,
+            ).otherwise(0),
+        )
+    )
+    carry = cagg.select(
+        *keys, ck, "__new_1",
+        F.coalesce(
+            F.sum(F.col("__n_loc") + F.col("__new_1")).over(
+                cw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__base"),
+    )
+    joined = carry_join(d, carry, [*keys, ck], broadcast=broadcast_carry)
+    head = F.row_number().over(w_local) == 1
+    eff_new = F.when(head, F.col("__new_1")).otherwise(F.col("__new_loc"))
+    run = F.sum(eff_new).over(
+        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tmp = "__sess_seq"
+    res = joined.withColumn(tmp, (F.col("__base") + run).cast("long"))
+    res = res.withColumn(
+        out, F.concat_ws("#", *[F.col(k) for k in keys], F.col(tmp).cast("string"))
+    )
+    if seq_out:
+        res = res.withColumn(seq_out, F.col(tmp).cast("long"))
+    return res.drop(tmp, ck, "__t", "__new_loc", "__new_1", "__base")
+
+
 def chunked_row_number(
     df: DataFrame,
     keys: Sequence[str],
