@@ -101,6 +101,33 @@ def q_asof_chunked(spark, sf_dir):
     return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
 
 
+def q_lag_lead_chunked(spark, sf_dir):
+    # HOT-KEY lag/lead: per-(key, time-chunk) lag/lead with boundary-row
+    # arrays carried across chunks — same oracle as lag_lead (chunking
+    # must be invisible); chunk=3600s splits conversations into chunks
+    from towhee_spark.temporal import lag_lead_chunked  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("text_len", F.length("text"))
+    out = lag_lead_chunked(t, ["text_len"], [1, 2, -1], chunk_seconds=3600.0)
+    return out.select(
+        "conv_id", "turn_idx", "text_len",
+        F.col("text_len_lag1").alias("len_lag1"),
+        F.col("text_len_lag2").alias("len_lag2"),
+        F.col("text_len_lead1").alias("len_lead1"),
+    )
+
+
+def q_bfill_chunked(spark, sf_dir):
+    # HOT-KEY backward fill (locf_chunked mirrored in time) — same oracle
+    # as bfill
+    from towhee_spark.temporal import bfill_chunked  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    out = bfill_chunked(t, ["tool"], chunk_seconds=3600.0)
+    return out.select("conv_id", "turn_idx", F.col("tool_bf"))
+
+
 def q_bfill(spark, sf_dir):
     from towhee_spark import bfill  # noqa: PLC0415
 
@@ -768,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_chunked": q_locf_chunked,
         "asof_chunked": q_asof_chunked,
         "bfill": q_bfill,
+        "lag_lead_chunked": q_lag_lead_chunked,
+        "bfill_chunked": q_bfill_chunked,
         "sessionize": q_sessionize,
         "sessionize_chunked": q_sessionize_chunked,
         "session_stats": q_session_stats,
@@ -823,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
     d["towhee_time_window_exact_chunked"] = d["towhee_time_window_exact"]
     d["towhee_window_sliding_chunked"] = d["towhee_window_sliding"]
     d["sessionize_chunked"] = d["sessionize"]
+    d["lag_lead_chunked"] = d["lag_lead"]
+    d["bfill_chunked"] = d["bfill"]
     return d
 
 

@@ -273,6 +273,45 @@ def test_sessionize_chunked_matches_sessionize(spark):
             raise AssertionError(f"bare-key per-row window:\n{line}")
 
 
+def test_lag_lead_chunked_and_bfill_chunked_match(spark):
+    """Chunked lag/lead (boundary-row arrays carried across chunks) and
+    chunked bfill must equal their window forms row-for-row — including
+    chunks SHORTER than the largest offset (the carry must chain across
+    several chunks) and null values."""
+    from towhee_spark.temporal import bfill_chunked, lag_lead_chunked
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for conv, n in [("mega", 4000)] + [(f"c{i}", 7) for i in range(12)]:
+        t = 0.0
+        for i in range(n):
+            t += float(rng.choice([200, 400, 2500]))  # some 1-row 1000s chunks
+            tool = f"t{i}" if rng.random() < 0.25 else None
+            rows.append((conv, i, "user", f"x{i}", tool,
+                         pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+    offs = [1, 3, -1, -2]
+    names = ["text_lag1", "text_lag3", "text_lead1", "text_lead2",
+             "tool_lag1", "tool_lag3", "tool_lead1", "tool_lead2"]
+    exp = {(r.conv_id, r.turn_idx): tuple(r[n] for n in names)
+           for r in lag_lead(df, ["text", "tool"], offs).collect()}
+    got = {(r.conv_id, r.turn_idx): tuple(r[n] for n in names)
+           for r in lag_lead_chunked(df, ["text", "tool"], offs,
+                                     chunk_seconds=1000.0).collect()}
+    assert got == exp
+
+    from towhee_spark import bfill
+
+    exp_b = {(r.conv_id, r.turn_idx): r.tool_bf for r in bfill(df, ["tool"]).collect()}
+    got_b = {(r.conv_id, r.turn_idx): r.tool_bf
+             for r in bfill_chunked(df, ["tool"], chunk_seconds=1000.0).collect()}
+    assert got_b == exp_b
+
+
 def test_carry_join_broadcast_guard_plan_flips(spark, sdfs):
     """broadcast_carry is a plan hint only: False must flip the carry join
     from BroadcastHashJoin to a shuffled join (the 10^9-carry-rows escape

@@ -119,11 +119,26 @@ def main() -> None:
     res["sess_chunked_sec"] = timed(
         lambda: force(sessionize_chunked(corpus, gap=1800.0, seq_out="seq",
                                          chunk_seconds=3600.0)))
+
+    # lag/lead + bfill: the last two chunked pairs (round 3)
+    from towhee_spark import bfill, lag_lead
+    from towhee_spark.temporal import bfill_chunked, lag_lead_chunked
+
+    res["ll_window_sec"] = timed(
+        lambda: force(lag_lead(corpus, ["turn_idx"], [1, 2, -1])))
+    res["ll_chunked_sec"] = timed(
+        lambda: force(lag_lead_chunked(corpus, ["turn_idx"], [1, 2, -1],
+                                       chunk_seconds=3600.0)))
+    res["bf_window_sec"] = timed(lambda: force(bfill(corpus, ["tool"])))
+    res["bf_chunked_sec"] = timed(
+        lambda: force(bfill_chunked(corpus, ["tool"], chunk_seconds=3600.0)))
     res["locf_speedup"] = round(res["locf_window_sec"] / res["locf_chunked_sec"], 2)
     res["asof_speedup"] = round(res["asof_window_sec"] / res["asof_chunked_sec"], 2)
     res["tw_speedup"] = round(res["tw_exact_window_sec"] / res["tw_exact_chunked_sec"], 2)
     res["cw_speedup"] = round(res["cw_window_sec"] / res["cw_chunked_sec"], 2)
     res["sess_speedup"] = round(res["sess_window_sec"] / res["sess_chunked_sec"], 2)
+    res["ll_speedup"] = round(res["ll_window_sec"] / res["ll_chunked_sec"], 2)
+    res["bf_speedup"] = round(res["bf_window_sec"] / res["bf_chunked_sec"], 2)
     print(json.dumps(res))
 
 

@@ -409,6 +409,160 @@ def carry_join(
     return df.join(carry, on=list(on), how=how)
 
 
+def bfill_chunked(
+    df: DataFrame,
+    cols: Sequence[str],
+    key: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    chunk_seconds: float = 86400.0,
+    suffix: str = "_bf",
+    order_extra: Sequence[str] = ("turn_idx",),
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """:func:`bfill` for HOT keys — the exact mirror of :func:`locf_chunked`
+    with time reversed: backward fill within (key, time-chunk), then each
+    chunk's trailing nulls take the FIRST non-null value of any LATER
+    chunk, carried over the tiny chunk frame and joined back."""
+    keys = _as_list(key)
+    chunk = "__bf_chunk"
+    ts_dtype = df.schema[ts].dataType
+    df2 = df.withColumn(chunk, _chunk_id(ts, ts_dtype, chunk_seconds))
+    extras = [c for c in order_extra if c in df.columns]
+    w_local = (
+        Window.partitionBy(*keys, chunk)
+        .orderBy(F.col(ts), *extras)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = df2
+    for c in cols:
+        filled = filled.withColumn(c + suffix, F.first(c, ignorenulls=True).over(w_local))
+
+    def first_nonnull(c):
+        ordk = [_time_value(F.col(ts), ts_dtype).alias("o")] \
+            + [F.col(e).alias(f"o{i}") for i, e in enumerate(extras)]
+        st = F.when(F.col(c).isNotNull(), F.struct(*ordk, F.col(c).alias("v")))
+        return F.min(st)["v"].alias(c + "__first")
+
+    chunk_firsts = df2.groupBy(*keys, chunk).agg(*[first_nonnull(c) for c in cols])
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(chunk).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = chunk_firsts.select(
+        *keys, chunk,
+        *[
+            F.last(c + "__first", ignorenulls=True).over(w_carry).alias(c + "__carry")
+            for c in cols
+        ],
+    )
+    out = carry_join(filled, carry, keys + [chunk], broadcast=broadcast_carry)
+    for c in cols:
+        out = out.withColumn(
+            c + suffix, F.coalesce(F.col(c + suffix), F.col(c + "__carry"))
+        ).drop(c + "__carry")
+    return out.drop(chunk)
+
+
+def lag_lead_chunked(
+    df: DataFrame,
+    cols: Sequence[str],
+    offsets: Sequence[int],
+    key: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    chunk_seconds: float = 86400.0,
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """:func:`lag_lead` for HOT keys: lag/lead within (key, time-chunk),
+    with each chunk's first max-lag rows resolved from an array of the
+    PRECEDING chunks' trailing rows (and the mirror for leads) — the
+    boundary state is only max|offset| rows per chunk, concatenated and
+    re-trimmed over the tiny chunk frame, so a mega-key fans out.
+
+    Same output names and values as :func:`lag_lead` (nulls past the key's
+    ends). Ties share a chunk (floor bucketing) like every chunked op."""
+    keys = _as_list(key)
+    offs = [k for k in offsets if k != 0]
+    max_lag = max([k for k in offs if k > 0], default=0)
+    max_lead = max([-k for k in offs if k < 0], default=0)
+    chunk = "__ll_chunk"
+    ts_dtype = df.schema[ts].dataType
+    extras = [c for c in order_extra if c in df.columns]
+    d = df.withColumn(chunk, _chunk_id(ts, ts_dtype, chunk_seconds))
+    w_asc = Window.partitionBy(*keys, chunk).orderBy(F.col(ts), *extras)
+    w_desc = Window.partitionBy(*keys, chunk).orderBy(
+        F.col(ts).desc(), *[F.col(e).desc() for e in extras]
+    )
+    d = d.withColumn("__rn", F.row_number().over(w_asc))
+    d = d.withColumn("__rnr", F.row_number().over(w_desc))
+
+    # boundary rows per chunk, ascending: struct carries every needed col
+    ordk = [_time_value(F.col(ts), ts_dtype).alias("o")] \
+        + [F.col(e).alias(f"o{i}") for i, e in enumerate(extras)]
+    val = F.struct(*ordk, *[F.col(c).alias(c) for c in cols])
+    rows_sorted = F.array_sort(F.collect_list(val))
+
+    def last_k(arr, k):
+        # slice(arr, -k, k) returns EMPTY when len(arr) < k — a 1-row chunk
+        # would vanish from the carry chain; positive-start form keeps it
+        return F.slice(arr, F.greatest(F.size(arr) - k + 1, F.lit(1)), k)
+
+    agg = d.groupBy(*keys, chunk).agg(
+        *( [last_k(rows_sorted, max_lag).alias("__tail")] if max_lag else [] ),
+        *( [F.slice(rows_sorted, 1, max_lead).alias("__head")] if max_lead else [] ),
+    )
+    cw_asc = Window.partitionBy(*keys).orderBy(chunk)
+    cw_desc = Window.partitionBy(*keys).orderBy(F.col(chunk).desc())
+    sel = [*keys, chunk]
+    if max_lag:
+        # last max_lag rows of ALL previous chunks (short chunks chain)
+        prev_all = F.flatten(F.collect_list("__tail").over(
+            cw_asc.rowsBetween(Window.unboundedPreceding, -1)))
+        sel.append(last_k(prev_all, max_lag).alias("__prev"))
+    if max_lead:
+        nxt_parts = F.collect_list("__head").over(
+            cw_desc.rowsBetween(Window.unboundedPreceding, -1))
+        # collected in DESC chunk order → reverse to ascending, trim to front
+        nxt = F.slice(F.flatten(F.reverse(nxt_parts)), 1, max_lead)
+        sel.append(nxt.alias("__next"))
+    carry = agg.select(*sel)
+    out = carry_join(d, carry, [*keys, chunk], broadcast=broadcast_carry)
+
+    for c in cols:
+        for k in offs:
+            if k > 0:
+                local = F.lag(c, k).over(w_asc)
+                L = F.size("__prev")
+                fallback = F.element_at("__prev", L - k + F.col("__rn"))[c]
+                cond_local = F.col("__rn") > k
+                cond_carry = (L - k + F.col("__rn")) >= 1
+                out = out.withColumn(
+                    f"{c}_lag{k}",
+                    F.when(cond_local, local).otherwise(
+                        F.when(cond_carry, fallback)
+                    ),
+                )
+            else:
+                o = -k
+                local = F.lead(c, o).over(w_asc)
+                M = F.size("__next")
+                idx = o - F.col("__rnr") + 1
+                fallback = F.element_at("__next", idx)[c]
+                out = out.withColumn(
+                    f"{c}_lead{o}",
+                    F.when(F.col("__rnr") > o, local).otherwise(
+                        F.when(idx <= M, fallback)
+                    ),
+                )
+    drops = [chunk, "__rn", "__rnr"]
+    if max_lag:
+        drops.append("__prev")
+    if max_lead:
+        drops.append("__next")
+    return out.drop(*drops)
+
+
 def sessionize_chunked(
     df: DataFrame,
     gap: float = 1800.0,
