@@ -712,7 +712,7 @@ def q_rag_search(spark, sf_dir):
     )
 
 
-def q_rag_search_lsh(spark, sf_dir):
+def q_rag_search_lsh(spark, sf_dir, impl="expr"):
     # the RAG composite on the LSH index path (SURVEY §7.2): chunk →
     # md5-parity embed → similarity.lsh_topk over the chunk index (8-plane
     # buckets, 4 probes, exact cosine rerank) → context. Own-document
@@ -737,7 +737,7 @@ def q_rag_search_lsh(spark, sf_dir):
     # zero-vector queries dropped on BOTH sides (oracle qraw excludes them)
     top = similarity.lsh_topk(
         qs, cindex, k=2, q_id="query_id", q_vec="qv", i_id="cid", i_vec="cv",
-        planes=8, probes=4, dim=32, seed=7, impl="expr",
+        planes=8, probes=4, dim=32, seed=7, impl=impl,
         exclude_fn=lambda q, m: F.floor(m / 1_000_000_000) != q,
     )
     return (

@@ -48,9 +48,12 @@ class Entity:
 
     def __hash__(self) -> int:
         # defining __eq__ alone would leave Entity UNHASHABLE (review
-        # finding); repr-based hashing stays consistent with dict equality
-        # even for unhashable cell values (lists/arrays)
-        return hash(tuple(sorted((k, repr(v)) for k, v in self.__dict__.items())))
+        # finding). Hash ONLY the sorted field-name tuple: hashing values
+        # via repr broke the hash/eq contract for __eq__-equal pairs with
+        # different reprs (1 vs 1.0, np.int64(1) vs 1 — advisor r3).
+        # More collisions, but hash now agrees with ANY __eq__-equal pair
+        # and still tolerates unhashable cell values (lists/arrays).
+        return hash(tuple(sorted(self.__dict__)))
 
 
 class DataCollection:

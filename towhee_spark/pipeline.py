@@ -814,6 +814,14 @@ def _compile_window(df: DataFrame, node: _Node, ctx: _Ctx) -> DataFrame:
 
     def assign(df, keys, order):
         chunk_s = node.params.get("chunk_seconds")
+        if chunk_s and not (keys and order):
+            # silent fallback here would resurrect the bare-key mega-key
+            # serialization chunk_seconds exists to remove (advisor r3) —
+            # loud, like asof_join_chunked's unorderable-payload guard
+            raise ValueError(
+                "window(chunk_seconds=...) requires apply(by=..., order=...): "
+                f"got by={keys!r}, order={order!r}"
+            )
         if chunk_s and keys and order:
             # hot-key path: per-(key, chunk) local row_number + prefix-sum
             # offsets — no bare-key per-row window (see window() docstring)

@@ -46,8 +46,13 @@ def write_table(df: DataFrame, location: str, mode: str = "overwrite") -> None:
         elif mode == "ignore":
             try:
                 w.create()
-            except Exception:  # noqa: BLE001  # exists → no-op, per mode
-                pass
+            except Exception as e:  # noqa: BLE001
+                # 'ignore' only suppresses table-already-exists — a real
+                # failure (permissions, schema, connectivity) must surface
+                # (advisor finding r3)
+                msg = str(e)
+                if "AlreadyExists" not in msg and "already exists" not in msg.lower():
+                    raise
         else:
             raise ValueError(f"unknown write mode {mode!r}")
         return

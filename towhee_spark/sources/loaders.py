@@ -223,8 +223,16 @@ def excel_loader(spark: SparkSession, path: str, pattern: str = "*.xlsx") -> Dat
             for name in names:
                 if re.fullmatch(r"xl/sharedStrings\.xml", name):
                     xml = zf.read(name).decode("utf-8", errors="replace")
-                    shared = [_html.unescape(t)
-                              for t in re.findall(r"<t[^>]*>(.*?)</t>", xml, re.S)]
+                    # one pool entry per <si> — NOT per <t> run: a rich-text
+                    # <si> holds multiple <r><t> runs (joined here) and an
+                    # empty entry is a self-closing <t/> (must still occupy
+                    # its index or every later t="s" ref shifts — advisor
+                    # finding r3)
+                    shared = [
+                        "".join(_html.unescape(t) for t in
+                                re.findall(r"<t[^>]*>(.*?)</t>", si, re.S))
+                        for si in re.findall(r"<si\b[^>]*(?:/>|>.*?</si>)", xml, re.S)
+                    ]
             for name in names:
                 if not re.fullmatch(r"xl/worksheets/sheet\d+\.xml", name):
                     continue
