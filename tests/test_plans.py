@@ -93,10 +93,13 @@ def test_native_gate_queries_have_zero_python_stages(spark):
 
     native = [
         "asof_backward", "asof_forward", "asof_strict", "asof_tolerance",
-        "asof_chunked", "lag_lead", "locf_backfill", "locf_chunked", "bfill",
-        "sessionize", "session_stats", "towhee_map", "towhee_filter",
+        "asof_chunked", "lag_lead", "lag_lead_chunked", "locf_backfill",
+        "locf_chunked", "bfill", "bfill_chunked",
+        "sessionize", "sessionize_chunked", "session_stats", "towhee_map",
+        "towhee_filter",
         "towhee_flat_map", "towhee_time_window", "towhee_time_window_exact",
         "towhee_time_window_exact_chunked", "towhee_window_sliding",
+        "towhee_window_sliding_chunked",
         "towhee_concat", "dedup_exact", "dedup_ngram_jaccard",
         "dedup_ngram_capped", "minhash_lsh", "simhash_pairs",
         "simhash_weighted", "embedding_neardup", "similarity_topk",

@@ -37,8 +37,9 @@ buffer cannot be a separate upstream stage.
 
 from __future__ import annotations
 
-import json
+from bisect import bisect_right
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import pandas as pd
 
@@ -62,27 +63,33 @@ def _ts_us(pdf: pd.DataFrame, ts: str) -> pd.Series:
     return pdf[ts].astype("int64")  # numeric ts column: already epoch-µs
 
 
-def _enc_val(v, dtype) -> object:
-    """JSON-safe encoding of one cell for the state buffer."""
-    if v is None or v != v:  # null / NaN / NaT (NaT != NaT)
-        return None
+def _enc_col(s: pd.Series, dtype) -> list:
+    """Encode one batch column for the typed state buffer: timestamps →
+    epoch-µs ints, numerics/bools → native Python scalars (numpy scalars
+    don't survive the state server), nulls/NaN/NaT → None."""
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return int(pd.Timestamp(v).value // 1000)  # epoch-µs
+        from towhee_spark.temporal import pandas_epoch_us  # noqa: PLC0415
+
+        na = s.isna().tolist()
+        us = pandas_epoch_us(s).tolist()
+        return [None if m else int(t) for m, t in zip(na, us)]
     if isinstance(dtype, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
-        return int(v)
-    if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return float(v)
-    if isinstance(dtype, T.BooleanType):
-        return bool(v)
-    return str(v)
+        conv = int
+    elif isinstance(dtype, (T.FloatType, T.DoubleType)):
+        conv = float
+    elif isinstance(dtype, T.BooleanType):
+        conv = bool
+    else:
+        conv = str
+    return [None if v is None or v != v else conv(v) for v in s.tolist()]
 
 
-def _dec_one(v, dtype):
-    """Decode one buffered cell (see _enc_val): timestamps come back from
-    epoch-µs ints."""
-    if v is not None and isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        return pd.Timestamp(int(v) * 1000)  # µs → ns
-    return v
+def _dec_list(vals: list, dtype) -> list:
+    """Decode one buffered column (see _enc_col): timestamps come back from
+    epoch-µs ints; everything else is stored in its own type."""
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return [None if v is None else pd.Timestamp(int(v) * 1000) for v in vals]
+    return list(vals)
 
 
 def _dec_series(vals: list, dtype) -> pd.Series:
@@ -92,31 +99,58 @@ def _dec_series(vals: list, dtype) -> pd.Series:
     return pd.Series(vals, dtype=object)
 
 
-def _buffer_merge(state: GroupState, batches, ts: str, carry_cols, schema):
-    """Decode the state buffer, append this batch's rows, and split into
-    (ready, hold) by the current watermark: ready rows (ts ≤ watermark) are
-    safe to process in event-time order — the engine has already dropped
-    anything older than the watermark, so no earlier row can still arrive.
+class _Buf(NamedTuple):
+    """Event-time-sorted buffer slice: parallel arrays, one per carry col."""
 
-    Buffered rows are carried as JSON arrays [ts_us, v1, v2, ...] (one slot
-    per carry col; timestamps as epoch-µs ints) — a fixed array<string>
-    state field regardless of the carried schema."""
-    buf_rows = [json.loads(s) for s in (state.get[-1] or [])] if state.exists else []
+    ts_us: list
+    cols: list  # list[list], parallel to carry_cols
+
+
+def _carry_state_fields(carry_cols, schema) -> list:
+    """Typed buffer state fields: buf_ts (epoch-µs) + one array per carry
+    column IN ITS OWN TYPE (timestamps as epoch-µs longs) — replaces the
+    round-3 array<string>-of-JSON buffer whose per-row loads/dumps was the
+    engine's last per-row Python encode path (VERDICT r3 ask #4)."""
+    fields = [T.StructField("buf_ts", T.ArrayType(T.LongType()))]
+    for i, c in enumerate(carry_cols):
+        dt = schema[c].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            dt = T.LongType()
+        fields.append(T.StructField(f"buf_{i}", T.ArrayType(dt)))
+    return fields
+
+
+def _buffer_merge(state: GroupState, batches, ts: str, carry_cols, schema,
+                  n_logic: int) -> tuple[_Buf, _Buf, int]:
+    """Read the typed state buffer (``n_logic`` logic fields precede it),
+    append this batch's rows, and split into (ready, hold) by the current
+    watermark: ready rows (ts ≤ watermark) are safe to process in event-time
+    order — the engine has already dropped anything older than the
+    watermark, so no earlier row can still arrive.
+
+    The buffer is column-parallel typed arrays (see _carry_state_fields):
+    appends are vectorized column encodes, the sort is one argsort over the
+    ts array, and the watermark split is a bisect — no per-row JSON."""
+    if state.exists:
+        tup = state.get
+        buf_ts = list(tup[n_logic] or [])
+        buf_cols = [list(tup[n_logic + 1 + i] or [])
+                    for i in range(len(carry_cols))]
+    else:
+        buf_ts, buf_cols = [], [[] for _ in carry_cols]
     if not state.hasTimedOut:
         for pdf in batches:
-            us = _ts_us(pdf, ts).tolist()
-            cols = [pdf[c].tolist() for c in carry_cols]
-            for i, t_us in enumerate(us):
-                buf_rows.append(
-                    [int(t_us)]
-                    + [_enc_val(col[i], schema[c].dataType)
-                       for c, col in zip(carry_cols, cols)]
-                )
-    buf_rows.sort(key=lambda r: r[0])
+            buf_ts.extend(int(t) for t in _ts_us(pdf, ts).tolist())
+            for i, c in enumerate(carry_cols):
+                buf_cols[i].extend(_enc_col(pdf[c], schema[c].dataType))
+    if any(buf_ts[j] > buf_ts[j + 1] for j in range(len(buf_ts) - 1)):
+        order = sorted(range(len(buf_ts)), key=buf_ts.__getitem__)  # stable
+        buf_ts = [buf_ts[j] for j in order]
+        buf_cols = [[col[j] for j in order] for col in buf_cols]
     wm_ms = state.getCurrentWatermarkMs()
-    cutoff_us = wm_ms * 1000
-    ready = [r for r in buf_rows if r[0] <= cutoff_us]
-    hold = [r for r in buf_rows if r[0] > cutoff_us]
+    k = bisect_right(buf_ts, wm_ms * 1000)
+    ready = _Buf(buf_ts[:k], [col[:k] for col in buf_cols])
+    hold = _Buf(buf_ts[k:], [col[k:] for col in buf_cols])
     return ready, hold, wm_ms
 
 
@@ -126,14 +160,14 @@ _OOO_OK_TYPES = (T.StringType, T.TimestampType, T.TimestampNTZType,
 
 
 def _require_ooo_supported(df: DataFrame, carry_cols, ts: str) -> None:
-    """Loud plan-time errors for the ordered=False configurations the JSON
+    """Loud plan-time errors for the ordered=False configurations the typed
     state buffer cannot handle silently (code-review findings):
 
     * non-UTC session timezone — buffered event times are compared against
       the engine watermark, which is UTC-epoch-based; a tz offset would
       release rows the watermark does not yet cover;
-    * non-primitive carry columns — arrays/maps/structs would be silently
-      str()-mangled by the JSON encoding."""
+    * non-primitive carry columns — arrays/maps/structs would need nested
+      array state fields (not supported; flatten upstream)."""
     if not df.isStreaming:
         return
     if not isinstance(df.schema[ts].dataType,
@@ -161,13 +195,13 @@ def _require_ooo_supported(df: DataFrame, carry_cols, ts: str) -> None:
             )
 
 
-def _store_and_arm(state: GroupState, persist: tuple, hold: list, wm_ms: int):
-    """Persist (logic state..., encoded hold buffer) and arm an event-time
+def _store_and_arm(state: GroupState, persist: tuple, hold: _Buf, wm_ms: int):
+    """Persist (logic state..., typed hold arrays) and arm an event-time
     timeout at the earliest buffered row so the tail flushes when the
     watermark passes it — even if this key receives no further rows."""
-    state.update((*persist, [json.dumps(r) for r in hold]))
-    if hold:
-        state.setTimeoutTimestamp(max(hold[0][0] // 1000, wm_ms + 1))
+    state.update((*persist, hold.ts_us, *hold.cols))
+    if hold.ts_us:
+        state.setTimeoutTimestamp(max(hold.ts_us[0] // 1000, wm_ms + 1))
 
 
 def stream_sessionize_rows(
@@ -233,12 +267,12 @@ def stream_sessionize_rows(
 
     def fn_ooo(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         last_us, seq = (state.get[0], state.get[1]) if state.exists else (None, 0)
-        ready, hold, wm_ms = _buffer_merge(state, batches, ts, out_cols, in_schema)
-        if ready:
-            seqs, last_us, seq = session_pass([r[0] for r in ready], last_us, seq)
-
+        ready, hold, wm_ms = _buffer_merge(
+            state, batches, ts, out_cols, in_schema, n_logic=2)
+        if ready.ts_us:
+            seqs, last_us, seq = session_pass(ready.ts_us, last_us, seq)
             out = pd.DataFrame({
-                c: _dec_series([r[1 + i] for r in ready], in_schema[c].dataType)
+                c: _dec_series(ready.cols[i], in_schema[c].dataType)
                 for i, c in enumerate(out_cols)
             })
             out[seq_col] = seqs
@@ -258,8 +292,7 @@ def stream_sessionize_rows(
         )
     _require_ooo_supported(df, out_cols, ts)
     state_schema = T.StructType(
-        list(_STATE_SCHEMA.fields)
-        + [T.StructField("buf", T.ArrayType(T.StringType()))]
+        list(_STATE_SCHEMA.fields) + _carry_state_fields(out_cols, in_schema)
     )
     return df.withWatermark(ts, watermark).groupBy(key).applyInPandasWithState(
         fn_ooo,
@@ -354,11 +387,12 @@ def stream_time_window_exact_rows(
 
     def fn_ooo(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         last_ms, base = (state.get[0], state.get[1]) if state.exists else (None, 0.0)
-        ready, hold, wm_ms = _buffer_merge(state, batches, ts, out_cols, in_schema)
-        if ready:
+        ready, hold, wm_ms = _buffer_merge(
+            state, batches, ts, out_cols, in_schema, n_logic=2)
+        if ready.ts_us:
             out, last_ms, base = label_pass(
-                [r[0] / 1000.0 for r in ready],
-                [[_dec_one(r[1 + i], in_schema[c].dataType) for r in ready]
+                [t / 1000.0 for t in ready.ts_us],
+                [_dec_list(ready.cols[i], in_schema[c].dataType)
                  for i, c in enumerate(out_cols)],
                 last_ms, base)
             if out[wstart_col]:
@@ -378,8 +412,7 @@ def stream_time_window_exact_rows(
         )
     _require_ooo_supported(df, out_cols, ts)
     ooo_state = T.StructType(
-        list(state_schema.fields)
-        + [T.StructField("buf", T.ArrayType(T.StringType()))]
+        list(state_schema.fields) + _carry_state_fields(out_cols, in_schema)
     )
     return df.withWatermark(ts, watermark).groupBy(key).applyInPandasWithState(
         fn_ooo,
@@ -447,16 +480,17 @@ def stream_locf_rows(
 
     def fn_ooo(key_tuple, batches: Iterator[pd.DataFrame], state: GroupState):
         last = list(state.get[: len(cols)]) if state.exists else [None] * len(cols)
-        ready, hold, wm_ms = _buffer_merge(state, batches, ts, carry, in_schema)
-        if ready:
-            idx = {c: 1 + i for i, c in enumerate(carry)}
+        ready, hold, wm_ms = _buffer_merge(
+            state, batches, ts, carry, in_schema, n_logic=len(cols))
+        if ready.ts_us:
+            idx = {c: i for i, c in enumerate(carry)}
             filled, last = locf_pass(
                 # decode cells first: a timestamp fill col must stringify as
                 # its Timestamp form, not its buffered epoch-µs int
-                [[_dec_one(r[idx[c]], in_schema[c].dataType) for r in ready]
+                [_dec_list(ready.cols[idx[c]], in_schema[c].dataType)
                  for c in cols], last)
             out = pd.DataFrame({
-                c: _dec_series([r[idx[c]] for r in ready], in_schema[c].dataType)
+                c: _dec_series(ready.cols[idx[c]], in_schema[c].dataType)
                 for c in out_cols
             })
             for c, vals in zip(cols, filled):
@@ -477,8 +511,7 @@ def stream_locf_rows(
         )
     _require_ooo_supported(df, carry, ts)
     ooo_state = T.StructType(
-        list(state_schema.fields)
-        + [T.StructField("buf", T.ArrayType(T.StringType()))]
+        list(state_schema.fields) + _carry_state_fields(carry, in_schema)
     )
     return df.withWatermark(ts, watermark).groupBy(key).applyInPandasWithState(
         fn_ooo,
