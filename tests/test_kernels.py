@@ -84,6 +84,24 @@ def test_np_normalize(spark):
     assert np.allclose(rows[1].n, [0.0, 0.0])
 
 
+def test_np_normalize_ragged_batch(spark):
+    """Mixed widths + null + empty in ONE Arrow batch exercises the
+    segmented reduceat fallback: each vector normalizes independently,
+    nulls and empties pass through unchanged."""
+    df = spark.createDataFrame(
+        [([3.0, 4.0],), ([1.0, 2.0, 2.0],), (None,), ([],), ([0.0, 0.0],),
+         ([5.0],)],
+        "v array<float>",
+    ).coalesce(1)
+    rows = df.select(np_normalize(F.col("v")).alias("n")).collect()
+    assert np.allclose(rows[0].n, [0.6, 0.8])
+    assert np.allclose(rows[1].n, [1 / 3, 2 / 3, 2 / 3])
+    assert rows[2].n is None
+    assert list(rows[3].n) == []
+    assert np.allclose(rows[4].n, [0.0, 0.0])  # zero norm: unchanged
+    assert np.allclose(rows[5].n, [1.0])
+
+
 def test_worker_singleton_caches():
     calls = []
     f1 = worker_singleton("k1", lambda: calls.append(1) or "obj")

@@ -90,6 +90,16 @@ def test_data_collection_entity(spark):
     out = buf.getvalue()
     assert "| x" in out and "showing 1 of 2" in out
 
+    # round-4: html face of show() — escaped cells, header row, all rows
+    html = dc.to_html(limit=-1)
+    assert html.count("<tr>") == 3 and "<th>x</th>" in html and "<td>a</td>" in html
+    esc = DataCollection([Entity(x="<b>&")])
+    assert "&lt;b&gt;&amp;" in esc.to_html()
+    buf2 = io.StringIO()
+    with redirect_stdout(buf2):
+        dc.show(tablefmt="html")
+    assert "<table" in buf2.getvalue()
+
     # DataLoader parity: iterable + parser → distributed DataFrame
     loaded = data_loader(
         spark, range(10), parser=lambda i: (i, i * i), schema="i long, sq long"

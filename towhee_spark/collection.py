@@ -124,10 +124,34 @@ class DataCollection:
 
         return headers, [[cell(getattr(e, h, None)) for h in headers] for e in rows]
 
+    def to_html(self, limit: int = 5) -> str:
+        """First ``limit`` rows as an HTML table — the notebook face of
+        ``show`` (DisplayMixin tablefmt='html' → NestedHTMLTable,
+        utils/html_table.py:21-66; cells here are pre-truncated strings
+        from prepare_table_data, so nesting renders as its summary form)."""
+        from html import escape  # noqa: PLC0415
+
+        headers, rows = self.prepare_table_data(limit)
+        if not headers:
+            return "<i>empty DataCollection</i>"
+        th = "".join(f"<th>{escape(h)}</th>" for h in headers)
+        trs = "".join(
+            "<tr>" + "".join(f"<td>{escape(c)}</td>" for c in r) + "</tr>"
+            for r in rows
+        )
+        return (
+            '<table style="border-collapse: collapse;">'
+            f"<tr>{th}</tr>{trs}</table>"
+        )
+
     def show(self, limit: int = 5, tablefmt: str = "grid") -> None:
-        """Print the first ``limit`` rows as a console grid
-        (DisplayMixin.show, display.py:28-49; html format descoped — no
-        notebook frontend here, grid covers the CLI surface)."""
+        """Print the first ``limit`` rows (DisplayMixin.show,
+        display.py:28-49): tablefmt='grid' renders a console grid,
+        'html' prints the to_html table (no notebook frontend here to
+        display it in-place)."""
+        if tablefmt == "html":
+            print(self.to_html(limit))
+            return
         headers, rows = self.prepare_table_data(limit)
         if not headers:
             print("<empty DataCollection>")
