@@ -575,6 +575,20 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_permuted(spark, sf_dir):
+    # Manku permuted-table blocking, gated by COMPLETENESS: blocks=6,
+    # max_hamming=4 ⇒ t=2-segment prefixes over C(6,2)=15 tables, which is
+    # recall-1 for hamming ≤ 4 — so the blocked output must EQUAL the exact
+    # all-pairs hamming ≤ 4 set, computed directly by the oracle from the
+    # same md5 sketch mirror (no blocking in SQL ⇒ the gate catches any
+    # table/prefix bug as a missing pair)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_pairs_permuted(
+        docs, "doc_id", "text", max_hamming=4, blocks=6, ngram=3,
+        hash="md5", bits=60,
+    ).withColumn("hamming", F.col("hamming").cast("int"))
+
+
 def q_lsh_topk(spark, sf_dir):
     # multi-probe LSH candidates + exact rerank; probes chosen so candidate
     # recall covers the true top-k → output equals brute force → hard oracle
@@ -831,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_search_lsh": q_rag_search_lsh,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
+        "simhash_permuted": q_simhash_permuted,
         "pii_scrub": q_pii_scrub,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
@@ -1083,6 +1098,7 @@ def _oracle_sql() -> dict[str, str]:
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "simhash_weighted": _simhash_weighted_sql(norm),
+        "simhash_permuted": _simhash_permuted_sql(norm, bits=60, max_hamming=4),
         "embedding_neardup": _neardup_sql(
             block_planes=6, tables=4, probes=2, dim=64, seed=7, threshold=0.3
         ),
@@ -1280,6 +1296,40 @@ def _simhash_sql(norm: str, threshold: float = 0.5, blocks: int = 6,
                    ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
             WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}"""
+
+
+def _simhash_permuted_sql(norm: str, bits: int = 60, max_hamming: int = 4) -> str:
+    """Oracle for dedup.simhash_pairs_permuted(hash="md5", bits=60, ngram=3):
+    the same md5 distinct-shingle sketch mirror as _simhash_sql, then the
+    EXACT all-pairs hamming ≤ k set — no blocking in SQL, because the
+    permuted-table construction is recall-1 at the gate config, so any
+    missing candidate is a blocking bug, not an approximation."""
+    vote_cols = ",\n                       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sketch_sum = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+                )
+            ),
+            hv AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+            votes AS (SELECT id, {vote_cols}
+                      FROM hv GROUP BY id),
+            sk AS (SELECT id, CAST({sketch_sum} AS BIGINT) AS s FROM votes)
+            SELECT x.id AS id_a, y.id AS id_b,
+                   CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS hamming
+            FROM sk x JOIN sk y ON x.id < y.id
+            WHERE bit_count(xor(x.s, y.s)) <= {max_hamming}"""
 
 
 def _simhash_weighted_sql(norm: str, bits: int = 60) -> str:

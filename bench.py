@@ -148,6 +148,7 @@ def main() -> None:
         "minhash_lsh",
         "simhash_pairs",
         "simhash_weighted",
+        "simhash_permuted",
         "embedding_neardup",
         "similarity_topk",
         "scan_topk",
@@ -187,6 +188,8 @@ def main() -> None:
     timed_df("prod_simhash_weighted_xxhash64", lambda: _dedup.simhash_sketch(
         docs, "doc_id", "text", ngram=3, hash="xxhash64", weight="count"
     ).select(F.col("id").alias("doc_id"), "simhash"))
+    timed_df("prod_simhash_permuted_xxhash64", lambda: _dedup.simhash_pairs_permuted(
+        docs, "doc_id", "text", max_hamming=4, blocks=6, ngram=3))
     # RAG LSH-index path with Arrow bucket kernel (gate pins impl="expr"
     # for the SQL-mirror oracle; arrow is the production signature path)
     timed_df("prod_rag_search_lsh_arrow",

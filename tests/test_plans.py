@@ -102,7 +102,8 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "towhee_window_sliding_chunked",
         "towhee_concat", "dedup_exact", "dedup_ngram_jaccard",
         "dedup_ngram_capped", "minhash_lsh", "simhash_pairs",
-        "simhash_weighted", "embedding_neardup", "similarity_topk",
+        "simhash_weighted", "simhash_permuted", "embedding_neardup",
+        "similarity_topk",
         "embedding_norms", "text_stats", "text_repetition", "quality_score",
         "pii_scrub", "chunk_text", "conv_prompt", "rerank", "json_extract",
         "tpch_q1", "tpch_q3ish", "tpch_q5ish", "cube_agg", "monthly_orders",

@@ -105,6 +105,45 @@ def test_simhash_identical_texts(spark):
     assert pairs[0].hamming == 0
 
 
+def test_simhash_permuted_complete_vs_exact(spark):
+    """Manku permuted-table blocking must be COMPLETE for
+    hamming ≤ blocks − t: on a random corpus, its output equals the exact
+    all-pairs hamming ≤ k set computed straight from the sketches, for two
+    (blocks, k) shapes."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        base = rng.sample(vocab, 12)
+        rows.append((i, " ".join(base)))
+        if i % 4 == 0:  # planted near-dup: one-token edit
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sk = {r.id: r.simhash for r in dedup.simhash_sketch(
+        df, "doc_id", "text", ngram=3).collect()}
+    ids = sorted(sk)
+    for blocks, k in [(6, 4), (4, 2)]:
+        exact = {
+            (a, b)
+            for ai, a in enumerate(ids) for b in ids[ai + 1:]
+            if bin(sk[a] ^ sk[b]).count("1") <= k
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_pairs_permuted(
+                df, "doc_id", "text", max_hamming=k, blocks=blocks, ngram=3
+            ).collect()
+        }
+        assert got == exact, f"blocks={blocks} k={k}"
+    assert exact  # non-trivial: the planted near-dups must land within k
+    with pytest.raises(ValueError, match="blocks > max_hamming"):
+        dedup.simhash_pairs_permuted(df, max_hamming=6, blocks=6)
+
+
 def test_brute_force_topk_vs_numpy(embs):
     qs = embs.limit(5)
     got = similarity.brute_force_topk(qs, embs, k=5).collect()

@@ -373,6 +373,83 @@ def _simhash_candidates(sk: DataFrame, blocks: int, bits: int = 64) -> DataFrame
     return cand
 
 
+def simhash_pairs_permuted(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 4,
+    blocks: int = 6,
+    ngram: int = 1,
+    hash: str = "xxhash64",
+    bits: int = 63,
+    weight: str | None = None,
+) -> DataFrame:
+    """Near-dup (id_a, id_b, hamming ≤ max_hamming) pairs via Manku-style
+    permuted-table blocking (Manku/Jain/Sarma, WWW'07) — the scale path for
+    HIGH hamming budgets where single-segment blocking's candidate volume
+    blows up (see _simhash_candidates sizing rule).
+
+    The sketch is split into ``blocks`` segments; a pair within hamming k
+    has ≤ k differing segments, so it agrees on some ``t = blocks − k``
+    segments. One "table" per t-subset of segments (C(blocks, t) tables)
+    buckets on that subset's concatenated values — COMPLETE for
+    hamming ≤ max_hamming (this is what the gate checks: output ==
+    the exact all-pairs hamming ≤ k set), with candidates per table
+    ∝ n²/2^(t·bits/blocks) — the prefix stays t segments WIDE where
+    single-segment blocking narrows to one. E.g. blocks=6, k=4 at 63 bits:
+    15 tables × n²/2^20 vs segment blocking's (k+1)-block requirement of
+    5 tables × n²/2^12 — 256× fewer raw candidates per table. Bits beyond
+    blocks·(bits//blocks) are uncovered by blocking but still counted by
+    the verify, which cannot break completeness (≤ k total diffs ⇒ ≤ k
+    covered diffs). Same contract the reference delegates to its ANN
+    backends (hub_ops/ann_search.py:36-53)."""
+    from itertools import combinations  # noqa: PLC0415
+
+    t = blocks - max_hamming
+    if t < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs blocks > max_hamming "
+            f"(got blocks={blocks}): completeness requires ≥1 agreeing segment subset"
+        )
+    sk = simhash_sketch(df, id_col, text_col, ngram=ngram, hash=hash,
+                        bits=bits, weight=weight).cache()
+    seg_bits = bits // blocks
+    mask = (1 << seg_bits) - 1
+    entries = []
+    for ti, sub in enumerate(combinations(range(blocks), t)):
+        entries.append(F.struct(
+            F.lit(ti).alias("tbl"),
+            *[
+                F.shiftrightunsigned(F.col("simhash"), s * seg_bits)
+                .bitwiseAND(F.lit(mask)).alias(f"k{j}")
+                for j, s in enumerate(sub)
+            ],
+        ))
+    keyed = (
+        sk.select("id", "simhash", F.explode(F.array(*entries)).alias("kk"))
+        .select("id", "simhash", "kk.*")
+    )
+    join_cols = ["tbl"] + [f"k{j}" for j in range(t)]
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), join_cols)
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return _with_cached_deps(
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming"),
+        sk,
+    )
+
+
 def simhash_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
