@@ -182,6 +182,28 @@ def test_binary_loaders(spark, tmp_path):
     pptx = loaders.powerpoint_loader(spark, str(tmp_path)).first().text
     assert pptx == "slide text"
 
+    # rich-text / empty sharedStrings entries (advisor r3): a multi-run <si>
+    # is ONE pool entry (runs joined), a <t/>-only <si> still occupies its
+    # index — later refs must not shift
+    rbuf = _io.BytesIO()
+    with _zipfile.ZipFile(rbuf, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml",
+                    "<sst>"
+                    "<si><r><t>rich </t></r><r><t>text</t></r></si>"  # 0
+                    "<si><t/></si>"                                   # 1 (empty)
+                    "<si><t>plain</t></si>"                           # 2
+                    "</sst>")
+        zf.writestr("xl/worksheets/sheet1.xml",
+                    '<worksheet><row>'
+                    '<c r="A1" t="s"><v>0</v></c>'
+                    '<c r="B1" t="s"><v>2</v></c>'
+                    "</row></worksheet>")
+    rich_dir = tmp_path / "rich"
+    rich_dir.mkdir()
+    (rich_dir / "r.xlsx").write_bytes(rbuf.getvalue())
+    rich = loaders.excel_loader(spark, str(rich_dir)).first().text
+    assert rich == "rich text plain", rich
+
 
 def test_audio_and_crop(spark):
     from towhee_spark.functions import multimodal
