@@ -95,6 +95,8 @@ def test_data_collection_entity(spark):
     assert html.count("<tr>") == 3 and "<th>x</th>" in html and "<td>a</td>" in html
     esc = DataCollection([Entity(x="<b>&")])
     assert "&lt;b&gt;&amp;" in esc.to_html()
+    img = DataCollection([Entity(pic=b"\x89PNG fake")])  # binary → inline img
+    assert 'src="data:image;base64,' in img.to_html()
     buf2 = io.StringIO()
     with redirect_stdout(buf2):
         dc.show(tablefmt="html")

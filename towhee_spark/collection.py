@@ -17,6 +17,15 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _cell_str(v) -> str:
+    """Stringify + truncate one display cell (console-table form)."""
+    if isinstance(v, (list, tuple)) and len(v) > 6:
+        s = "[" + ", ".join(_short(x) for x in v[:3]) + f", …] len={len(v)}"
+    else:
+        s = _short(v)
+    return s if len(s) <= 40 else s[:37] + "..."
+
+
 def _short(v) -> str:
     if isinstance(v, float):
         return f"{v:.4g}"
@@ -115,29 +124,35 @@ class DataCollection:
         rows = self._data if limit < 0 else self._data[:limit]
         headers = list(self._data[0].to_dict().keys()) if self._data else []
 
-        def cell(v) -> str:
-            if isinstance(v, (list, tuple)) and len(v) > 6:
-                s = "[" + ", ".join(_short(x) for x in v[:3]) + f", …] len={len(v)}"
-            else:
-                s = _short(v)
-            return s if len(s) <= 40 else s[:37] + "..."
-
-        return headers, [[cell(getattr(e, h, None)) for h in headers] for e in rows]
+        return headers, [[_cell_str(getattr(e, h, None)) for h in headers]
+                         for e in rows]
 
     def to_html(self, limit: int = 5) -> str:
         """First ``limit`` rows as an HTML table — the notebook face of
         ``show`` (DisplayMixin tablefmt='html' → NestedHTMLTable,
-        utils/html_table.py:21-66; cells here are pre-truncated strings
-        from prepare_table_data, so nesting renders as its summary form)."""
+        utils/html_table.py:21-66). Binary cells (the engine's opaque
+        multimodal columns) render as inline base64 ``<img>`` like the
+        reference's Image/VideoFrame cells (html_table.py:85-121); other
+        cells take the truncated string form."""
+        from base64 import b64encode  # noqa: PLC0415
         from html import escape  # noqa: PLC0415
 
-        headers, rows = self.prepare_table_data(limit)
+        ents = self._data if limit < 0 else self._data[:limit]
+        headers = list(self._data[0].to_dict().keys()) if self._data else []
         if not headers:
             return "<i>empty DataCollection</i>"
+
+        def td(v) -> str:
+            if isinstance(v, (bytes, bytearray)):
+                b64 = b64encode(bytes(v)).decode()
+                return ('<td><img style="max-height: 128px;" '
+                        f'src="data:image;base64,{b64}"/></td>')
+            return f"<td>{escape(_cell_str(v))}</td>"
+
         th = "".join(f"<th>{escape(h)}</th>" for h in headers)
         trs = "".join(
-            "<tr>" + "".join(f"<td>{escape(c)}</td>" for c in r) + "</tr>"
-            for r in rows
+            "<tr>" + "".join(td(getattr(e, h, None)) for h in headers) + "</tr>"
+            for e in ents
         )
         return (
             '<table style="border-collapse: collapse;">'
