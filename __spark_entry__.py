@@ -47,6 +47,17 @@ def q_asof_backward(spark, sf_dir):
     return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
 
 
+def q_asof_static(spark, sf_dir):
+    # the snapshot-broadcast streaming asof (streaming.ops.stream_asof_static)
+    # run in its batch face, gated against the SAME oracle as asof_backward —
+    # like the chunked family, the alternate execution path must be invisible
+    t, c = _t_c(spark, sf_dir)
+    from towhee_spark.streaming.ops import stream_asof_static  # noqa: PLC0415
+
+    j = stream_asof_static(t, c, on="conv_id", ts="ts", direction="backward")
+    return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
+
+
 def q_asof_forward(spark, sf_dir):
     t, c = _t_c(spark, sf_dir)
     j = asof_join(t, c, on="conv_id", ts="ts", direction="forward")
@@ -813,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text": q_embed_text,
         "flagship": flagship,
         "asof_backward": q_asof_backward,
+        "asof_static": q_asof_static,
         "asof_forward": q_asof_forward,
         "asof_tolerance": q_asof_tolerance,
         "asof_strict": q_asof_strict,
@@ -875,6 +887,8 @@ def oracle_sql() -> dict[str, str]:
     d["sessionize_chunked"] = d["sessionize"]
     d["lag_lead_chunked"] = d["lag_lead"]
     d["bfill_chunked"] = d["bfill"]
+    # the snapshot-broadcast asof must be indistinguishable from asof_join
+    d["asof_static"] = d["asof_backward"]
     return d
 
 

@@ -108,6 +108,61 @@ def test_registry_ops():
         resolve("missing/op")
 
 
+def test_stream_asof_static_matches_batch(spark, corpus_df, tmp_path):
+    """stream_asof_static must equal temporal.asof_join row for row — in
+    batch mode AND on a multi-trigger stream fed SHUFFLED time slices
+    (stateless: arrival order is irrelevant because the snapshot is
+    fixed)."""
+    from pyspark.sql import functions as F
+
+    from towhee_spark import asof_join
+    from towhee_spark.streaming.ops import stream_asof_static
+
+    ctx = corpus_df.filter(F.col("turn_idx") % 5 == 0).select(
+        "conv_id", "ts", F.length("text").cast("double").alias("ctx_score")
+    )
+    exp = {
+        (r.conv_id, r.turn_idx): (r.ctx_score, r.ctx_ts)
+        for r in asof_join(
+            corpus_df, ctx, tolerance=3600.0, matched_ts_col="ctx_ts"
+        ).collect()
+    }
+
+    # batch face (mapInPandas is batch/stream-unified)
+    got_b = {
+        (r.conv_id, r.turn_idx): (r.ctx_score, r.ctx_ts)
+        for r in stream_asof_static(
+            corpus_df, ctx, tolerance=3600.0, matched_ts_col="ctx_ts"
+        ).collect()
+    }
+    assert got_b == exp
+
+    # streaming face: three NON-chronological slices, one file per trigger
+    import time as _time
+
+    src = str(tmp_path / "asof_static_src")
+    for part in (1, 0, 2):  # shuffled on purpose
+        corpus_df.filter(F.crc32(F.col("conv_id")) % 3 == part) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(corpus_df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = stream_asof_static(sdf, ctx, tolerance=3600.0, matched_ts_col="ctx_ts")
+    q = (
+        out.writeStream.format("memory").queryName("asof_static")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got_s = {
+        (r.conv_id, r.turn_idx): (r.ctx_score, r.ctx_ts)
+        for r in spark.sql("select * from asof_static").collect()
+    }
+    assert got_s == exp
+    spark.catalog.dropTempView("asof_static")
+
+
 def test_stateful_stream_sessionize_rows(spark, corpus_df, tmp_path):
     """applyInPandasWithState sessionizer on a real micro-batch stream must
     agree with the batch sessionizer on per-row session sequences."""

@@ -61,16 +61,38 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     text, distinct per doc by default (set semantics — what Jaccard wants).
     ``distinct=False`` keeps multiplicity (bag semantics — what weighted
     SimHash wants). Documents shorter than n words yield their full text
-    as a single shingle (so trivially-short docs still compare)."""
+    as a single shingle (so trivially-short docs still compare).
+
+    Implementation: n shifted O(tokens) slices zipped (arrays_zip), exploded,
+    then a NATIVE concat_ws — everything whole-stage-codegen. The round-3
+    form (transform(sequence, i -> array_join(slice(toks, i+1, n)))) ran the
+    per-element slice in the INTERPRETED HOF evaluator: measured 3.7 s →
+    0.26 s (14×) on the sf0.1 bag at n=3. Short docs take a separate
+    filter branch (cheap scan reuse) instead of a per-row conditional
+    array."""
     toks = F.split(normalize_text(text_col), " ")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("__toks"),
+        F.size(toks).alias("__sz"),
+    )
+    # arrays_zip names unaliased inputs "0".."{n-1}" (Spark 4.x)
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", i + 1, F.col("__sz") - (n - 1)) for i in range(n)]
+    )
+    long_rows = (
+        base.filter(F.col("__sz") >= n)
+        .select("id", F.explode(zipped).alias("__g"))
+        .select(
+            "id",
+            F.concat_ws(
+                " ", *[F.col("__g").getField(str(i)) for i in range(n)]
+            ).alias("shingle"),
+        )
+    )
+    short_rows = base.filter(F.col("__sz") < n).select(
+        "id", F.array_join("__toks", " ").alias("shingle")
+    )
+    out = long_rows.unionByName(short_rows)
     return out.distinct() if distinct else out
 
 

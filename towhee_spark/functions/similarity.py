@@ -231,8 +231,13 @@ def lsh_topk(
     ranking (e.g. RAG: drop chunks of the query's own document).
     ``impl``: "arrow" (default) computes bucket signatures with one float64
     matmul per Arrow batch (kernels.hyperplane_bucket_kernel); "expr" uses
-    native Column expressions — interpreted HOF lambdas, slower per plane,
-    but reproducible in the DuckDB oracle (the gate config)."""
+    native Column expressions — interpreted HOF lambdas, slower PER PLANE,
+    but reproducible in the DuckDB oracle (the gate config). Measured
+    crossover (sf0.1): at small banks (8 planes, dim 32) the expr path is at
+    parity or slightly ahead (2.4-3.0 s vs 3.1-3.3 s on rag_search_lsh —
+    the extra Arrow exchange costs more than 8 interpreted dots), while at
+    large banks the kernel dominates (256-plane neardup: 0.53 s arrow vs
+    5.5 s expr). Rule of thumb: prefer "expr" below ~32 planes."""
     if dim is None:
         raise ValueError(
             "lsh_topk: pass dim= (embedding width); it is a plan constant and "

@@ -49,6 +49,120 @@ def stream_time_window_agg(
     )
 
 
+_PD_NULLABLE = {
+    "long": "Int64", "int": "Int32", "integer": "Int32",
+    "short": "Int16", "tinyint": "Int8", "boolean": "boolean",
+}
+
+
+def stream_asof_static(
+    df: DataFrame,
+    ctx: DataFrame,
+    on: str = "conv_id",
+    ts: str = "ts",
+    direction: str = "backward",
+    tolerance: float | None = None,
+    allow_exact_matches: bool = True,
+    right_cols: list[str] | None = None,
+    suffix: str = "",
+    matched_ts_col: str | None = None,
+) -> DataFrame:
+    """As-of join of an unbounded event stream against a STATIC context
+    snapshot — the streaming face of ``temporal.asof_join`` when the right
+    side is a slowly-changing dimension (the flagship's context-enrich
+    stage on tables-in-motion).
+
+    The snapshot is taken ONCE at plan time (an action on ``ctx``) and
+    shipped in the task closure, so ``ctx`` must be dimension-sized — the
+    same contract as a ``F.broadcast`` join side. Each micro-batch (or
+    batch partition) then runs ``pd.merge_asof`` against the sorted
+    snapshot: STATELESS — no state store, no watermark buffer, and
+    micro-batch arrival order is irrelevant because the right side never
+    changes, so out-of-order streams need no ``ordered=False`` machinery
+    (contrast the stateful ops in ``streaming.stateful``).
+
+    Parity with :func:`towhee_spark.temporal.asof_join`: atomic matched-row
+    attach, ``tolerance`` in seconds (numeric ts: same unit as the column),
+    duplicate ctx (key, ts) ties resolve backward=MAX payload /
+    forward=MIN. Rows with null event time pass through with null matches.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    vcols = (list(right_cols) if right_cols is not None
+             else [c for c in ctx.columns if c not in (on, ts)])
+
+    # plan-time snapshot: dedupe ties with the batch asof's direction rule
+    # (payload-lexicographic max for backward, min for forward)
+    snap = ctx.select(on, ts, *vcols).toPandas()
+    snap = snap.sort_values([on, ts, *vcols], kind="mergesort")
+    snap = snap.drop_duplicates(
+        [on, ts], keep="last" if direction == "backward" else "first")
+    renames = {c: c + suffix for c in vcols}
+    snap = snap.rename(columns=renames)
+    out_vcols = [renames[c] for c in vcols]
+    if matched_ts_col:
+        snap[matched_ts_col] = snap[ts]
+    snap = snap.sort_values(ts, kind="mergesort").reset_index(drop=True)
+
+    ctx_schema = ctx.schema
+    out_fields = list(df.schema.fields) + [
+        T.StructField(renames[c], ctx_schema[c].dataType, True) for c in vcols
+    ]
+    if matched_ts_col:
+        out_fields.append(
+            T.StructField(matched_ts_col, ctx_schema[ts].dataType, True))
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+    # unmatched rows surface as NaN; integer/bool match cols must go back to
+    # Arrow as nullable extension dtypes, not float
+    null_casts = {
+        f.name: _PD_NULLABLE[f.dataType.simpleString()]
+        for f in out_fields
+        if f.name in (*out_vcols,
+                      *((matched_ts_col,) if matched_ts_col else ()))
+        and f.dataType.simpleString() in _PD_NULLABLE
+    }
+
+    def merge(batches):
+        right = {}  # ts-dtype-aligned snapshot, cached per worker
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            good, bad = pdf[pdf[ts].notna()], pdf[pdf[ts].isna()]
+            parts = []
+            if len(good):
+                left = good.sort_values(ts, kind="mergesort")
+                key = str(left[ts].dtype)
+                if key not in right:
+                    r = snap.copy()
+                    if str(r[ts].dtype) != key:
+                        r[ts] = r[ts].astype(left[ts].dtype)
+                    right[key] = r
+                tol = None
+                if tolerance is not None:
+                    tol = (pd.Timedelta(seconds=tolerance)
+                           if pd.api.types.is_datetime64_any_dtype(left[ts])
+                           else tolerance)
+                m = pd.merge_asof(
+                    left, right[key], on=ts, by=on, direction=direction,
+                    tolerance=tol, allow_exact_matches=allow_exact_matches)
+                parts.append(m)
+            if len(bad):
+                parts.append(bad.reindex(columns=out_names))
+            out = pd.concat(parts) if len(parts) > 1 else parts[0]
+            out = out.reindex(columns=out_names)
+            for c, dt in null_casts.items():
+                out[c] = out[c].astype(dt)
+            yield out
+
+    return df.mapInPandas(merge, schema=out_schema)
+
+
 def stream_sessionize(
     df: DataFrame,
     aggs: Mapping[str, Column],
