@@ -37,6 +37,37 @@ def test_add_salt_spreads_hot_only(spark, corpus_df):
     assert a == b
 
 
+def test_suggest_chunk_seconds(spark):
+    """The chunked-path adoption rule, executable: sizes chunk_seconds so
+    the worst hot key's (key, chunk) groups hold ≈ target rows; None when
+    nothing is hot; 0.0 (salt instead) on zero-span hot keys."""
+    from towhee_spark.layout import suggest_chunk_seconds
+
+    # hot key: 5000 rows over 1000s (5 rows/s); cold key: 10 rows
+    rows = [("hot", float(i) * 0.2) for i in range(5000)]
+    rows += [("cold", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, ts double")
+    got = suggest_chunk_seconds(
+        df, hot_threshold=1000, target_rows_per_chunk=500)
+    # span 999.8s / 5000 rows * 500 target ≈ 100s chunks
+    assert got is not None and abs(got - 100.0) < 1.0, got
+    assert suggest_chunk_seconds(
+        df, hot_threshold=10_000, target_rows_per_chunk=500) is None
+    zero = spark.createDataFrame(
+        [("z", 5.0)] * 2000, "conv_id string, ts double")
+    assert suggest_chunk_seconds(
+        zero, hot_threshold=1000, target_rows_per_chunk=500) == 0.0
+    # timestamp ts: same rule through the epoch-µs path
+    tdf = spark.createDataFrame(rows, "conv_id string, off double").select(
+        "conv_id",
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("off"))).alias("ts"),
+    )
+    got_t = suggest_chunk_seconds(
+        tdf, hot_threshold=1000, target_rows_per_chunk=500)
+    assert got_t is not None and abs(got_t - 100.0) < 1.0, got_t
+
+
 def test_repartition_preserves_rows(spark, corpus_df):
     out = repartition_by_key(corpus_df, num_partitions=4)
     assert out.count() == corpus_df.count()

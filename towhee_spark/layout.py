@@ -51,6 +51,60 @@ def hot_keys(
     return df.groupBy(key).count().filter(F.col("count") > threshold).select(key, "count")
 
 
+def suggest_chunk_seconds(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    hot_threshold: int = 1_000_000,
+    target_rows_per_chunk: int = 250_000,
+) -> float | None:
+    """Executable form of the chunked-path adoption rule (BENCH/BASELINE.md:
+    "route keys to chunked paths once per-key rows reach the millions").
+
+    One map-side-combined aggregation job (a diagnostic ACTION, not plan
+    construction) computes per-key row count and time span for keys above
+    ``hot_threshold``, then sizes ``chunk_seconds`` for the worst offender
+    (highest rows/sec) so every hot key's (key, chunk) groups hold ≈
+    ``target_rows_per_chunk`` rows — the value to pass to
+    ``temporal.*_chunked`` / ``time_window(chunk_seconds=)`` /
+    ``window(chunk_seconds=)``.
+
+    Returns None when no key is hot (use the bare-key windows — the chunked
+    paths cost ~2 extra shuffles for nothing on uniform data), or 0.0 when a
+    hot key has zero time span (time-chunking cannot split it; salt with
+    :func:`add_salt` instead). For NUMERIC ts columns the returned value is
+    in the column's own unit, matching ``temporal._chunk_id``."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from towhee_spark.temporal import _time_value  # noqa: PLC0415
+
+    dt = df.schema[ts].dataType
+    tv = _time_value(F.col(ts), dt)
+    unit_div = (
+        1e6 if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
+        else 1.0
+    )
+    stats = (
+        df.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            ((F.max(tv) - F.min(tv)) / F.lit(unit_div)).alias("span"),
+        )
+        .filter(F.col("n") > hot_threshold)
+    )
+    worst = stats.agg(
+        F.min(F.col("span") * F.lit(float(target_rows_per_chunk)) / F.col("n"))
+        .alias("chunk_s"),
+        F.count(F.lit(1)).alias("n_hot"),
+        F.min("span").alias("min_span"),
+    ).first()
+    if worst.n_hot == 0:
+        return None
+    if worst.min_span is None or worst.min_span <= 0 or worst.chunk_s <= 0:
+        return 0.0
+    return float(worst.chunk_s)
+
+
 def add_salt(
     df: DataFrame,
     key: str = "conv_id",
