@@ -107,6 +107,22 @@ def test_count_window_goldens(spark, size, step, expected):
     assert got == expected
 
 
+def test_window_chunk_seconds_requires_keys(spark):
+    """chunk_seconds without apply(by=, order=) must fail LOUDLY — a silent
+    bare-key fallback would resurrect the mega-key serialization the
+    parameter exists to remove (advisor r3)."""
+    df = spark.createDataFrame([(i,) for i in range(9)], "n long")
+    p = (
+        Pipeline.input("n")
+        .window("n", "w", 3, 3, sum, out_types=("bigint",), chunk_seconds=60.0)
+        .output("w")
+    )
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        p.apply(df)  # no by=/order= → bare-key fallback must be refused
+    # with by= and order= the chunked path binds (run_rows supplies both
+    # implicitly via invocation/row-order) — no raise, results unchanged
+
+
 def test_time_window_doc_example(spark):
     # pipeline.py:430-443 doc example: sums ([3,6],[8,9],[19,21])
     rows = [(i, i + 1, i * 1000) for i in range(11) if i < 3 or i > 7]

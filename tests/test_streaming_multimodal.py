@@ -163,6 +163,45 @@ def test_stream_asof_static_matches_batch(spark, corpus_df, tmp_path):
     spark.catalog.dropTempView("asof_static")
 
 
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming exact dedup keeps ONE row per normalized text across
+    micro-batches (state bounded by the watermark); batch face equals a
+    plain dropDuplicates."""
+    from pyspark.sql import functions as F
+
+    from towhee_spark.streaming.ops import stream_dedup_exact
+
+    rows = [
+        (100 * b + i, f"Doc  number {i % 10}",  # dup across batches + case/ws
+         f"2026-01-01 00:{b:02d}:{i:02d}")
+        for b in range(3) for i in range(10)
+    ]
+    bdf = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    assert stream_dedup_exact(bdf).count() == 10  # batch face
+
+    src = str(tmp_path / "dedup_src")
+    import time as _time
+    for b in range(3):
+        bdf.filter(F.col("doc_id").between(100 * b, 100 * b + 99)) \
+            .coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(bdf.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = stream_dedup_exact(sdf, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from dedup_stream").collect()
+    assert len(got) == 10
+    assert len({r.text.lower().split()[-1] for r in got}) == 10
+    spark.catalog.dropTempView("dedup_stream")
+
+
 def test_stateful_stream_sessionize_rows(spark, corpus_df, tmp_path):
     """applyInPandasWithState sessionizer on a real micro-batch stream must
     agree with the batch sessionizer on per-row session sequences."""

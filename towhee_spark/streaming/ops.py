@@ -49,6 +49,38 @@ def stream_time_window_agg(
     )
 
 
+def stream_dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    ts: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Ingest-time exact dedup: keep the first-seen row per NORMALIZED text
+    — the streaming face of ``dedup.dedup_exact`` for a training-data
+    pipeline's front door.
+
+    Streaming frames use ``dropDuplicatesWithinWatermark`` so state holds
+    one entry per distinct text seen inside the watermark horizon and is
+    EVICTED as the watermark advances — plain ``dropDuplicates`` on a
+    stream would grow state forever, which is exactly the unbounded-state
+    bug this wrapper exists to prevent. Batch frames take the plain
+    ``dropDuplicates`` (one hash aggregate). Duplicates farther apart than
+    the watermark delay are NOT collapsed on the streaming path (they're
+    separate state entries by then) — pick the delay to cover the dup
+    window the source actually produces, and run the batch
+    ``dedup_exact`` downstream for global exactness."""
+    from towhee_spark.functions.text import normalize_text  # noqa: PLC0415
+
+    out = df.withColumn("__norm", normalize_text(text_col))
+    if df.isStreaming:
+        return (
+            out.withWatermark(ts, watermark)
+            .dropDuplicatesWithinWatermark(["__norm"])
+            .drop("__norm")
+        )
+    return out.dropDuplicates(["__norm"]).drop("__norm")
+
+
 _PD_NULLABLE = {
     "long": "Int64", "int": "Int32", "integer": "Int32",
     "short": "Int16", "tinyint": "Int8", "boolean": "boolean",
