@@ -89,6 +89,61 @@ def test_named_pipeline_sentence_embedding(spark, corpus_df):
         pipelines.pipeline("nope")
 
 
+def test_named_pipeline_image_and_video(spark):
+    """image_embedding and video_copy_detection presets: stub codecs, real
+    plumbing — unit-norm image vectors; one mean-pooled vector per video,
+    equal to the numpy mean of its frame embeddings."""
+    import numpy as np
+
+    binaries = spark.createDataFrame(
+        [("a.jpg", b"img-a"), ("b.jpg", b"img-b")], "path string, content binary"
+    )
+    img = pipelines.pipeline("image_embedding", dim=16)(binaries)
+    rows = img.collect()
+    assert {r.path for r in rows} == {"a.jpg", "b.jpg"}
+    for r in rows:
+        assert len(r.embedding) == 16
+        assert abs(float(np.linalg.norm(r.embedding)) - 1.0) < 1e-5
+
+    vids = spark.createDataFrame(
+        [("v1.mp4", b"vid-1"), ("v2.mp4", b"vid-2")], "path string, content binary"
+    )
+    vcd = pipelines.pipeline("video_copy_detection", n_frames=3, dim=8)(vids)
+    got = {r.path: list(r.embedding) for r in vcd.collect()}
+    assert set(got) == {"v1.mp4", "v2.mp4"} and all(len(v) == 8 for v in got.values())
+    # identical content → identical fingerprint; different → different
+    same = pipelines.pipeline("video_copy_detection", n_frames=3, dim=8)(
+        spark.createDataFrame([("copy.mp4", b"vid-1")], "path string, content binary")
+    ).first()
+    assert np.allclose(list(same.embedding), got["v1.mp4"])
+    assert not np.allclose(got["v1.mp4"], got["v2.mp4"])
+    # fingerprint == numpy mean of the frame embeddings
+    from towhee_spark.functions import multimodal
+
+    frames = multimodal.image_embed(
+        multimodal.sample_video_frames(vids, n_frames=3),
+        image_col="frame", out_col="e", dim=8)
+    fe = [list(r.e) for r in frames.filter(F.col("path") == "v1.mp4").collect()]
+    assert np.allclose(got["v1.mp4"], np.mean(fe, axis=0), atol=1e-6)
+
+
+def test_named_pipeline_rag_qa(spark):
+    """rag_qa preset: retrieve → grounded prompt → batched fake LLM."""
+    docs = spark.createDataFrame(
+        [(1, "spark joins shuffle data across the cluster nodes fast"),
+         (2, "cats purr softly when they nap in warm sunny spots")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "how do spark joins move data")], "query_id long, question string"
+    )
+    out = pipelines.pipeline("rag_qa", docs=docs, k=1, dim=16)(qs).first()
+    assert out.query_id == 10 and out.answer  # completed
+    assert "spark" in out.prompt.lower() and "Context:" in out.prompt
+    with pytest.raises(ValueError, match="docs="):
+        pipelines.pipeline("rag_qa")
+
+
 def test_data_collection_entity(spark):
     from towhee_spark.collection import DataCollection, Entity, data_loader
 

@@ -75,6 +75,118 @@ def _transcript_features(gap: float = 1800.0, tolerance: float | None = 3600.0,
     return apply
 
 
+@register_pipeline("image_embedding")
+def _image_embedding(content_col: str = "content", out_col: str = "embedding",
+                     dim: int = 32, height: int = 8, width: int = 8):
+    """image_embedding AutoPipe shape (ref hub_ops/image_embedding.py:
+    decode → model → vector): stub codec + histogram model, real Arrow
+    plumbing — swap the two mapInPandas kernels for cv2/timm when
+    available."""
+    from towhee_spark.functions import multimodal  # noqa: PLC0415
+
+    def apply(df: DataFrame) -> DataFrame:
+        img = multimodal.decode_images(df, content_col=content_col,
+                                       height=height, width=width)
+        return multimodal.image_embed(
+            img, image_col="image", out_col=out_col, dim=dim).drop("image")
+
+    return apply
+
+
+@register_pipeline("video_copy_detection")
+def _video_copy_detection(content_col: str = "content",
+                          id_cols: tuple[str, ...] = ("path",),
+                          n_frames: int = 4, dim: int = 32,
+                          out_col: str = "embedding"):
+    """Video fingerprint shape (ref video_decode.ffmpeg → image_embedding →
+    aggregate, the video-copy-detection tutorial flow): sample frames,
+    embed each, mean-pool to ONE vector per video — all native after the
+    frame kernels (posexplode → per-dim avg → array_sort(collect_list)
+    reassembly; collect_list has no order guarantee, the struct sort
+    restores it)."""
+    from towhee_spark.functions import multimodal  # noqa: PLC0415
+
+    def apply(df: DataFrame) -> DataFrame:
+        frames = multimodal.sample_video_frames(
+            df, content_col=content_col, id_cols=id_cols, n_frames=n_frames)
+        emb = multimodal.image_embed(
+            frames, image_col="frame", out_col="__femb", dim=dim)
+        ex = emb.select(*id_cols, F.posexplode("__femb").alias("pos", "v"))
+        per_dim = ex.groupBy(*id_cols, "pos").agg(F.avg("v").alias("v"))
+        return per_dim.groupBy(*id_cols).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"].cast("float"),
+            ).alias(out_col)
+        )
+
+    return apply
+
+
+@register_pipeline("rag_qa")
+def _rag_qa(docs: DataFrame = None, id_col: str = "doc_id",
+            text_col: str = "text", k: int = 2, dim: int = 32,
+            chunk_size: int = 12, overlap: int = 4):
+    """Retrieval-augmented QA shape (ref data_source docstring flow +
+    prompt.question_answer + LLM.*): chunk+embed the corpus, retrieve the
+    top-k chunks per question (exact cosine), assemble a grounded prompt
+    JVM-side, complete with the batched LLM op (offline fake client —
+    swap via llm_map(client_factory=)). Input frame: (query_id, question)."""
+    if docs is None:
+        raise ValueError("rag_qa needs docs= (the corpus DataFrame)")
+    from towhee_spark.functions import similarity  # noqa: PLC0415
+    from towhee_spark.functions.llm import llm_map  # noqa: PLC0415
+    from towhee_spark.functions.prompt import template  # noqa: PLC0415
+    from towhee_spark.functions.text import chunk_text  # noqa: PLC0415
+    from towhee_spark.kernels import embed_text_udf  # noqa: PLC0415
+
+    emb = embed_text_udf(dim=dim)
+
+    def apply(qdf: DataFrame) -> DataFrame:
+        ch = chunk_text(text_col, size=chunk_size, overlap=overlap)
+        cindex = (
+            docs.select(F.col(id_col), F.explode(ch).alias("c"))
+            .select(
+                id_col, F.col("c.start").alias("start"),
+                F.col("c.chunk").alias("chunk"),
+            )
+            .withColumn(
+                "cid",
+                F.col(id_col) * 1_000_000_000 + F.col("start"),
+            )
+            .withColumn("cv", emb(F.col("chunk")))
+        )
+        qe = qdf.withColumn("qv", emb(F.col("question")))
+        top = similarity.brute_force_topk(
+            qe, cindex, k=k, q_id="query_id", q_vec="qv",
+            i_id="cid", i_vec="cv", exclude_self=False,
+        )
+        ctx = (
+            top.join(cindex.select("cid", "chunk"), top.match_id == F.col("cid"))
+            .groupBy("query_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rank", "chunk"))),
+                        lambda s: s["chunk"],
+                    ),
+                    "\n",
+                ).alias("context")
+            )
+        )
+        prompted = qdf.join(ctx, "query_id", "left").withColumn(
+            "prompt",
+            template(
+                "Answer from the context.\nContext:\n{context}\nQ: {question}\nA:",
+                context=F.coalesce(F.col("context"), F.lit("")),
+                question=F.col("question"),
+            ),
+        )
+        return llm_map(prompted, in_col="prompt", out_col="answer")
+
+    return apply
+
+
 @register_pipeline("rag_ingest")
 def _rag_ingest(id_col: str = "doc_id", text_col: str = "text",
                 chunk_size: int = 64, overlap: int = 16, dim: int = 64):
