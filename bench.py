@@ -129,6 +129,7 @@ def main() -> None:
     qs = entry.queries()
     for name in [
         "asof_backward",
+        "asof_static",
         "asof_chunked",
         "lag_lead",
         "locf_chunked",

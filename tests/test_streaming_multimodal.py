@@ -162,6 +162,20 @@ def test_stream_asof_static_matches_batch(spark, corpus_df, tmp_path):
     assert got_s == exp
     spark.catalog.dropTempView("asof_static")
 
+    # collision guard: a match column shadowing a left column is refused
+    # loudly instead of silently emitting all-null matches
+    with pytest.raises(ValueError, match="already exist"):
+        stream_asof_static(
+            corpus_df.withColumn("ctx_score", F.lit(0.0)), ctx)
+
+    # LONG match column + an unmatched key: the NaN must return to Arrow as
+    # a NULL bigint via the nullable Int64 path, not a failed float cast
+    left = spark.createDataFrame([("a", 1.0), ("zz", 2.0)], "k string, ts double")
+    right = spark.createDataFrame([("a", 0.5, 42)], "k string, ts double, n long")
+    got_n = {r.k: r.n for r in stream_asof_static(
+        left, right, on="k", ts="ts").collect()}
+    assert got_n == {"a": 42, "zz": None}
+
 
 def test_stream_dedup_exact(spark, tmp_path):
     """Streaming exact dedup keeps ONE row per normalized text across

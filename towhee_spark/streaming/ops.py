@@ -81,10 +81,20 @@ def stream_dedup_exact(
     return out.dropDuplicates(["__norm"]).drop("__norm")
 
 
-_PD_NULLABLE = {
-    "long": "Int64", "int": "Int32", "integer": "Int32",
-    "short": "Int16", "tinyint": "Int8", "boolean": "boolean",
-}
+def _pd_nullable(dt) -> str | None:
+    """Pandas nullable extension dtype for a Spark integral/bool type —
+    unmatched as-of rows surface as NaN, and a float column with NaN fails
+    Arrow's safe cast back to bigint/int; the extension dtypes carry the
+    null natively. (Keyed on type CLASSES: simpleString() spells LongType
+    'bigint' and ShortType 'smallint', which a name-keyed map missed.)"""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    for cls, name in ((T.LongType, "Int64"), (T.IntegerType, "Int32"),
+                      (T.ShortType, "Int16"), (T.ByteType, "Int8"),
+                      (T.BooleanType, "boolean")):
+        if isinstance(dt, cls):
+            return name
+    return None
 
 
 def stream_asof_static(
@@ -126,6 +136,16 @@ def stream_asof_static(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     vcols = (list(right_cols) if right_cols is not None
              else [c for c in ctx.columns if c not in (on, ts)])
+    # collision guard: a left column shadowing a (suffixed) match column
+    # would make pandas merge fork it into _x/_y names, and the reindex to
+    # the output schema would then silently emit ALL-NULL match columns
+    clash = ({c + suffix for c in vcols} | ({matched_ts_col} if matched_ts_col else set())) \
+        & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"stream_asof_static: output columns {sorted(clash)} already exist "
+            f"on the left frame — pass suffix= (or a different matched_ts_col)"
+        )
 
     # plan-time snapshot: dedupe ties with the batch asof's direction rule
     # (payload-lexicographic max for backward, min for forward)
@@ -151,12 +171,11 @@ def stream_asof_static(
     out_names = [f.name for f in out_fields]
     # unmatched rows surface as NaN; integer/bool match cols must go back to
     # Arrow as nullable extension dtypes, not float
+    match_cols = {*out_vcols, *((matched_ts_col,) if matched_ts_col else ())}
     null_casts = {
-        f.name: _PD_NULLABLE[f.dataType.simpleString()]
+        f.name: dt
         for f in out_fields
-        if f.name in (*out_vcols,
-                      *((matched_ts_col,) if matched_ts_col else ()))
-        and f.dataType.simpleString() in _PD_NULLABLE
+        if f.name in match_cols and (dt := _pd_nullable(f.dataType))
     }
 
     def merge(batches):
