@@ -182,7 +182,15 @@ def test_data_collection_entity(spark):
     esc = DataCollection([Entity(x="<b>&")])
     assert "&lt;b&gt;&amp;" in esc.to_html()
     img = DataCollection([Entity(pic=b"\x89PNG fake")])  # binary → inline img
-    assert 'src="data:image;base64,' in img.to_html()
+    assert 'src="data:image/png;base64,' in img.to_html()
+    jpg = DataCollection([Entity(pic=b"\xff\xd8\xff\xe0 fake")])
+    assert 'src="data:image/jpeg;base64,' in jpg.to_html()
+    # hash/eq contract + value-sensitive hashing (same-shape entities must
+    # not all collide; unhashable cells fall back to field names)
+    assert hash(Entity(x=1)) == hash(Entity(x=1.0))
+    assert hash(Entity(x=1)) != hash(Entity(x=2))  # buckets spread
+    assert len({Entity(x=i) for i in range(50)} ) == 50
+    hash(Entity(v=[1, 2]))  # unhashable cell tolerated
     buf2 = io.StringIO()
     with redirect_stdout(buf2):
         dc.show(tablefmt="html")

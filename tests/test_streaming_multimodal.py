@@ -177,6 +177,36 @@ def test_stream_asof_static_matches_batch(spark, corpus_df, tmp_path):
     assert got_n == {"a": 42, "zz": None}
 
 
+def test_stream_asof_static_null_and_precision_hardening(spark):
+    """Advisor-r4 cluster: null bigint join keys / null ctx ts must not
+    crash pd.merge_asof, float tolerance must work on integer ts, and
+    int64 match values above 2^53 must survive an unmatched-row batch."""
+    from towhee_spark.streaming.ops import stream_asof_static
+
+    big = (1 << 53) + 1  # rounds to 2^53 if it ever transits float64
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (None, 150, "b"), (2, 200, "c"),
+         (1, None, "d"), (9, 500, "e")],
+        "conv_id bigint, ts bigint, txt string")
+    ctx = spark.createDataFrame(
+        [(1, 90, big), (2, 190, 7), (None, 10, 5), (3, None, 6)],
+        "conv_id bigint, ts bigint, val bigint")
+
+    out = stream_asof_static(left, ctx, tolerance=3600.0, matched_ts_col="mts")
+    rows = {r.txt: (r.val, r.mts) for r in out.collect()}
+    assert rows == {"a": (big, 90), "b": (None, None), "c": (7, 190),
+                    "d": (None, None), "e": (None, None)}
+
+    # fractional tolerance on integer ts: falls back to the float64
+    # compare the batch path uses (gap a=10 <= 10.5 matches; > 9.5 doesn't)
+    wide = {r.txt: r.val for r in stream_asof_static(
+        left, ctx, tolerance=10.5).collect()}
+    assert wide["a"] == big and wide["c"] == 7
+    tight = {r.txt: r.val for r in stream_asof_static(
+        left, ctx, tolerance=9.5).collect()}
+    assert tight["a"] is None and tight["c"] is None
+
+
 def test_stream_dedup_exact(spark, tmp_path):
     """Streaming exact dedup keeps ONE row per normalized text across
     micro-batches (state bounded by the watermark); batch face equals a

@@ -57,12 +57,20 @@ class Entity:
 
     def __hash__(self) -> int:
         # defining __eq__ alone would leave Entity UNHASHABLE (review
-        # finding). Hash ONLY the sorted field-name tuple: hashing values
-        # via repr broke the hash/eq contract for __eq__-equal pairs with
-        # different reprs (1 vs 1.0, np.int64(1) vs 1 — advisor r3).
-        # More collisions, but hash now agrees with ANY __eq__-equal pair
-        # and still tolerates unhashable cell values (lists/arrays).
-        return hash(tuple(sorted(self.__dict__)))
+        # finding). Hash (name, hash(value)) pairs: Python guarantees
+        # __eq__-equal hashable values hash equal (1 vs 1.0, np.int64(1)
+        # vs 1 — the advisor-r3 repr traps), so the hash/eq contract
+        # holds, and same-shape entities with different values no longer
+        # collapse into one bucket (name-only hashing made set()/dict of
+        # n same-column entities probe O(n²) — advisor r4). Unhashable
+        # cells (lists/arrays) contribute the field name only.
+        items = []
+        for k in sorted(self.__dict__):
+            try:
+                items.append((k, hash(self.__dict__[k])))
+            except TypeError:
+                items.append((k, -1))
+        return hash(tuple(items))
 
 
 class DataCollection:
@@ -142,11 +150,25 @@ class DataCollection:
         if not headers:
             return "<i>empty DataCollection</i>"
 
+        def mime(b: bytes) -> str:
+            # RFC 2397 needs a full type/subtype ("data:image;base64" is
+            # malformed and falls back to text/plain in strict renderers)
+            # — sniff the common magics, default to the reference's
+            # image/png (html_table.py:120)
+            if b.startswith(b"\xff\xd8\xff"):
+                return "image/jpeg"
+            if b.startswith((b"GIF87a", b"GIF89a")):
+                return "image/gif"
+            if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                return "image/webp"
+            return "image/png"
+
         def td(v) -> str:
             if isinstance(v, (bytes, bytearray)):
-                b64 = b64encode(bytes(v)).decode()
+                raw = bytes(v)
+                b64 = b64encode(raw).decode()
                 return ('<td><img style="max-height: 128px;" '
-                        f'src="data:image;base64,{b64}"/></td>')
+                        f'src="data:{mime(raw)};base64,{b64}"/></td>')
             return f"<td>{escape(_cell_str(v))}</td>"
 
         th = "".join(f"<th>{escape(h)}</th>" for h in headers)

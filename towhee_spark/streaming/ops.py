@@ -126,7 +126,11 @@ def stream_asof_static(
     Parity with :func:`towhee_spark.temporal.asof_join`: atomic matched-row
     attach, ``tolerance`` in seconds (numeric ts: same unit as the column),
     duplicate ctx (key, ts) ties resolve backward=MAX payload /
-    forward=MIN. Rows with null event time pass through with null matches.
+    forward=MIN. Rows with a null event time OR a null join key pass
+    through with null matches (ctx rows with either are dropped from the
+    snapshot — a stateless snapshot join has nothing for them to match;
+    batch ``asof_join`` instead groups null keys together, the one
+    documented parity divergence).
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -150,6 +154,26 @@ def stream_asof_static(
     # plan-time snapshot: dedupe ties with the batch asof's direction rule
     # (payload-lexicographic max for backward, min for forward)
     snap = ctx.select(on, ts, *vcols).toPandas()
+    # null merge keys make pd.merge_asof raise ('Merge keys contain null
+    # values on right side'), and a single null in an integral column has
+    # already widened it to float64 on the Arrow→pandas hop — drop the
+    # unmatchable rows, then restore the exact integral dtype below
+    snap = snap[snap[ts].notna() & snap[on].notna()]
+    _np_integral = {T.LongType: "int64", T.IntegerType: "int32",
+                    T.ShortType: "int16", T.ByteType: "int8",
+                    T.BooleanType: "bool"}
+
+    def _np_exact(dt) -> str | None:
+        for cls, name in _np_integral.items():
+            if isinstance(dt, cls):
+                return name
+        return None
+
+    ctx_schema = ctx.schema
+    for c, f in ((on, ctx_schema[on]), (ts, ctx_schema[ts])):
+        want = _np_exact(f.dataType)
+        if want and str(snap[c].dtype) != want:
+            snap[c] = snap[c].astype(want)
     snap = snap.sort_values([on, ts, *vcols], kind="mergesort")
     snap = snap.drop_duplicates(
         [on, ts], keep="last" if direction == "backward" else "first")
@@ -159,8 +183,16 @@ def stream_asof_static(
     if matched_ts_col:
         snap[matched_ts_col] = snap[ts]
     snap = snap.sort_values(ts, kind="mergesort").reset_index(drop=True)
+    # integral/bool MATCH columns ride through the merge as pandas nullable
+    # extension dtypes: with any unmatched left row, a plain int64 column
+    # would round-trip through float64 (NaN fill) and silently round values
+    # above 2^53 (hash-derived long ids live up there)
+    for c, f in [(renames[v], ctx_schema[v]) for v in vcols] + (
+            [(matched_ts_col, ctx_schema[ts])] if matched_ts_col else []):
+        ext = _pd_nullable(f.dataType)
+        if ext:
+            snap[c] = snap[c].astype(ext)
 
-    ctx_schema = ctx.schema
     out_fields = list(df.schema.fields) + [
         T.StructField(renames[c], ctx_schema[c].dataType, True) for c in vcols
     ]
@@ -169,14 +201,22 @@ def stream_asof_static(
             T.StructField(matched_ts_col, ctx_schema[ts].dataType, True))
     out_schema = T.StructType(out_fields)
     out_names = [f.name for f in out_fields]
-    # unmatched rows surface as NaN; integer/bool match cols must go back to
-    # Arrow as nullable extension dtypes, not float
-    match_cols = {*out_vcols, *((matched_ts_col,) if matched_ts_col else ())}
+    # unmatched rows surface as NaN; integer/bool columns must go back to
+    # Arrow as nullable extension dtypes, not float (covers match cols AND
+    # left integral cols that rode in as float64 because a row was null —
+    # the good/bad concat would otherwise re-widen the restored int64)
     null_casts = {
         f.name: dt
         for f in out_fields
-        if f.name in match_cols and (dt := _pd_nullable(f.dataType))
+        if (dt := _pd_nullable(f.dataType))
     }
+
+    # a null anywhere in an integral left key/ts column widens the WHOLE
+    # column to float64 on the Arrow→pandas hop; after the null rows are
+    # split off, restore the declared dtype so merge_asof's by-key dtype
+    # check (int64 vs float64 → MergeError) can't fire
+    left_exact = {c: w for c in (on, ts)
+                  if (w := _np_exact(df.schema[c].dataType))}
 
     def merge(batches):
         right = {}  # ts-dtype-aligned snapshot, cached per worker
@@ -184,21 +224,40 @@ def stream_asof_static(
         for pdf in batches:
             if not len(pdf):
                 continue
-            good, bad = pdf[pdf[ts].notna()], pdf[pdf[ts].isna()]
+            # null event time OR null join key: pass through unmatched
+            # (merge_asof raises on null keys; batch asof groups null keys
+            # together — on this stateless path they can never match the
+            # snapshot, whose null-key rows were dropped at plan time)
+            ok = pdf[ts].notna() & pdf[on].notna()
+            good, bad = pdf[ok], pdf[~ok]
             parts = []
             if len(good):
                 left = good.sort_values(ts, kind="mergesort")
+                for c, want in left_exact.items():
+                    if str(left[c].dtype) != want:
+                        left = left.assign(**{c: left[c].astype(want)})
+                tol = None
+                if tolerance is not None:
+                    if pd.api.types.is_datetime64_any_dtype(left[ts]):
+                        tol = pd.Timedelta(seconds=tolerance)
+                    elif pd.api.types.is_integer_dtype(left[ts]):
+                        # pandas rejects a float tolerance against an int64
+                        # key; integral tolerances narrow losslessly, and a
+                        # fractional one forces the float64 compare the
+                        # batch path uses (numeric ts are cast to double)
+                        if float(tolerance).is_integer():
+                            tol = int(tolerance)
+                        else:
+                            tol = float(tolerance)
+                            left = left.assign(**{ts: left[ts].astype("float64")})
+                    else:
+                        tol = tolerance
                 key = str(left[ts].dtype)
                 if key not in right:
                     r = snap.copy()
                     if str(r[ts].dtype) != key:
                         r[ts] = r[ts].astype(left[ts].dtype)
                     right[key] = r
-                tol = None
-                if tolerance is not None:
-                    tol = (pd.Timedelta(seconds=tolerance)
-                           if pd.api.types.is_datetime64_any_dtype(left[ts])
-                           else tolerance)
                 m = pd.merge_asof(
                     left, right[key], on=ts, by=on, direction=direction,
                     tolerance=tol, allow_exact_matches=allow_exact_matches)
