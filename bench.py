@@ -154,6 +154,7 @@ def main() -> None:
         "similarity_topk",
         "scan_topk",
         "lsh_topk",
+        "ivf_topk",
         "embed_text",
         "rag_search",
         "rag_search_lsh",
@@ -195,6 +196,12 @@ def main() -> None:
     # for the SQL-mirror oracle; arrow is the production signature path)
     timed_df("prod_rag_search_lsh_arrow",
              lambda: entry.q_rag_search_lsh(spark, sf_dir, impl="arrow"))
+    # IVF production shape: Arrow matmul assignment, 64 cells probe 8
+    # (gate pins nlist=8 expr for the SQL-mirror oracle)
+    from towhee_spark.functions import similarity as _sim
+    timed_df("prod_ivf_topk_arrow", lambda: _sim.ivf_topk(
+        embs.filter(F.col("vec_id") < 10), embs, k=3,
+        nlist=64, nprobe=8, impl="arrow"))
 
     total = round(sum(timings.values()), 3)
     print(

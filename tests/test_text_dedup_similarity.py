@@ -208,6 +208,51 @@ def test_lsh_topk_arrow_equals_expr(embs):
     assert rows("arrow") == rows("expr")
 
 
+def test_ivf_topk_arrow_equals_expr(embs):
+    """IVF cell assignment: the Arrow matmul kernel (production) and the
+    oracle-reproducible expr path must return identical top-k rows."""
+    dembs = embs.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qs = dembs.limit(5)
+
+    def rows(impl):
+        return sorted(
+            (r.query_id, r.rank, r.match_id, r.score)
+            for r in similarity.ivf_topk(
+                qs, dembs, k=3, nlist=8, nprobe=3, impl=impl).collect()
+        )
+
+    assert rows("arrow") == rows("expr")
+
+
+def test_ivf_topk_full_probe_equals_brute_force(embs):
+    """nprobe == nlist searches every cell, so the IVF output must EQUAL
+    exact brute force — gates the cell partition (no vector lost/dup)."""
+    qs = embs.limit(5)
+    exact = sorted(
+        (r.query_id, r.rank, r.match_id, round(r.score, 4))
+        for r in similarity.brute_force_topk(qs, embs, k=3).collect()
+    )
+    ivf = sorted(
+        (r.query_id, r.rank, r.match_id, round(r.score, 4))
+        for r in similarity.ivf_topk(
+            qs, embs, k=3, nlist=8, nprobe=8, impl="arrow").collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_topk_subset_of_valid_scores(embs):
+    """Partial probing returns a SUBSET: every (query, match) the IVF path
+    emits must carry the same score brute force would give it, and the
+    per-query best IVF score can't exceed the true best."""
+    qs = embs.limit(5)
+    best = {r.query_id: r.score
+            for r in similarity.brute_force_topk(qs, embs, k=1).collect()}
+    approx = similarity.ivf_topk(qs, embs, k=3, nlist=16, nprobe=2).collect()
+    assert approx  # probing 2 of 16 cells still surfaces neighbors
+    for r in approx:
+        assert r.score <= best[r.query_id] + 1e-6
+
+
 def test_chunk_text_no_subset_chunks(spark):
     """Review fix: no trailing chunk fully contained in its predecessor,
     and empty/whitespace docs yield ZERO chunks."""

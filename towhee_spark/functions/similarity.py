@@ -286,3 +286,109 @@ def lsh_topk(
     elif exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
     return _global_topk(scored, k, shards)
+
+
+def _md5_id_hash(c):
+    """Cross-engine 60-bit id hash — Spark face of DuckDB's
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT`` (the
+    same construction as the embed_text token hash, CLAUDE.md)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    shards: int | None = None,
+    impl: str = "arrow",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: coarse-quantizer cells + exact
+    rerank — the inverted-file ANN shape next to lsh_topk's hyperplane
+    one (ref ann_search.py:36-53 delegates both to Faiss index types;
+    here each is a DataFrame plan).
+
+    Train step (ONE plan-time action, like scan_topk's query collect):
+    the ``nlist`` centroids are the index vectors whose ids hash lowest
+    under the cross-engine md5 hash — a deterministic sample both engines
+    can re-derive, standing in for a k-means train the sandbox can't gate.
+    Every index vector is assigned to its max-cosine centroid (cell);
+    queries search their ``nprobe`` nearest cells and rerank exactly, so
+    scan cost is ~``nprobe/nlist`` of the corpus and the cell layout is
+    reusable as a materialized index (partition-by-cell at 100 TB).
+
+    Ties and floats: cell choice orders by (ROUND(cos, 6) DESC, cid ASC)
+    in both engines — the same rounded-compare + documented residual
+    1e-6-boundary risk the LSH oracle carries (BASELINE.md).
+
+    ``impl``: "arrow" = one float64 matmul per Arrow batch for the
+    assignment (production); "expr" = native Column expressions with the
+    centroid vectors inlined as literals — oracle-reproducible (the gate
+    config; nlist·dim literals, so keep nlist small there)."""
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    crows = (
+        index.select(F.col(i_id).alias("cid"), F.col(i_vec).alias("cv"))
+        .withColumn("__h", _md5_id_hash(F.col("cid")))
+        .orderBy("__h", "cid")
+        .limit(nlist)
+        .collect()
+    )
+    if not crows:
+        raise ValueError("ivf_topk: empty index")
+    cents = sorted(((r["cid"], list(r["cv"])) for r in crows), key=lambda t: t[0])
+    nprobe = min(nprobe, len(cents))
+
+    if impl == "expr":
+        def cells_of(vc, n):
+            # array< struct(1-cos6, cid) > sorted asc == (cos desc, cid asc);
+            # 1-x keeps the sort key non-negative (no -0.0 edge) and is
+            # order-equivalent to DESC on x (IEEE: monotone, tie-preserving)
+            entries = [
+                F.struct(
+                    (F.lit(1.0) - F.round(
+                        cosine_expr(vc, F.array(*[F.lit(float(x)) for x in cv])),
+                        6)).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, cv in cents
+            ]
+            return F.slice(F.sort_array(F.array(*entries)), 1, n)
+    else:
+        from towhee_spark.kernels import centroid_cells_kernel  # noqa: PLC0415
+
+        cid_arr = np.array([c for c, _ in cents])
+        cmat = np.array([v for _, v in cents], dtype=np.float64)
+        id_type = index.schema[i_id].dataType
+
+        def cells_of(vc, n):
+            return centroid_cells_kernel(cmat, cid_arr, n, id_type)(vc)
+
+    ix = index.select(
+        F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
+        F.element_at(cells_of(F.col(i_vec), 1), 1)
+        .getField("c").alias("cell"),
+    )
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
+        F.explode(
+            F.transform(cells_of(F.col(q_vec), nprobe), lambda s: s.getField("c"))
+        ).alias("cell"),
+    )
+    scored = (
+        ix.join(q, "cell")
+        .select(
+            "query_id", "match_id",
+            F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+        )
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    return _global_topk(scored, k, shards)

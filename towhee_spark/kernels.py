@@ -261,6 +261,53 @@ def embed_text_udf(dim: int = 64):
 # ---------------------------------------------------------------------------
 # numpy utility kernels (Towhee towhee.np_normalize, hub_ops/utils.py:23)
 
+def centroid_cells_kernel(cmat: np.ndarray, cids: np.ndarray, n: int, id_type):
+    """Arrow kernel factory for IVF cell assignment: vector column →
+    array<struct<d, c>> of the ``n`` nearest centroids by
+    (ROUND(cos, 6) DESC, cid ASC) — the same (d = 1 − cos6, c) structs the
+    expr path sorts, so similarity.ivf_topk can swap impls freely. ONE
+    float64 matmul (batch, dim) @ (dim, nlist) per Arrow batch.
+
+    ``cids`` MUST be in ascending order: tie-break falls out of the stable
+    argsort over cid-ordered columns."""
+    order_chk = np.argsort(cids, kind="stable")
+    if not np.array_equal(order_chk, np.arange(len(cids))):
+        raise ValueError("centroid_cells_kernel: cids must be ascending")
+    cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("d", T.DoubleType()), T.StructField("c", id_type)]))
+
+    @F.pandas_udf(out_t)
+    def cells(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        vals = vecs.tolist()
+        mask = [v is not None for v in vals]
+        out = [None] * len(vals)
+        if any(mask):
+            m = np.asarray([v for v in vals if v is not None], dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            zero = norms[:, 0] == 0
+            m = m / np.maximum(norms, 1e-300)
+            # half-away-from-zero like F.round/DuckDB ROUND (scan_topk note)
+            raw = m @ cn.T
+            cos = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+            cos[zero] = 0.0  # cosine_expr's zero-norm convention
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :n]
+            rows = [
+                [{"d": float(1.0 - cos[i, j]), "c": cids[j].item()
+                  if hasattr(cids[j], "item") else cids[j]}
+                 for j in top[i]]
+                for i in range(len(m))
+            ]
+            it = iter(rows)
+            out = [next(it) if ok else None for ok in mask]
+        return pd.Series(out)
+
+    return cells
+
+
 def hyperplane_bucket_kernel(bank_T: np.ndarray, tables: int, block_planes: int):
     """Arrow kernel factory: array<float/double> column → array<long> of
     per-table hyperplane bucket ids. ONE float64 matmul
