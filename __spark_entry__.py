@@ -1281,7 +1281,14 @@ def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
     vector is assigned to its (ROUND(cos,6) DESC, cid ASC) best centroid,
     queries search their nprobe best cells and the survivors get the exact
     cosine rerank — mirrors similarity.ivf_topk(impl="expr") stage for
-    stage, so the gate checks the inverted-file construction itself."""
+    stage, so the gate checks the inverted-file construction itself.
+
+    Measured sign-stability margin (the b1658cb discipline): across
+    sf0.001/0.01/0.1 the closest raw cell score to a ROUND(·,6) boundary
+    is 2.8e-11 absolute, the smallest rank-1/rank-2 rounded gap is
+    1.7e-5, and no vector has tied top cells — cross-engine all-double
+    arithmetic differs by ~1e-16 relative, 5 orders below the margin, so
+    the rounded argmax is deterministic on this data."""
     return f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
