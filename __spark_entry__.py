@@ -1291,7 +1291,7 @@ def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
     the rounded argmax is deterministic on this data."""
     return f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
+                       FROM embeddings WHERE embedding IS NOT NULL),
             c AS (SELECT vec_id AS cid, v AS cv FROM e
                   ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
                            vec_id
@@ -1308,7 +1308,7 @@ def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
             cell AS (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1),
             qp AS (SELECT vec_id AS query_id, cid AS cell FROM ar
                    WHERE rn <= {nprobe} AND vec_id < 10),
-            cand AS (SELECT DISTINCT q.query_id, i.vec_id AS match_id
+            cand AS (SELECT q.query_id, i.vec_id AS match_id
                      FROM qp q JOIN cell i ON i.cell = q.cell
                      WHERE i.vec_id != q.query_id),
             scored AS (SELECT cd.query_id, cd.match_id,

@@ -241,16 +241,40 @@ def test_ivf_topk_full_probe_equals_brute_force(embs):
 
 
 def test_ivf_topk_subset_of_valid_scores(embs):
-    """Partial probing returns a SUBSET: every (query, match) the IVF path
-    emits must carry the same score brute force would give it, and the
-    per-query best IVF score can't exceed the true best."""
+    """Partial probing returns a SUBSET of correctly-scored pairs: every
+    (query, match) the IVF path emits must carry EXACTLY the score brute
+    force gives that pair (catches a vector-column mixup in the rerank
+    join, not just an inflated best)."""
     qs = embs.limit(5)
-    best = {r.query_id: r.score
-            for r in similarity.brute_force_topk(qs, embs, k=1).collect()}
+    n_index = embs.count()
+    exact = {(r.query_id, r.match_id): r.score
+             for r in similarity.brute_force_topk(qs, embs, k=n_index).collect()}
     approx = similarity.ivf_topk(qs, embs, k=3, nlist=16, nprobe=2).collect()
     assert approx  # probing 2 of 16 cells still surfaces neighbors
     for r in approx:
-        assert r.score <= best[r.query_id] + 1e-6
+        assert exact[(r.query_id, r.match_id)] == r.score
+
+
+def test_ivf_topk_null_vectors_drop_on_both_impls(spark):
+    """NULL embeddings must vanish identically on the expr and arrow paths
+    (expr's cosine null→0.0 convention once filed them under the lowest
+    cid while the arrow kernel dropped them — code-review finding)."""
+    rows = [(i, [float(i + 1), float((i * 7) % 5)]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows + [(99, None)], "vec_id bigint, embedding array<double>")
+    qs = df.filter((F.col("vec_id") < 3) | F.col("embedding").isNull())
+
+    def got(impl):
+        return sorted(
+            (r.query_id, r.rank, r.match_id, r.score)
+            for r in similarity.ivf_topk(
+                qs, df, k=2, nlist=4, nprobe=2, impl=impl).collect()
+        )
+
+    a, e = got("arrow"), got("expr")
+    assert a == e
+    ids = {t[0] for t in a} | {t[2] for t in a}
+    assert 99 not in ids  # the null vector neither queries nor matches
 
 
 def test_chunk_text_no_subset_chunks(spark):

@@ -290,9 +290,12 @@ def lsh_topk(
 
 def _md5_id_hash(c):
     """Cross-engine 60-bit id hash — Spark face of DuckDB's
-    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT`` (the
-    same construction as the embed_text token hash, CLAUDE.md)."""
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    ``('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT``.
+    Delegates to dedup.simhash_hash_expr so the parity-critical md5
+    construction (CLAUDE.md) lives in exactly one place."""
+    from towhee_spark.functions.dedup import simhash_hash_expr  # noqa: PLC0415
+
+    return simhash_hash_expr(c.cast("string"), hash="md5")
 
 
 def ivf_topk(
@@ -335,6 +338,7 @@ def ivf_topk(
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     crows = (
         index.select(F.col(i_id).alias("cid"), F.col(i_vec).alias("cv"))
+        .where(F.col("cv").isNotNull())  # a NULL vector can't be a centroid
         .withColumn("__h", _md5_id_hash(F.col("cid")))
         .orderBy("__h", "cid")
         .limit(nlist)
@@ -359,7 +363,11 @@ def ivf_topk(
                 )
                 for cid, cv in cents
             ]
-            return F.slice(F.sort_array(F.array(*entries)), 1, n)
+            # NULL vectors get NO cells (the arrow kernel and the DuckDB
+            # oracle both drop them); without this guard cosine_expr's
+            # null→0.0 convention would file every null under the lowest cid
+            return F.when(
+                vc.isNotNull(), F.slice(F.sort_array(F.array(*entries)), 1, n))
     else:
         from towhee_spark.kernels import centroid_cells_kernel  # noqa: PLC0415
 
@@ -381,13 +389,12 @@ def ivf_topk(
             F.transform(cells_of(F.col(q_vec), nprobe), lambda s: s.getField("c"))
         ).alias("cell"),
     )
-    scored = (
-        ix.join(q, "cell")
-        .select(
-            "query_id", "match_id",
-            F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
-        )
-        .dropDuplicates(["query_id", "match_id"])
+    # no (query, match) dedup needed: each index vector lives in EXACTLY one
+    # cell and a query's probed cells are distinct, so the join can't emit a
+    # pair twice — the dropDuplicates LSH needs would be a pure extra shuffle
+    scored = ix.join(q, "cell").select(
+        "query_id", "match_id",
+        F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
