@@ -140,8 +140,15 @@ def test_named_pipeline_rag_qa(spark):
     out = pipelines.pipeline("rag_qa", docs=docs, k=1, dim=16)(qs).first()
     assert out.query_id == 10 and out.answer  # completed
     assert "spark" in out.prompt.lower() and "Context:" in out.prompt
+    # IVF index variant: nprobe == nlist probes every cell, so retrieval
+    # (and thus the grounded prompt) must match the exact path
+    ivf = pipelines.pipeline("rag_qa", docs=docs, k=1, dim=16,
+                             index="ivf", nlist=2, nprobe=2)(qs).first()
+    assert ivf.prompt == out.prompt and ivf.answer
     with pytest.raises(ValueError, match="docs="):
         pipelines.pipeline("rag_qa")
+    with pytest.raises(ValueError, match="index must be"):
+        pipelines.pipeline("rag_qa", docs=docs, index="hnsw")
 
 
 def test_data_collection_entity(spark):

@@ -126,14 +126,21 @@ def _video_copy_detection(content_col: str = "content",
 @register_pipeline("rag_qa")
 def _rag_qa(docs: DataFrame = None, id_col: str = "doc_id",
             text_col: str = "text", k: int = 2, dim: int = 32,
-            chunk_size: int = 12, overlap: int = 4):
+            chunk_size: int = 12, overlap: int = 4,
+            index: str = "exact", nlist: int = 16, nprobe: int = 4):
     """Retrieval-augmented QA shape (ref data_source docstring flow +
     prompt.question_answer + LLM.*): chunk+embed the corpus, retrieve the
-    top-k chunks per question (exact cosine), assemble a grounded prompt
-    JVM-side, complete with the batched LLM op (offline fake client —
-    swap via llm_map(client_factory=)). Input frame: (query_id, question)."""
+    top-k chunks per question, assemble a grounded prompt JVM-side,
+    complete with the batched LLM op (offline fake client — swap via
+    llm_map(client_factory=)). Input frame: (query_id, question).
+
+    ``index``: "exact" (brute-force cosine — small corpora/gold runs) or
+    "ivf" (similarity.ivf_topk coarse cells, nlist/nprobe — the huge-index
+    shape; cf. the lsh variant exercised by the rag_search_lsh gate)."""
     if docs is None:
         raise ValueError("rag_qa needs docs= (the corpus DataFrame)")
+    if index not in ("exact", "ivf"):
+        raise ValueError(f"rag_qa index must be 'exact' or 'ivf', got {index!r}")
     from towhee_spark.functions import similarity  # noqa: PLC0415
     from towhee_spark.functions.llm import llm_map  # noqa: PLC0415
     from towhee_spark.functions.prompt import template  # noqa: PLC0415
@@ -157,10 +164,17 @@ def _rag_qa(docs: DataFrame = None, id_col: str = "doc_id",
             .withColumn("cv", emb(F.col("chunk")))
         )
         qe = qdf.withColumn("qv", emb(F.col("question")))
-        top = similarity.brute_force_topk(
-            qe, cindex, k=k, q_id="query_id", q_vec="qv",
-            i_id="cid", i_vec="cv", exclude_self=False,
-        )
+        if index == "ivf":
+            top = similarity.ivf_topk(
+                qe, cindex, k=k, q_id="query_id", q_vec="qv",
+                i_id="cid", i_vec="cv", exclude_self=False,
+                nlist=nlist, nprobe=nprobe,
+            )
+        else:
+            top = similarity.brute_force_topk(
+                qe, cindex, k=k, q_id="query_id", q_vec="qv",
+                i_id="cid", i_vec="cv", exclude_self=False,
+            )
         ctx = (
             top.join(cindex.select("cid", "chunk"), top.match_id == F.col("cid"))
             .groupBy("query_id")
