@@ -26,6 +26,28 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_sample() -> tuple[int, ...]:
+    with open("/proc/stat") as f:
+        return tuple(int(x) for x in f.readline().split()[1:9])
+
+
+def _cpu_pcts(a: tuple[int, ...], b: tuple[int, ...]) -> dict[str, float]:
+    """user/sys/steal as % of elapsed jiffies between two /proc/stat
+    samples. Purpose: round-4 observed a hypervisor-starvation mode where
+    32-vCPU Spark runs go 10-100x slow with ~69% SYSTEM time (guest
+    spinlock lock-holder preemption; dmesg: 'hrtimer: interrupt took
+    53ms') while local[8] runs are normal — embedding the host state in
+    the JSON lets a degraded flagship number be read as host, not plan
+    (BENCH/BASELINE.md 'Host-degradation window')."""
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return {
+        "user_pct": round(100 * (d[0] + d[1]) / tot, 1),
+        "sys_pct": round(100 * d[2] / tot, 1),
+        "steal_pct": round(100 * d[7] / tot, 1) if len(d) > 7 else 0.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -96,12 +118,14 @@ def main() -> None:
     flagship_pipeline()
     cold_first_run_sec = round(time.perf_counter() - t0, 3)
     runs = []
+    cpu0 = _cpu_sample()
     for _ in range(3):  # best-of-3: the host shows minute-scale
         # noisy-neighbor spikes (BENCH/BASELINE.md); identical-plan replays
         # have measured 4.9 s and 67 s in one session
         t0 = time.perf_counter()
         flagship_pipeline()
         runs.append(round(time.perf_counter() - t0, 3))
+    host_cpu = _cpu_pcts(cpu0, _cpu_sample())
     timings["flagship_synth"] = min(runs)
     turns_per_sec = round(n_turns / timings["flagship_synth"], 1)
 
@@ -228,6 +252,7 @@ def main() -> None:
                 "cold_first_run_sec": cold_first_run_sec,
                 "flagship_warm_runs": runs,
                 "flagship_stages_cum_sec": stages_cum,
+                "host_cpu_during_flagship": host_cpu,
             }
         )
     )
