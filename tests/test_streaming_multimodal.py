@@ -81,6 +81,30 @@ def test_video_frame_sampling_fanout(spark):
     assert frames[2].frame.ts_ms == 80
 
 
+def test_image_resize_nearest_neighbor(spark):
+    """image_resize is REAL math (not a stub): verify against a direct
+    numpy half-pixel-center nearest-neighbor resample of the same buffer,
+    and null structs pass through."""
+    df = spark.createDataFrame(
+        [("a.jpg", b"rawbytes-a")], "path string, content binary")
+    dec = multimodal.decode_images(df, height=8, width=6)
+    out = multimodal.image_resize(dec, height=4, width=3).collect()[0]
+    src = np.frombuffer(out.image.data, dtype=np.uint8).reshape(8, 6, 3)
+    ys = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+    xs = np.minimum(((np.arange(3) + 0.5) * 6 / 3).astype(int), 5)
+    expect = src[ys][:, xs]
+    got = np.frombuffer(out.resized.data, dtype=np.uint8).reshape(4, 3, 3)
+    assert np.array_equal(got, expect)
+    assert out.resized.height == 4 and out.resized.width == 3
+    # upscale works too (indices repeat, never out of range)
+    up = multimodal.image_resize(dec, height=16, width=16).collect()[0]
+    assert up.resized.height == 16 and len(up.resized.data) == 16 * 16 * 3
+    nul = spark.createDataFrame(
+        [("x",)], "path string").withColumn("image", F.lit(None).cast(
+            multimodal.IMAGE_TYPE))
+    assert multimodal.image_resize(nul).collect()[0].resized is None
+
+
 def test_image_embed_shape(spark):
     df = spark.createDataFrame([("a", b"x"), ("b", b"y")], "path string, content binary")
     out = multimodal.image_embed(multimodal.decode_images(df), dim=16).collect()

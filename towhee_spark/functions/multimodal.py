@@ -219,6 +219,49 @@ def image_crop(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_resize(
+    df: DataFrame,
+    image_col: str = "image",
+    out_col: str = "resized",
+    height: int = 4,
+    width: int = 4,
+) -> DataFrame:
+    """towhee.image_resize shape (hub_ops/utils.py resize leg): rescale an
+    IMAGE struct to (height, width). REAL nearest-neighbor resample — pure
+    numpy index math (the half-pixel-center mapping cv2 INTER_NEAREST
+    uses), no codec needed, so unlike the decode stubs this op's output is
+    the true resize of its input buffer."""
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField(out_col, IMAGE_TYPE)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for img in pdf[image_col]:
+                if img is None:  # null struct passes through as null
+                    outs.append(None)
+                    continue
+                arr = np.frombuffer(img["data"], dtype=np.uint8).reshape(
+                    img["height"], img["width"], 3
+                )
+                ys = np.minimum(
+                    ((np.arange(height) + 0.5) * img["height"] / height).astype(np.int64),
+                    img["height"] - 1,
+                )
+                xs = np.minimum(
+                    ((np.arange(width) + 0.5) * img["width"] / width).astype(np.int64),
+                    img["width"] - 1,
+                )
+                sub = arr[ys][:, xs]
+                outs.append(
+                    {"data": sub.tobytes(), "mode": img["mode"],
+                     "height": height, "width": width}
+                )
+            pdf[out_col] = outs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 # labels for the stub detector — tiny public COCO-style subset
 _STUB_CLASSES = ["person", "car", "dog", "cat", "chair", "bottle", "bird", "bus"]
 
