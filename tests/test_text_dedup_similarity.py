@@ -255,6 +255,30 @@ def test_ivf_topk_subset_of_valid_scores(embs):
         assert exact[(r.query_id, r.match_id)] == r.score
 
 
+def test_ivf_materialized_index_roundtrip(spark, embs, tmp_path):
+    """Train-once/assign-once: ivf_assign written partitionBy('cell') to
+    parquet and read back must give ivf_topk(assigned=...) the same rows
+    as the inline path — the 100 TB build-once index story."""
+    import os
+
+    cents = similarity.ivf_train(embs, nlist=8)
+    assigned = similarity.ivf_assign(embs, cents)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cell").parquet(path)
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+    back = spark.read.parquet(path)
+
+    qs = embs.limit(5)
+    inline = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.ivf_topk(qs, embs, k=3, nlist=8, nprobe=3).collect())
+    reused = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.ivf_topk(
+            qs, embs, k=3, nprobe=3, centroids=cents, assigned=back).collect())
+    assert inline == reused
+
+
 def test_ivf_topk_null_vectors_drop_on_both_impls(spark):
     """NULL embeddings must vanish identically on the expr and arrow paths
     (expr's cosine null→0.0 convention once filed them under the lowest

@@ -298,44 +298,18 @@ def _md5_id_hash(c):
     return simhash_hash_expr(c.cast("string"), hash="md5")
 
 
-def ivf_topk(
-    queries: DataFrame,
+def ivf_train(
     index: DataFrame,
-    k: int = 10,
-    q_id: str = "vec_id",
-    q_vec: str = "embedding",
     i_id: str = "vec_id",
     i_vec: str = "embedding",
     nlist: int = 16,
-    nprobe: int = 4,
-    exclude_self: bool = True,
-    shards: int | None = None,
-    impl: str = "arrow",
-) -> DataFrame:
-    """IVF-bucketed approximate top-k: coarse-quantizer cells + exact
-    rerank — the inverted-file ANN shape next to lsh_topk's hyperplane
-    one (ref ann_search.py:36-53 delegates both to Faiss index types;
-    here each is a DataFrame plan).
-
-    Train step (ONE plan-time action, like scan_topk's query collect):
-    the ``nlist`` centroids are the index vectors whose ids hash lowest
-    under the cross-engine md5 hash — a deterministic sample both engines
-    can re-derive, standing in for a k-means train the sandbox can't gate.
-    Every index vector is assigned to its max-cosine centroid (cell);
-    queries search their ``nprobe`` nearest cells and rerank exactly, so
-    scan cost is ~``nprobe/nlist`` of the corpus and the cell layout is
-    reusable as a materialized index (partition-by-cell at 100 TB).
-
-    Ties and floats: cell choice orders by (ROUND(cos, 6) DESC, cid ASC)
-    in both engines — the same rounded-compare + documented residual
-    1e-6-boundary risk the LSH oracle carries (BASELINE.md).
-
-    ``impl``: "arrow" = one float64 matmul per Arrow batch for the
-    assignment (production); "expr" = native Column expressions with the
-    centroid vectors inlined as literals — oracle-reproducible (the gate
-    config; nlist·dim literals, so keep nlist small there)."""
-    if impl not in ("arrow", "expr"):
-        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+) -> list[tuple]:
+    """IVF train step (ONE action, like scan_topk's query collect): the
+    ``nlist`` centroids are the index vectors whose ids hash lowest under
+    the cross-engine md5 hash — a deterministic sample both engines can
+    re-derive, standing in for a k-means train the sandbox can't gate.
+    Returns [(cid, vector), ...] in cid-ascending order; feed to
+    ivf_assign / ivf_topk(centroids=) to train once and reuse."""
     crows = (
         index.select(F.col(i_id).alias("cid"), F.col(i_vec).alias("cv"))
         .where(F.col("cv").isNotNull())  # a NULL vector can't be a centroid
@@ -345,10 +319,13 @@ def ivf_topk(
         .collect()
     )
     if not crows:
-        raise ValueError("ivf_topk: empty index")
-    cents = sorted(((r["cid"], list(r["cv"])) for r in crows), key=lambda t: t[0])
-    nprobe = min(nprobe, len(cents))
+        raise ValueError("ivf_train: empty index")
+    return sorted(((r["cid"], list(r["cv"])) for r in crows), key=lambda t: t[0])
 
+
+def _ivf_cells_of(cents: list[tuple], impl: str, id_type):
+    """(vector Column, n) → array<struct<d, c>> of the n best cells by
+    (ROUND(cos,6) DESC, cid ASC) — shared by ivf_assign and ivf_topk."""
     if impl == "expr":
         def cells_of(vc, n):
             # array< struct(1-cos6, cid) > sorted asc == (cos desc, cid asc);
@@ -368,21 +345,84 @@ def ivf_topk(
             # null→0.0 convention would file every null under the lowest cid
             return F.when(
                 vc.isNotNull(), F.slice(F.sort_array(F.array(*entries)), 1, n))
-    else:
+        return cells_of
+    if impl == "arrow":
         from towhee_spark.kernels import centroid_cells_kernel  # noqa: PLC0415
 
         cid_arr = np.array([c for c, _ in cents])
         cmat = np.array([v for _, v in cents], dtype=np.float64)
-        id_type = index.schema[i_id].dataType
 
         def cells_of(vc, n):
             return centroid_cells_kernel(cmat, cid_arr, n, id_type)(vc)
+        return cells_of
+    raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
 
-    ix = index.select(
-        F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
-        F.element_at(cells_of(F.col(i_vec), 1), 1)
-        .getField("c").alias("cell"),
+
+def ivf_assign(
+    index: DataFrame,
+    centroids: list[tuple],
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Assign every index vector to its max-cosine cell: the original
+    columns + a ``cell`` column (the owning centroid's id). This is the
+    materializable inverted file — at 100 TB, write it ONCE partitioned by
+    cell (``.write.partitionBy('cell')``) and every later ivf_topk(
+    assigned=read_back) probe prunes to nprobe/nlist of the files instead
+    of re-scoring the corpus per query batch."""
+    cells_of = _ivf_cells_of(centroids, impl, index.schema[i_id].dataType)
+    return index.withColumn(
+        "cell",
+        F.element_at(cells_of(F.col(i_vec), 1), 1).getField("c"),
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    shards: int | None = None,
+    impl: str = "arrow",
+    centroids: list[tuple] | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: coarse-quantizer cells + exact
+    rerank — the inverted-file ANN shape next to lsh_topk's hyperplane
+    one (ref ann_search.py:36-53 delegates both to Faiss index types;
+    here each is a DataFrame plan).
+
+    Pipeline: ivf_train (hash-sampled centroids, one action — skipped when
+    ``centroids`` is passed) → ivf_assign (max-cosine cell per index
+    vector — skipped when ``assigned``, e.g. a parquet read-back of a
+    materialized index, is passed; it must carry i_id/i_vec/``cell``) →
+    queries probe their ``nprobe`` nearest cells → exact cosine rerank.
+    Scan cost is ~``nprobe/nlist`` of the corpus.
+
+    Ties and floats: cell choice orders by (ROUND(cos, 6) DESC, cid ASC)
+    in both engines — the same rounded-compare + documented residual
+    1e-6-boundary risk the LSH oracle carries (BASELINE.md).
+
+    ``impl``: "arrow" = one float64 matmul per Arrow batch for the
+    assignment (production); "expr" = native Column expressions with the
+    centroid vectors inlined as literals — oracle-reproducible (the gate
+    config; nlist·dim literals, so keep nlist small there)."""
+    cents = centroids if centroids is not None else ivf_train(
+        index, i_id, i_vec, nlist)
+    nprobe = min(nprobe, len(cents))
+    cells_of = _ivf_cells_of(cents, impl, index.schema[i_id].dataType)
+
+    src = assigned if assigned is not None else ivf_assign(
+        index, cents, i_id, i_vec, impl)
+    ix = src.select(
+        F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"), "cell")
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
         F.explode(
