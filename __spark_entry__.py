@@ -624,6 +624,22 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_bm25(spark, sf_dir):
+    # Okapi BM25 lexical retrieval, self-retrieval shape (first 5 docs
+    # query the corpus with their own text); fully native plan — the
+    # oracle recomputes postings/df/idf/score in SQL term for term. Rank
+    # order inside the engine uses the 6-rounded score; the gate compares
+    # the 4-rounded value like the other retrieval queries.
+    from towhee_spark.functions.ranking import bm25_topk  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("question"))
+    out = bm25_topk(qs, docs, k=3)
+    return out.select(
+        "query_id", "match_id", F.round("score", 4).alias("score4"))
+
+
 def q_embed_text(spark, sf_dir):
     # Arrow kernel embedding, emitted as gate-sortable sparse rows
     # (doc_id, dim_idx, val); md5-bucket hash is reproduced exactly in SQL
@@ -838,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "bm25_topk": q_bm25,
         "embed_text": q_embed_text,
         "flagship": flagship,
         "asof_backward": q_asof_backward,
@@ -1129,6 +1146,7 @@ def _oracle_sql() -> dict[str, str]:
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
+        "bm25_topk": _bm25_topk_sql(k=3),
         "simhash_weighted": _simhash_weighted_sql(norm),
         "simhash_permuted": _simhash_permuted_sql(norm, bits=60, max_hamming=4),
         "embedding_neardup": _neardup_sql(
@@ -1322,6 +1340,48 @@ def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
                               ROUND(ROUND(score, 6), 4) AS score4,
                               row_number() OVER (PARTITION BY query_id
                                                  ORDER BY ROUND(score, 6) DESC,
+                                                          match_id) AS rank
+                       FROM scored)
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
+
+
+def _bm25_topk_sql(k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle that re-runs Okapi BM25 in SQL — tokenize, postings, doc
+    frequencies, Lucene non-negative idf, length-normalized tf, per-pair
+    sum — mirroring functions.ranking.bm25_topk term for term. Per-pair
+    sums are ROUND(,6)-ranked and ROUND(,4)-compared (the retrieval-gate
+    convention; summation-order float drift sits far below 1e-4)."""
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split_regex(
+                                  lower(trim(coalesce(text, ''))), '\\s+'),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            lens AS (SELECT doc_id AS match_id, len(toks) AS dl FROM d),
+            post AS (SELECT match_id, tok, count(*) AS tf
+                     FROM (SELECT doc_id AS match_id, unnest(toks) AS tok FROM d)
+                     GROUP BY match_id, tok),
+            dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+            qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS tok
+                   FROM d WHERE doc_id < 5),
+            scored AS (
+                SELECT q.query_id, p.match_id,
+                       ROUND(SUM(
+                           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                           * (p.tf * ({k1} + 1.0))
+                           / (p.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))
+                       ), 6) AS score
+                FROM post p
+                JOIN qt q ON q.tok = p.tok
+                JOIN dfreq f ON f.tok = p.tok
+                JOIN lens l ON l.match_id = p.match_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, p.match_id
+            ),
+            ranked AS (SELECT query_id, match_id, ROUND(score, 4) AS score4,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY score DESC,
                                                           match_id) AS rank
                        FROM scored)
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""

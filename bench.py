@@ -179,6 +179,7 @@ def main() -> None:
         "scan_topk",
         "lsh_topk",
         "ivf_topk",
+        "bm25_topk",
         "embed_text",
         "rag_search",
         "rag_search_lsh",

@@ -301,6 +301,61 @@ def test_ivf_topk_null_vectors_drop_on_both_impls(spark):
     assert 99 not in ids  # the null vector neither queries nor matches
 
 
+def test_bm25_matches_pure_python(spark):
+    """bm25_topk vs an independent from-the-formula Python BM25 on a tiny
+    corpus: same pairs, same scores to 1e-6."""
+    import math
+
+    from towhee_spark.functions.ranking import bm25_topk
+
+    texts = {
+        1: "spark shuffles data across the cluster",
+        2: "cats nap in warm sunny spots all day",
+        3: "spark joins and spark aggregations shuffle data",
+        4: "",
+        5: "the cluster runs spark jobs all day",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(100, "spark data cluster"), (200, "cats day")],
+        "query_id long, question string")
+    got = {(r.query_id, r.match_id): (r.score, r.rank)
+           for r in bm25_topk(qs, docs, k=10).collect()}
+
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(q, d):
+        s = 0.0
+        for t in set(q.lower().split()):
+            tf = toks[d].count(t)
+            if not tf:
+                continue
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[d]) / avgdl))
+        return s
+
+    expect = {}
+    for qid, qtext in ((100, "spark data cluster"), (200, "cats day")):
+        scs = sorted(
+            ((round(score(qtext, d), 6), d) for d in texts
+             if score(qtext, d) > 0 or any(
+                 t in toks[d] for t in qtext.split())),
+            key=lambda x: (-x[0], x[1]))
+        for rank, (sc, d) in enumerate(scs, 1):
+            expect[(qid, d)] = (sc, rank)
+    assert got == expect
+    # self-retrieval ranks self first
+    self_q = docs.filter(F.col("doc_id") == 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("question"))
+    top = bm25_topk(self_q, docs, k=1).collect()[0]
+    assert top.match_id == 3
+
+
 def test_chunk_text_no_subset_chunks(spark):
     """Review fix: no trailing chunk fully contained in its predecessor,
     and empty/whitespace docs yield ZERO chunks."""

@@ -1,0 +1,103 @@
+"""Lexical retrieval scoring (BM25) as pure Catalyst plans.
+
+Complements the embedding retrievers in ``functions.similarity`` (the ref
+delegates retrieval entirely to vector stores, ann_search.py:25-98; a
+training-data pipeline also needs the lexical side for hybrid/RAG recall
+and dedup triage). Everything here is native Column math — tokenize,
+posting lists, document frequencies, Okapi BM25 — with zero Python
+stages, so the plan scales like any other shuffle+join pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(c):
+    """Whitespace tokens, lowercased, empties dropped — mirrored by
+    DuckDB's string_split_regex(lower(trim(x)), '\\s+') in the oracle."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def bm25_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    q_id: str = "query_id",
+    q_text: str = "question",
+    d_id: str = "doc_id",
+    d_text: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Okapi BM25 top-k: (query_id, match_id, score, rank).
+
+    score(q,d) = Σ_{t ∈ distinct(q)} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (Lucene's non-negative form).
+
+    Plan shape (100 TB story): postings = one hash aggregate over the
+    exploded corpus (map-side combine); df = second aggregate over
+    postings, joined back on token SHUFFLED (the vocabulary of a 100 TB
+    corpus is not broadcastable); corpus stats (N, avgdl) ride a
+    broadcast 1-row crossJoin so plan construction stays action-free;
+    the (small) query-term set is broadcast against the posting list
+    (``broadcast_queries=False`` for query sets of corpus scale) — cost
+    ∝ matched postings, never |q|×|docs|. Ranking uses the
+    (score DESC, match_id ASC) total order shared with the similarity
+    retrievers."""
+    toks_d = _toks(F.col(d_text))
+    base = docs.select(
+        F.col(d_id).alias("match_id"),
+        toks_d.alias("__toks"),
+    ).select("match_id", "__toks", F.size("__toks").alias("dl"))
+    postings = (
+        base.select("match_id", "dl", F.explode("__toks").alias("tok"))
+        .groupBy("match_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.explode(F.array_distinct(_toks(F.col(q_text)))).alias("tok"),
+    )
+    qside = F.broadcast(qterms) if broadcast_queries else qterms
+    scored = (
+        postings.join(qside, "tok")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__term_score"),
+        )
+        .groupBy("query_id", "match_id")
+        .agg(F.round(F.sum("__term_score"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )
