@@ -846,7 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_pairs, lsh_topk, embed_text, flagship — all green in r02 and in
     # every local tools/check_correctness.py run) lead the dict this round,
     # with the new ivf_topk beside them, so the r03+r04 artifacts together
-    # give every query driver-side evidence (the 9-key tail beyond 50 is
+    # give every query driver-side evidence (the 10-key tail beyond 50 is
     # r03-covered and re-verified locally each round).
     return {
         "rerank": q_rerank,
@@ -1146,7 +1146,7 @@ def _oracle_sql() -> dict[str, str]:
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
-        "bm25_topk": _bm25_topk_sql(k=3),
+        "bm25_topk": _bm25_topk_sql(norm, k=3),
         "simhash_weighted": _simhash_weighted_sql(norm),
         "simhash_permuted": _simhash_permuted_sql(norm, bits=60, max_hamming=4),
         "embedding_neardup": _neardup_sql(
@@ -1345,16 +1345,17 @@ def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
 
 
-def _bm25_topk_sql(k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
-    """Oracle that re-runs Okapi BM25 in SQL — tokenize, postings, doc
-    frequencies, Lucene non-negative idf, length-normalized tf, per-pair
-    sum — mirroring functions.ranking.bm25_topk term for term. Per-pair
-    sums are ROUND(,6)-ranked and ROUND(,4)-compared (the retrieval-gate
-    convention; summation-order float drift sits far below 1e-4)."""
+def _bm25_topk_sql(norm: str, k: int = 3, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle that re-runs Okapi BM25 in SQL — tokenize (via the SHARED
+    normalize_text mirror the dedup oracles use, then a plain single-space
+    split — no fresh split-regex, so no Java-vs-RE2 \\s divergence),
+    postings, doc frequencies, Lucene non-negative idf, length-normalized
+    tf, per-pair sum — mirroring functions.ranking.bm25_topk term for
+    term. Per-pair sums are ROUND(,6)-ranked and ROUND(,4)-compared (the
+    retrieval-gate convention)."""
     return f"""
             WITH d AS (SELECT doc_id,
-                              list_filter(string_split_regex(
-                                  lower(trim(coalesce(text, ''))), '\\s+'),
+                              list_filter(string_split({norm}, ' '),
                                   t -> t <> '') AS toks
                        FROM documents),
             lens AS (SELECT doc_id AS match_id, len(toks) AS dl FROM d),

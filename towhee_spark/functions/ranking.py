@@ -15,12 +15,15 @@ from pyspark.sql import functions as F
 
 
 def _toks(c):
-    """Whitespace tokens, lowercased, empties dropped — mirrored by
-    DuckDB's string_split_regex(lower(trim(x)), '\\s+') in the oracle."""
-    return F.filter(
-        F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+"),
-        lambda t: t != "",
-    )
+    """Whitespace tokens via the codebase's CANONICAL normalization
+    (text.normalize_text: lower, collapse whitespace, trim — the same
+    tokenizer dedup and rerank use, with the same gate-proven SQL mirror),
+    then a plain single-space split. Keeping the regex inside the shared
+    normalize mirror avoids a THIRD tokenizer variant and the Java-vs-RE2
+    ``\\s`` divergence a fresh split-regex oracle would add."""
+    from towhee_spark.functions.text import normalize_text  # noqa: PLC0415
+
+    return F.filter(F.split(normalize_text(c), " "), lambda t: t != "")
 
 
 def bm25_topk(
@@ -50,11 +53,17 @@ def bm25_topk(
     ∝ matched postings, never |q|×|docs|. Ranking uses the
     (score DESC, match_id ASC) total order shared with the similarity
     retrievers."""
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
+
     toks_d = _toks(F.col(d_text))
+    # base feeds TWO aggregates (postings and the corpus stats); cache it
+    # so the corpus is scanned + tokenized once, not twice — the same
+    # shared-frame discipline the dedup builders follow; callers that
+    # force many plans call dedup.release_cached() afterwards
     base = docs.select(
         F.col(d_id).alias("match_id"),
         toks_d.alias("__toks"),
-    ).select("match_id", "__toks", F.size("__toks").alias("dl"))
+    ).select("match_id", "__toks", F.size("__toks").alias("dl")).cache()
     postings = (
         base.select("match_id", "dl", F.explode("__toks").alias("tok"))
         .groupBy("match_id", "dl", "tok")
@@ -96,8 +105,9 @@ def bm25_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("match_id").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+    return _with_cached_deps(out, base)

@@ -371,6 +371,10 @@ def ivf_assign(
     cell (``.write.partitionBy('cell')``) and every later ivf_topk(
     assigned=read_back) probe prunes to nprobe/nlist of the files instead
     of re-scoring the corpus per query batch."""
+    if "cell" in index.columns:  # loud, like stream_asof_static's guard —
+        # withColumn would silently clobber a domain column of that name
+        raise ValueError(
+            "ivf_assign: index already has a 'cell' column — rename it first")
     cells_of = _ivf_cells_of(centroids, impl, index.schema[i_id].dataType)
     return index.withColumn(
         "cell",
@@ -414,6 +418,8 @@ def ivf_topk(
     assignment (production); "expr" = native Column expressions with the
     centroid vectors inlined as literals — oracle-reproducible (the gate
     config; nlist·dim literals, so keep nlist small there)."""
+    if impl not in ("arrow", "expr"):  # fail BEFORE the train action runs
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     cents = centroids if centroids is not None else ivf_train(
         index, i_id, i_vec, nlist)
     nprobe = min(nprobe, len(cents))
