@@ -640,6 +640,44 @@ def q_bm25(spark, sf_dir):
         "query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_rrf_hybrid(spark, sf_dir):
+    # hybrid retrieval: Okapi BM25 lexical top-10 ⊕ exact-cosine dense
+    # top-10 over md5-parity embeddings, fused with Reciprocal Rank Fusion
+    # (1/(60+rank), the Cormack et al. constant). Both rankers and the
+    # fusion arithmetic are re-run term for term by the oracle, so the
+    # combiner is gated end-to-end. Self-matches stay in (bm25 gate's
+    # self-retrieval shape); zero-vector docs are absent from the dense
+    # ranking on BOTH sides but can still arrive via the lexical branch.
+    from towhee_spark.functions.ranking import bm25_topk, rrf_fuse  # noqa: PLC0415
+    from towhee_spark.kernels import dot_expr, embed_text_parity_udf  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("question"))
+    lexical = bm25_topk(qs, docs, k=10)
+
+    emb = embed_text_parity_udf(dim=32)
+    dindex = docs.select(
+        F.col("doc_id").alias("match_id"), emb(F.col("text")).alias("dv")
+    ).filter(F.size(F.filter(F.col("dv"), lambda v: v != 0)) > 0)
+    qv = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), emb(F.col("text")).alias("qv")
+    ).filter(F.size(F.filter(F.col("qv"), lambda v: v != 0)) > 0)
+    # unit-norm parity vectors: dot == cosine (same contract as rag_search)
+    vscored = dindex.join(F.broadcast(qv)).select(
+        "query_id", "match_id",
+        F.round(dot_expr(F.col("qv"), F.col("dv")), 6).alias("score"),
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("match_id").asc())
+    dense = (
+        vscored.withColumn("rank", F.row_number().over(vw))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "match_id", "score", "rank")
+    )
+    return rrf_fuse([lexical, dense], k=5, c=60)
+
+
 def q_embed_text(spark, sf_dir):
     # Arrow kernel embedding, emitted as gate-sortable sparse rows
     # (doc_id, dim_idx, val); md5-bucket hash is reproduced exactly in SQL
@@ -846,8 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_pairs, lsh_topk, embed_text, flagship — all green in r02 and in
     # every local tools/check_correctness.py run) lead the dict this round,
     # with the new ivf_topk beside them, so the r03+r04 artifacts together
-    # give every query driver-side evidence (the 10-key tail beyond 50 is
-    # r03-covered and re-verified locally each round).
+    # give every query driver-side evidence (the tail beyond 50 —
+    # window_analytics onward — is r03-covered and re-verified locally
+    # each round).
     return {
         "rerank": q_rerank,
         "minhash_lsh": q_minhash_lsh,
@@ -855,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "bm25_topk": q_bm25,
+        "rrf_hybrid": q_rrf_hybrid,
         "embed_text": q_embed_text,
         "flagship": flagship,
         "asof_backward": q_asof_backward,
@@ -1147,6 +1187,7 @@ def _oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
+        "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "simhash_weighted": _simhash_weighted_sql(norm),
         "simhash_permuted": _simhash_permuted_sql(norm, bits=60, max_hamming=4),
         "embedding_neardup": _neardup_sql(
@@ -1386,6 +1427,96 @@ def _bm25_topk_sql(norm: str, k: int = 3, k1: float = 1.2, b: float = 0.75) -> s
                                                           match_id) AS rank
                        FROM scored)
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
+
+
+def _rrf_hybrid_sql(norm: str, dim: int = 32, kr: int = 10, k: int = 5,
+                    c: int = 60, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle that re-runs the FULL hybrid-retrieval composite in SQL:
+    the _bm25_topk_sql lexical CTEs (top-``kr`` per query), the _rag_sql
+    md5-parity embedding + unit-norm + COALESCE-total cosine dense ranking
+    (top-``kr``), then Reciprocal Rank Fusion 1/(c+rank) summed per
+    (query, doc) and re-ranked — mirroring q_rrf_hybrid stage for stage.
+    The per-pair RRF sum has ≤2 addends (one per ranker), so the double
+    arithmetic is order-free and exact across engines; ROUND(,6) + the
+    match_id tie-break give both engines the same total order."""
+    embed = f"""
+                SELECT key1, CAST(h % {dim} AS INT) AS dim_idx,
+                       SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) AS v
+                FROM (SELECT key1,
+                             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                      FROM (SELECT key1,
+                                   unnest(string_split_regex(trim(body), '\\s+')) AS tok
+                            FROM __SRC__ WHERE trim(coalesce(body, '')) <> ''))
+                GROUP BY key1, dim_idx
+                HAVING SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END) <> 0"""
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split({norm}, ' '),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            lens AS (SELECT doc_id AS match_id, len(toks) AS dl FROM d),
+            post AS (SELECT match_id, tok, count(*) AS tf
+                     FROM (SELECT doc_id AS match_id, unnest(toks) AS tok FROM d)
+                     GROUP BY match_id, tok),
+            dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+            qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS tok
+                   FROM d WHERE doc_id < 5),
+            bm_scored AS (
+                SELECT q.query_id, p.match_id,
+                       ROUND(SUM(
+                           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                           * (p.tf * ({k1} + 1.0))
+                           / (p.tf + {k1} * (1.0 - {b} + {b} * l.dl / s.avgdl))
+                       ), 6) AS score
+                FROM post p
+                JOIN qt q ON q.tok = p.tok
+                JOIN dfreq f ON f.tok = p.tok
+                JOIN lens l ON l.match_id = p.match_id
+                CROSS JOIN stats s
+                GROUP BY q.query_id, p.match_id
+            ),
+            lex AS (SELECT query_id, match_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, match_id) AS rank
+                    FROM bm_scored QUALIFY rank <= {kr}),
+            draw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, text AS body FROM documents)")}),
+            dnorm AS (SELECT key1, sqrt(SUM(v * v)) AS nrm FROM draw GROUP BY key1),
+            demb AS (SELECT r.key1 AS match_id, r.dim_idx, r.v / n.nrm AS val
+                     FROM draw r JOIN dnorm n ON r.key1 = n.key1),
+            qraw AS ({embed.replace("__SRC__", "(SELECT doc_id AS key1, text AS body FROM documents WHERE doc_id < 5)")}),
+            qnorm AS (SELECT key1, sqrt(SUM(v * v)) AS nrm FROM qraw GROUP BY key1),
+            qemb AS (SELECT r.key1 AS query_id, r.dim_idx, r.v / n.nrm AS val
+                     FROM qraw r JOIN qnorm n ON r.key1 = n.key1),
+            vscored AS (
+                -- TOTAL over query×doc: structurally-zero pairs score 0.0
+                -- exactly like the dense Spark dot, not absent
+                SELECT qk.query_id, dk.match_id,
+                       ROUND(COALESCE(SUM(q.val * de.val), 0.0), 6) AS score
+                FROM (SELECT DISTINCT key1 AS query_id FROM qraw) qk
+                CROSS JOIN (SELECT DISTINCT key1 AS match_id FROM draw) dk
+                LEFT JOIN qemb q ON q.query_id = qk.query_id
+                LEFT JOIN demb de ON de.match_id = dk.match_id
+                                 AND de.dim_idx = q.dim_idx
+                GROUP BY qk.query_id, dk.match_id
+            ),
+            vec AS (SELECT query_id, match_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, match_id) AS rank
+                    FROM vscored QUALIFY rank <= {kr}),
+            fused AS (
+                SELECT query_id, match_id,
+                       ROUND(SUM(1.0 / ({c} + rank)), 6) AS score
+                FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+                GROUP BY query_id, match_id
+            )
+            SELECT query_id, match_id, score, rank FROM (
+                SELECT query_id, match_id, score,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                                               ORDER BY score DESC, match_id)
+                            AS INT) AS rank
+                FROM fused
+            ) WHERE rank <= {k}"""
 
 
 def _simhash_sql(norm: str, threshold: float = 0.5, blocks: int = 6,

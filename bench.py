@@ -180,6 +180,7 @@ def main() -> None:
         "lsh_topk",
         "ivf_topk",
         "bm25_topk",
+        "rrf_hybrid",
         "embed_text",
         "rag_search",
         "rag_search_lsh",

@@ -356,6 +356,37 @@ def test_bm25_matches_pure_python(spark):
     assert top.match_id == 3
 
 
+def test_rrf_fuse_matches_pure_python(spark):
+    """rrf_fuse vs the formula: score(q,d) = Σ_r 1/(c+rank_r), pairs seen
+    by only one ranker get one term, ties break on match_id, top-k cut."""
+    from towhee_spark.functions.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (1, 11, 0.9, 2), (1, 12, 0.8, 3)],
+        "query_id long, match_id long, score double, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 0.7, 1), (1, 13, 0.6, 2), (1, 10, 0.5, 3)],
+        "query_id long, match_id long, score double, rank int")
+    got = [(r.match_id, r.score, r.rank)
+           for r in rrf_fuse([a, b], k=3, c=60).orderBy("rank").collect()]
+    exp = sorted(
+        ((d, round(s, 6)) for d, s in {
+            10: 1 / 61 + 1 / 63,
+            11: 1 / 62 + 1 / 61,
+            12: 1 / 63,
+            13: 1 / 62,
+        }.items()),
+        key=lambda t: (-t[1], t[0]))[:3]
+    assert got == [(d, s, i + 1) for i, (d, s) in enumerate(exp)]
+    # 11 appears rank-2 + rank-1 and must beat 10's rank-1 + rank-3
+    assert got[0][0] == 11
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
 def test_chunk_text_no_subset_chunks(spark):
     """Review fix: no trailing chunk fully contained in its predecessor,
     and empty/whitespace docs yield ZERO chunks."""

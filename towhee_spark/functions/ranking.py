@@ -111,3 +111,39 @@ def bm25_topk(
         .select("query_id", "match_id", "score", "rank")
     )
     return _with_cached_deps(out, base)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over N rankers (Cormack et al.):
+    score(q,d) = Σ_r 1/(c + rank_r(q,d)), summed over the rankers that
+    returned the pair. Each input frame needs (query_id, match_id, rank).
+    The standard hybrid-retrieval combiner (lexical ⊕ vector) — rank-based,
+    so no score calibration between rankers is needed. Float-exact across
+    engines: each term is one double division and the per-pair sum has ≤N
+    commutative addends. Output: (query_id, match_id, score, rank) by the
+    shared (score DESC, match_id ASC) total order."""
+    from functools import reduce  # noqa: PLC0415
+
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    tagged = [
+        r.select(
+            "query_id", "match_id",
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("__rrf"),
+        )
+        for r in rankings
+    ]
+    un = reduce(DataFrame.unionByName, tagged)
+    scored = un.groupBy("query_id", "match_id").agg(
+        F.round(F.sum("__rrf"), 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )
