@@ -648,6 +648,7 @@ def q_rrf_hybrid(spark, sf_dir):
     # combiner is gated end-to-end. Self-matches stay in (bm25 gate's
     # self-retrieval shape); zero-vector docs are absent from the dense
     # ranking on BOTH sides but can still arrive via the lexical branch.
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
     from towhee_spark.functions.ranking import bm25_topk, rrf_fuse  # noqa: PLC0415
     from towhee_spark.kernels import dot_expr, embed_text_parity_udf  # noqa: PLC0415
 
@@ -656,13 +657,19 @@ def q_rrf_hybrid(spark, sf_dir):
         F.col("doc_id").alias("query_id"), F.col("text").alias("question"))
     lexical = bm25_topk(qs, docs, k=10)
 
+    # ONE embedding pass over the corpus, cached: both dense sides (index
+    # and the doc_id<5 query rows) read the cached frame, so the parity
+    # UDF runs once per doc instead of 4 Python stages / 6 corpus scans
+    # (the pre-fix plan audit row). Queries being a subset of docs is the
+    # bm25 gate's self-retrieval shape — the reuse is exact, not approximate.
     emb = embed_text_parity_udf(dim=32)
-    dindex = docs.select(
+    emb_all = docs.select(
         F.col("doc_id").alias("match_id"), emb(F.col("text")).alias("dv")
-    ).filter(F.size(F.filter(F.col("dv"), lambda v: v != 0)) > 0)
-    qv = docs.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"), emb(F.col("text")).alias("qv")
-    ).filter(F.size(F.filter(F.col("qv"), lambda v: v != 0)) > 0)
+    ).cache()
+    dindex = emb_all.filter(
+        F.size(F.filter(F.col("dv"), lambda v: v != 0)) > 0)
+    qv = dindex.filter(F.col("match_id") < 5).select(
+        F.col("match_id").alias("query_id"), F.col("dv").alias("qv"))
     # unit-norm parity vectors: dot == cosine (same contract as rag_search)
     vscored = dindex.join(F.broadcast(qv)).select(
         "query_id", "match_id",
@@ -670,10 +677,11 @@ def q_rrf_hybrid(spark, sf_dir):
     )
     vw = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("match_id").asc())
-    dense = (
+    dense = _with_cached_deps(
         vscored.withColumn("rank", F.row_number().over(vw))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "match_id", "score", "rank")
+        .select("query_id", "match_id", "score", "rank"),
+        emb_all,
     )
     return rrf_fuse([lexical, dense], k=5, c=60)
 

@@ -386,6 +386,13 @@ def test_rrf_fuse_matches_pure_python(spark):
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
 
+    # cached-dep propagation: deps tagged on the input rankings surface on
+    # the fused output, so one release_cached() frees every ranker's cache
+    from towhee_spark.functions.dedup import _with_cached_deps
+
+    fused = rrf_fuse([_with_cached_deps(a, a), _with_cached_deps(b, b)], k=3)
+    assert fused._cached_deps == [a, b]  # noqa: SLF001
+
 
 def test_chunk_text_no_subset_chunks(spark):
     """Review fix: no trailing chunk fully contained in its predecessor,

@@ -125,8 +125,14 @@ def rrf_fuse(
     so no score calibration between rankers is needed. Float-exact across
     engines: each term is one double division and the per-pair sum has ≤N
     commutative addends. Output: (query_id, match_id, score, rank) by the
-    shared (score DESC, match_id ASC) total order."""
+    shared (score DESC, match_id ASC) total order.
+
+    Cached intermediates tagged on the input rankings (e.g. bm25_topk's
+    corpus-token frame) are re-tagged on the fused output, so one
+    release_cached() on the result frees every ranker's cache."""
     from functools import reduce  # noqa: PLC0415
+
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
 
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
@@ -142,8 +148,10 @@ def rrf_fuse(
         F.round(F.sum("__rrf"), 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("match_id").asc())
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+    deps = [d for r in rankings for d in getattr(r, "_cached_deps", [])]
+    return _with_cached_deps(out, *deps)
