@@ -686,6 +686,45 @@ def q_rrf_hybrid(spark, sf_dir):
     return rrf_fuse([lexical, dense], k=5, c=60)
 
 
+def q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: docs 0-24 play the eval benchmark, the
+    # rest are the training corpus; flag corpus docs sharing >= 3 distinct
+    # 3-gram shingles with any benchmark doc. The oracle re-runs the
+    # shared shingle construction (the gate-proven normalize/short-doc
+    # mirror) and the same join+count in SQL.
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    bench = docs.filter(F.col("doc_id") < 25)
+    return curation.decontaminate(corpus, bench, n=3, threshold=3)
+
+
+def q_hash_split(spark, sf_dir):
+    # deterministic 80/10/10 split: label = cumulative-threshold bucket of
+    # the cross-engine 60-bit md5 hash of 'split'||doc_id — integer
+    # comparisons only, so both engines assign identical labels row-for-row
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.hash_split(
+        docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "lang", "split")
+
+
+def q_sample_by_hash(spark, sf_dir):
+    # per-stratum deterministic sampling (training-mix construction):
+    # keep 50% of en, 25% of zh, 10% of everything else, by integer hash
+    # threshold — the kept set is a pure function of (salt, doc_id)
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.sample_by_hash(
+        docs, rates={"en": 0.5, "zh": 0.25}, strata_col="lang",
+        default_rate=0.1)
+    return out.select("doc_id", "lang")
+
+
 def q_embed_text(spark, sf_dir):
     # Arrow kernel embedding, emitted as gate-sortable sparse rows
     # (doc_id, dim_idx, val); md5-bucket hash is reproduced exactly in SQL
@@ -891,9 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix). The six keys the r03 run could not reach (rerank, minhash_lsh,
     # simhash_pairs, lsh_topk, embed_text, flagship — all green in r02 and in
     # every local tools/check_correctness.py run) lead the dict this round,
-    # with the new ivf_topk beside them, so the r03+r04 artifacts together
-    # give every query driver-side evidence (the tail beyond 50 —
-    # window_analytics onward — is r03-covered and re-verified locally
+    # with every round-4 addition (ivf_topk, bm25_topk, rrf_hybrid,
+    # decontaminate, hash_split, sample_by_hash) beside them, so the r03+r04
+    # artifacts together give every query driver-side evidence (the tail
+    # beyond 50 — tpch_q5ish onward — is r03-covered and re-verified locally
     # each round).
     return {
         "rerank": q_rerank,
@@ -903,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "bm25_topk": q_bm25,
         "rrf_hybrid": q_rrf_hybrid,
+        "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "sample_by_hash": q_sample_by_hash,
         "embed_text": q_embed_text,
         "flagship": flagship,
         "asof_backward": q_asof_backward,
@@ -1196,6 +1239,10 @@ def _oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
+        "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
+        "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
+        "sample_by_hash": _sample_by_hash_sql(
+            {"en": 0.5, "zh": 0.25}, strata_col="lang", default_rate=0.1),
         "simhash_weighted": _simhash_weighted_sql(norm),
         "simhash_permuted": _simhash_permuted_sql(norm, bits=60, max_hamming=4),
         "embedding_neardup": _neardup_sql(
@@ -1525,6 +1572,75 @@ def _rrf_hybrid_sql(norm: str, dim: int = 32, kr: int = 10, k: int = 5,
                             AS INT) AS rank
                 FROM fused
             ) WHERE rank <= {k}"""
+
+
+def _decontaminate_sql(norm: str, threshold: int = 3, bench_max: int = 25) -> str:
+    """Oracle for curation.decontaminate(n=3, threshold): the gate-proven
+    3-gram shingle construction (normalize + short-doc rule, same CTE as
+    the dedup mirrors) over the whole table, benchmark = doc_id <
+    bench_max, then the same join + per-doc distinct-hit count + MIN
+    sample shingle."""
+    return f"""
+            WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM t
+                )
+            ),
+            b AS (SELECT DISTINCT shingle FROM sh WHERE id < {bench_max})
+            SELECT id AS doc_id, COUNT(*) AS hits, MIN(shingle) AS sample_shingle
+            FROM sh JOIN b USING (shingle)
+            WHERE id >= {bench_max}
+            GROUP BY id HAVING COUNT(*) >= {threshold}"""
+
+
+def _hash60_sql(col_sql: str, salt: str) -> str:
+    """The cross-engine 60-bit hash (CLAUDE.md contract) of salt||value —
+    identical to curation.hash60 term for term."""
+    return (f"('0x' || substr(md5('{salt}' || CAST({col_sql} AS VARCHAR)),"
+            f" 1, 15))::BIGINT")
+
+
+def _hash_split_sql(weights: dict[str, float], salt: str = "split") -> str:
+    """Oracle for curation.hash_split: the SAME cumulative integer
+    thresholds (shared _thresholds arithmetic, inlined as literals — the
+    LSH-plane-constant pattern) compared against the 60-bit hash."""
+    from towhee_spark.functions.curation import _thresholds  # noqa: PLC0415
+
+    th = _thresholds(weights)
+    cases = " ".join(
+        f"WHEN h < {thr} THEN '{name}'" for name, thr in th[:-1])
+    return f"""
+            SELECT doc_id, lang,
+                   CASE {cases} ELSE '{th[-1][0]}' END AS split
+            FROM (SELECT doc_id, lang,
+                         {_hash60_sql("doc_id", salt)} AS h
+                  FROM documents)"""
+
+
+def _sample_by_hash_sql(rates: dict[str, float], strata_col: str = "lang",
+                        default_rate: float = 0.1,
+                        salt: str = "sample") -> str:
+    """Oracle for curation.sample_by_hash: per-stratum integer thresholds
+    (same round(rate * 2^60) literals) against the 60-bit hash."""
+    from towhee_spark.functions.curation import HASH_SPACE  # noqa: PLC0415
+
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(round(r * HASH_SPACE))}"
+        for s, r in rates.items())
+    return f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       {_hash60_sql("doc_id", salt)} AS h,
+                       CASE {cases}
+                            ELSE {int(round(default_rate * HASH_SPACE))} END AS thr
+                FROM documents)
+            WHERE h < thr"""
 
 
 def _simhash_sql(norm: str, threshold: float = 0.5, blocks: int = 6,

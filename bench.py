@@ -181,6 +181,9 @@ def main() -> None:
         "ivf_topk",
         "bm25_topk",
         "rrf_hybrid",
+        "decontaminate",
+        "hash_split",
+        "sample_by_hash",
         "embed_text",
         "rag_search",
         "rag_search_lsh",

@@ -1,0 +1,102 @@
+"""Curation ops: decontamination + deterministic sampling/splitting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_hash_split_total_deterministic_and_proportional(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = curation.hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # total: every row gets a label
+    assert 1500 < counts["train"] < 1700  # ~1600 ± sampling noise
+    assert 120 < counts["val"] < 280
+    assert 120 < counts["test"] < 280
+    # pure function of (salt, id): a second run is row-identical
+    again = curation.hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc keeps its split when the corpus around it changes — the
+    property that keeps eval sets stable across pipeline versions."""
+    w = {"train": 0.9, "val": 0.1}
+    small = curation.hash_split(
+        spark.range(100).select(F.col("id").alias("doc_id")), weights=w)
+    big = curation.hash_split(
+        spark.range(10000).select(F.col("id").alias("doc_id")), weights=w)
+    joined = small.alias("s").join(
+        big.alias("b"), "doc_id").filter(F.col("s.split") != F.col("b.split"))
+    assert joined.count() == 0
+
+
+def test_hash_split_validation():
+    with pytest.raises(ValueError, match="at least one"):
+        curation._thresholds({})
+    with pytest.raises(ValueError, match="positive"):
+        curation._thresholds({"a": 0.0})
+    with pytest.raises(ValueError, match="negative"):
+        curation._thresholds({"a": 1.0, "b": -0.1})
+
+
+def test_sample_by_hash_rates_and_stability(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"))
+    out = curation.sample_by_hash(
+        df, rates={"en": 0.5, "zh": 0.1}, strata_col="lang")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 850 < counts["en"] < 1150  # 2000 * 0.5
+    assert 120 < counts["zh"] < 280   # 2000 * 0.1
+    # kept set for a stratum is unchanged when OTHER strata rates move
+    out2 = curation.sample_by_hash(
+        df, rates={"en": 0.5, "zh": 0.9}, strata_col="lang")
+    en1 = {r.doc_id for r in out.filter("lang = 'en'").collect()}
+    en2 = {r.doc_id for r in out2.filter("lang = 'en'").collect()}
+    assert en1 == en2
+    # default_rate=0 drops unknown strata entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert curation.sample_by_hash(
+        df2, rates={"en": 0.5}, strata_col="lang").count() == 0
+    with pytest.raises(ValueError, match="outside"):
+        curation.sample_by_hash(df, rates={"en": 1.5}, strata_col="lang")
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    bench = _docs(spark, [(0, "the quick brown fox jumps over", "en")])
+    docs = _docs(spark, [
+        # shares 2 distinct 3-grams: "the quick brown", "quick brown fox"
+        (10, "prefix the quick brown fox suffix", "en"),
+        # shares 1 ("fox jumps over")
+        (11, "lazy fox jumps over fences", "en"),
+        # no shared 3-gram
+        (12, "completely different text entirely here", "en"),
+    ])
+    out = curation.decontaminate(docs, bench, n=3, threshold=2)
+    rows = {r.doc_id: (r.hits, r.sample_shingle) for r in out.collect()}
+    assert set(rows) == {10}
+    assert rows[10][0] == 2
+    assert rows[10][1] == "quick brown fox"  # lexicographic min of the hits
+    # threshold=1 picks up the single-hit doc too
+    out1 = curation.decontaminate(docs, bench, n=3, threshold=1)
+    assert {r.doc_id for r in out1.collect()} == {10, 11}
+    with pytest.raises(ValueError, match="threshold"):
+        curation.decontaminate(docs, bench, threshold=0)
+
+
+def test_decontaminate_short_doc_rule(spark):
+    """Docs under n words compare by their full normalized text — the
+    dedup.shingles rule, so a short benchmark answer still decontaminates
+    its exact copies."""
+    bench = _docs(spark, [(0, "Paris", "en")])
+    docs = _docs(spark, [(10, "  PARIS ", "en"), (11, "paris france", "en")])
+    out = curation.decontaminate(docs, bench, n=3, threshold=1)
+    assert {r.doc_id for r in out.collect()} == {10}

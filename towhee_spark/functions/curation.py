@@ -1,0 +1,170 @@
+"""Corpus curation: benchmark decontamination + deterministic sampling.
+
+Beyond dedup (``functions.dedup``), a web-scale training-data pipeline
+needs two more selection primitives:
+
+1. **Test-set decontamination** — drop training documents that share
+   word n-grams with an evaluation benchmark (the n-gram-overlap rule of
+   public LLM data recipes, e.g. the 13-gram check described in the
+   GPT-3 and PaLM papers). Distinct from pairwise dedup: the benchmark
+   side is tiny and fixed, so the right plan is a broadcast join against
+   the benchmark's n-gram set, never a corpus self-join.
+2. **Reproducible sampling/splitting** — train/val splits and
+   per-stratum keep-rates that are a pure function of each row's key.
+   ``rand()``-based sampling resamples under task retries, AQE re-plans
+   and partition moves; a hash fraction of the id never does, and two
+   runs (or two engines) agree row for row.
+
+The reference has no curation layer — its pipelines take data selection
+as given upstream (``data_source.glob``/hub datasets feed rows in,
+data_source.py:24-60); these close that gap for the 100 TB target, and
+every decision here is a pure Column expression the scan can evaluate
+(predicate-pushdown-friendly, zero shuffle for the sampling ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: scale of the cross-engine 60-bit md5 hash (dedup.simhash_hash_expr
+#: contract): Spark conv(substr(md5(x),1,15),16,10) == DuckDB
+#: ('0x'||substr(md5(x),1,15))::BIGINT — 15 hex digits = 60 bits.
+HASH_SPACE = 1 << 60
+
+
+def hash60(col: Column | str, salt: str = "") -> Column:
+    """Cross-engine 60-bit hash of ``salt || str(value)`` (md5-based, the
+    same construction dedup's oracle-mode sketches use). Uniform on
+    [0, 2^60); a pure function of the value — deterministic across
+    retries, partitionings and engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def _thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds on the 60-bit hash space, in dict
+    order (order defines which labels absorb rounding — document splits
+    as an ordered mapping). Comparing hashes against INTEGER thresholds
+    keeps the assignment float-free on both engines."""
+    if not weights:
+        raise ValueError("hash_split: need at least one split weight")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("hash_split: weights must sum to a positive value")
+    out, cum = [], 0.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"hash_split: negative weight for {name!r}")
+        cum += w
+        out.append((name, min(HASH_SPACE, int(round(cum / total * HASH_SPACE)))))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split: label each row by where
+    ``hash60(salt || id)`` falls among the cumulative weight thresholds.
+
+    The label is a pure function of (salt, id): re-runs, engine swaps and
+    10^5-partition re-layouts all produce the identical split, and a doc
+    keeps its split when the corpus around it grows — the property that
+    makes eval sets stable across pipeline versions. Zero shuffle: one
+    projected CASE expression the scan evaluates in place. Change
+    ``salt`` to draw an independent split."""
+    h = hash60(id_col, salt)
+    th = _thresholds(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
+    expr = F.when(h < F.lit(th[0][1]), F.lit(th[0][0]))
+    for name, thr in th[1:]:
+        expr = expr.when(h < F.lit(thr), F.lit(name))
+    # h == top threshold can only happen for HASH_SPACE itself (excluded
+    # by the hash range), but keep the final label total anyway
+    return df.withColumn(out_col, expr.otherwise(F.lit(th[-1][0])))
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (data mixing): keep a row iff
+    ``hash60(salt || id) < rate[stratum] * 2^60``. The workhorse of
+    training-mix construction — up-weight scarce languages/sources,
+    down-weight crawl bulk — with exact reproducibility and the same
+    stable-membership property as hash_split (a kept row stays kept when
+    rates for OTHER strata change). Pure filter, zero shuffle, pushes
+    past column pruning to the scan. Strata absent from ``rates`` keep
+    ``default_rate`` (0 drops them)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"sample_by_hash: rate for {s!r} outside [0,1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("sample_by_hash: default_rate outside [0,1]")
+    thr: Column | None = None
+    for s, r in rates.items():
+        t = F.lit(int(round(r * HASH_SPACE)))
+        cond = F.col(strata_col) == s
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default = F.lit(int(round(default_rate * HASH_SPACE)))
+    thr_col = default if thr is None else thr.otherwise(default)
+    return df.filter(hash60(id_col, salt) < thr_col)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, hits, sample_shingle) for every
+    training doc sharing ≥ ``threshold`` distinct word n-grams with the
+    benchmark corpus — the docs to DROP before training. ``hits`` counts
+    the doc's distinct contaminated n-grams; ``sample_shingle`` is the
+    lexicographically first one (audit trail).
+
+    Plan (100 TB story): the benchmark's distinct n-gram set is small and
+    fixed (an eval suite is MBs, not TBs) → broadcast it and the corpus
+    side never shuffles on the n-gram key. The corpus shingle stream is
+    the NON-distinct bag — per-doc dedup before the join would be a
+    full-corpus (id, shingle) exchange; instead the broadcast join drops
+    the clean rows first and ``countDistinct`` dedups only the MATCHED
+    stream (contamination is rare, so that aggregate is tiny).
+    ``broadcast_benchmark=False`` falls back to a shuffled join (+AQE)
+    for benchmark sets beyond driver memory. Tokenization and the
+    short-doc rule are ``dedup.shingles``'s (shared normalize mirror), so
+    the gate oracle reuses the proven shingle SQL."""
+    from towhee_spark.functions.dedup import shingles  # noqa: PLC0415
+
+    if threshold < 1:
+        raise ValueError("decontaminate: threshold must be >= 1")
+    d_sh = shingles(docs, id_col, text_col, n=n, distinct=False)
+    b_sh = (
+        shingles(benchmark, id_col, bench_text_col, n=n)
+        .select("shingle").distinct()
+    )
+    side = F.broadcast(b_sh) if broadcast_benchmark else b_sh
+    return (
+        d_sh.join(side, "shingle")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle").alias("hits"),
+            F.min("shingle").alias("sample_shingle"),
+        )
+        .filter(F.col("hits") >= threshold)
+        .select(F.col("id").alias(id_col), "hits", "sample_shingle")
+    )
