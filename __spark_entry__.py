@@ -725,6 +725,16 @@ def q_sample_by_hash(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_gopher_quality(spark, sf_dir):
+    # Gopher-style keep/drop rule set with per-rule audit booleans; every
+    # diagnostic is rounded BEFORE its threshold compare so both engines
+    # apply the rules to identical values
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", text.gopher_rules("text", min_words=50).alias("g")
+    ).select("doc_id", "g.*")
+
+
 def q_embed_text(spark, sf_dir):
     # Arrow kernel embedding, emitted as gate-sortable sparse rows
     # (doc_id, dim_idx, val); md5-bucket hash is reproduced exactly in SQL
@@ -946,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "sample_by_hash": q_sample_by_hash,
+        "gopher_quality": q_gopher_quality,
         "embed_text": q_embed_text,
         "flagship": flagship,
         "asof_backward": q_asof_backward,
@@ -1243,6 +1254,7 @@ def _oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "sample_by_hash": _sample_by_hash_sql(
             {"en": 0.5, "zh": 0.25}, strata_col="lang", default_rate=0.1),
+        "gopher_quality": _gopher_sql(norm, min_words=50),
         "simhash_weighted": _simhash_weighted_sql(norm),
         "simhash_permuted": _simhash_permuted_sql(norm, bits=60, max_hamming=4),
         "embedding_neardup": _neardup_sql(
@@ -1641,6 +1653,54 @@ def _sample_by_hash_sql(rates: dict[str, float], strata_col: str = "lang",
                             ELSE {int(round(default_rate * HASH_SPACE))} END AS thr
                 FROM documents)
             WHERE h < thr"""
+
+
+def _gopher_sql(norm: str, min_words: int = 50, max_words: int = 100_000,
+                min_mwl: float = 3.0, max_mwl: float = 10.0,
+                min_awr: float = 0.8, min_stops: int = 2,
+                max_symr: float = 0.1) -> str:
+    """Oracle for text.gopher_rules: same normalized tokens, same rounded
+    diagnostics, same thresholds (DuckDB lateral alias reuse keeps the
+    boolean composition readable)."""
+    from towhee_spark.functions.text import STOPWORDS_EN  # noqa: PLC0415
+
+    stoppat = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    return f"""
+            WITH s AS (
+                SELECT doc_id, nrm, string_split(nrm, ' ') AS toks,
+                       CASE WHEN nrm = '' THEN 0
+                            ELSE len(string_split(nrm, ' ')) END AS wc,
+                       CAST(length(replace(nrm, ' ', '')) AS DOUBLE) AS chars
+                FROM (SELECT doc_id, {norm} AS nrm FROM documents)
+            ),
+            m AS (
+                SELECT doc_id, CAST(wc AS INT) AS word_count,
+                       ROUND(CASE WHEN wc > 0 THEN chars / wc ELSE 0.0 END, 6)
+                           AS mean_word_len,
+                       ROUND(CASE WHEN wc > 0 THEN
+                           CAST(len(list_filter(toks,
+                               t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / wc
+                           ELSE 0.0 END, 6) AS alpha_word_ratio,
+                       CAST(len(regexp_extract_all(nrm, '{stoppat}')) AS INT)
+                           AS stop_hits,
+                       ROUND(CASE WHEN wc > 0 THEN
+                           CAST(len(regexp_extract_all(nrm, '#|\\.\\.\\.'))
+                                AS DOUBLE) / wc
+                           ELSE 0.0 END, 6) AS symbol_ratio
+                FROM s
+            )
+            SELECT doc_id, word_count, mean_word_len, alpha_word_ratio,
+                   stop_hits, symbol_ratio,
+                   word_count >= {min_words} AND word_count <= {max_words}
+                       AS words_ok,
+                   mean_word_len >= {min_mwl} AND mean_word_len <= {max_mwl}
+                       AS mean_len_ok,
+                   alpha_word_ratio >= {min_awr} AS alpha_ok,
+                   stop_hits >= {min_stops} AS stops_ok,
+                   symbol_ratio <= {max_symr} AS symbols_ok,
+                   words_ok AND mean_len_ok AND alpha_ok AND stops_ok
+                       AND symbols_ok AS keep
+            FROM m"""
 
 
 def _simhash_sql(norm: str, threshold: float = 0.5, blocks: int = 6,

@@ -184,6 +184,7 @@ def main() -> None:
         "decontaminate",
         "hash_split",
         "sample_by_hash",
+        "gopher_quality",
         "embed_text",
         "rag_search",
         "rag_search_lsh",

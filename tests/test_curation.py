@@ -100,3 +100,27 @@ def test_decontaminate_short_doc_rule(spark):
     docs = _docs(spark, [(10, "  PARIS ", "en"), (11, "paris france", "en")])
     out = curation.decontaminate(docs, bench, n=3, threshold=1)
     assert {r.doc_id for r in out.collect()} == {10}
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each rule trips on a doc crafted to violate exactly that rule
+    (plus keep=True on a healthy doc) — synthetic corpora leave some
+    rules always-true, so the gate alone can't show they fire."""
+    from towhee_spark.functions.text import gopher_rules
+
+    rows = [
+        (1, " ".join(["the", "and", "word"] * 30)),           # healthy
+        (2, "short the and text"),                            # too few words
+        (3, " ".join(["supercalifragilistic"] * 60)),         # long words, no stops
+        (4, " ".join(["123", "456"] * 40) + " the and"),      # numeric words
+        (5, " ".join(["word"] * 60) + " the and " + "# " * 30),  # symbol-heavy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", gopher_rules("text").alias("g")).select("doc_id", "g.*").collect()}
+    assert out[1].keep is True
+    assert out[2].words_ok is False and out[2].keep is False
+    assert out[3].mean_len_ok is False and out[3].stops_ok is False
+    assert out[4].alpha_ok is False and out[4].words_ok is True
+    assert out[5].symbols_ok is False
+    assert out[1].word_count == 90 and out[1].stop_hits == 60

@@ -235,3 +235,40 @@ def test_rag_ingest_pipeline(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk == "short doc"
     for r in out:
         assert abs(np.linalg.norm(np.array(r.embedding)) - 1.0) < 1e-5
+
+
+def test_bucketed_join_and_agg_plan_without_exchange(spark, tmp_path):
+    """The pay-the-shuffle-once layout: two tables bucketed on the same
+    key/count join with ZERO Exchange, and groupBy(key) reuses the bucket
+    partitioning too, while the unbucketed control shuffles. Broadcast is
+    disabled so the bucketed join can't pass vacuously (a broadcast join
+    also has no shuffle)."""
+    from towhee_spark.layout import read_bucketed, write_bucketed
+    from towhee_spark.plans.explain import plan_stats
+
+    a = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("vb"))
+    write_bucketed(a, "t_bucket_a", "k", 8, path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bucket_b", "k", 8, path=str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ba, bb = read_bucketed(spark, "t_bucket_a"), read_bucketed(spark, "t_bucket_b")
+        j = ba.join(bb, "k")
+        assert plan_stats(j)["exchanges"] == 0
+        assert j.count() == 20000
+        # the identical join without the layout shuffles both sides
+        assert plan_stats(a.join(b, "k"))["exchanges"] >= 1
+        # aggregation on the bucket key: no exchange either
+        g = ba.groupBy("k").agg(F.sum("va").alias("s"))
+        assert plan_stats(g)["exchanges"] == 0
+        assert g.count() == 20000
+        # reading the files WITHOUT the catalog loses the layout
+        raw = spark.read.parquet(str(tmp_path / "a"))
+        assert plan_stats(raw.join(bb, "k"))["exchanges"] >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")

@@ -72,6 +72,59 @@ def quality_score(text: Column | str) -> Column:
     return F.round(F.greatest(F.lit(0.0), len_band + alpha_ratio + stop_part - punct_pen), 6)
 
 
+def gopher_rules(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+) -> Column:
+    """Gopher-style document-quality rule set (the public Rae et al. 2021
+    appendix-A heuristics, as also used by C4-descended pipelines): word
+    count band, mean word length band, fraction of words containing an
+    alphabetic character, stop-word presence, and symbol ('#'/'...')
+    density. Returns ONE struct with the diagnostics (rounded, so the
+    rule thresholds apply to cross-engine-identical values), the per-rule
+    booleans, and the combined ``keep`` flag — all pure Column math over
+    the canonical normalize_text tokens, so a 100 TB filter pass is a
+    single codegen projection the scan evaluates. Unlike
+    ``quality_score`` (one blended scalar for ranking), this is the
+    drop/keep gate with an audit trail of WHICH rule fired."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = normalize_text(c)
+    toks = F.split(norm, " ")
+    wc = F.when(norm == "", F.lit(0)).otherwise(F.size(toks)).cast("int")
+    wcd = wc.cast("double")
+    chars = F.length(F.regexp_replace(norm, " ", "")).cast("double")
+    mwl = F.round(F.when(wc > 0, chars / wcd).otherwise(F.lit(0.0)), 6)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+    awr = F.round(F.when(wc > 0, alpha_words / wcd).otherwise(F.lit(0.0)), 6)
+    stop = _marker_hits(norm, STOPWORDS_EN).cast("int")
+    sym = F.regexp_count(norm, F.lit(r"#|\.\.\.")).cast("double")
+    symr = F.round(F.when(wc > 0, sym / wcd).otherwise(F.lit(0.0)), 6)
+    words_ok = (wc >= min_words) & (wc <= max_words)
+    mean_ok = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+    alpha_ok = awr >= min_alpha_word_ratio
+    stops_ok = stop >= min_stop_hits
+    sym_ok = symr <= max_symbol_ratio
+    return F.struct(
+        wc.alias("word_count"),
+        mwl.alias("mean_word_len"),
+        awr.alias("alpha_word_ratio"),
+        stop.alias("stop_hits"),
+        symr.alias("symbol_ratio"),
+        words_ok.alias("words_ok"),
+        mean_ok.alias("mean_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stops_ok.alias("stops_ok"),
+        sym_ok.alias("symbols_ok"),
+        (words_ok & mean_ok & alpha_ok & stops_ok & sym_ok).alias("keep"),
+    )
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical form for dedup: lowercase, collapse whitespace, trim."""
     c = F.col(text) if isinstance(text, str) else text

@@ -138,3 +138,49 @@ def add_salt(
     return salted.withColumn(
         salted_key_col, F.concat_ws("#", F.col(key), F.col(salt_col).cast("string"))
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | Sequence[str],
+    buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a bucketed (co-located) layout: pay the shuffle ONCE at
+    write time, then every join/aggregation on the bucket key across
+    readers plans with ZERO exchange (both join sides must share key and
+    bucket count). This is the 100 TB lever for tables that are joined
+    repeatedly on the same key — transcripts ⋈ context on conv_id, an
+    embedding index ⋈ doc metadata on doc_id — where per-query shuffles
+    of the big side dominate. Spark requirements this encodes:
+
+    - ``saveAsTable`` (bucket metadata lives in the catalog; plain
+      ``parquet(path)`` writes silently drop bucketing). ``path`` makes it
+      an external table (data at ``path``, metadata in the session
+      catalog).
+    - Size ``buckets`` so one bucket ≈ one healthy partition at the
+      target scale (~128 MB-1 GB); buckets are NOT AQE-coalesced, so a
+      too-fine bucketing survives as tiny tasks forever.
+    - ``sort_cols`` (default: the key) pre-sorts within buckets, giving
+      sort-merge joins presorted runs when files-per-bucket is 1.
+
+    Verified by tests/test_layout_pipelines.py: bucketed join AND
+    groupBy(key) both plan with zero Exchange while the unbucketed
+    control shuffles."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    w = w.sortBy(*(list(sort_cols) if sort_cols else keys))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket metadata (must go via
+    the catalog — ``spark.read.parquet(path)`` on the same files loses
+    the layout and re-shuffles)."""
+    return spark.table(table)
