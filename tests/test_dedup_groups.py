@@ -1,0 +1,98 @@
+"""Connected-components dedup grouping: large-star/small-star vs a
+driver-side union-find ground truth, plus the groups/survivors wrappers."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import dedup
+
+
+def _union_find(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = {v: v for v in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in n_nodes}
+
+
+def _cc_dict(spark, edges):  # noqa: F811
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = dedup.connected_components(pairs)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_path_graph_converges_past_its_diameter(spark):  # noqa: F811
+    # a 64-node path is the classic worst case for plain min-propagation
+    # (diameter 63); star alternation must close it in O(log n) rounds
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_dict(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_random_graphs_match_union_find(spark):  # noqa: F811
+    rng = random.Random(41)
+    for trial in range(3):
+        nodes = list(range(200))
+        edges = [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(120 + 40 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find(nodes, edges)
+        got = _cc_dict(spark, edges)
+        touched = {v for e in edges for v in e}
+        assert set(got) == touched
+        for v in touched:
+            assert got[v] == want[v], f"trial {trial} node {v}"
+
+
+def test_empty_and_self_pairs(spark):  # noqa: F811
+    pairs = spark.createDataFrame([(7, 7)], "id_a: long, id_b: long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_groups_and_survivors_cover_singletons(spark):  # noqa: F811
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 9), (2, 3)], "id_a: long, id_b: long"
+    )
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.dedup_groups(docs, pairs).collect()
+    }
+    assert groups == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 5, 6: 6, 7: 7, 8: 8, 9: 1}
+    surv = {
+        r["doc_id"]: r["group_size"]
+        for r in dedup.dedup_survivors(docs, pairs).collect()
+    }
+    assert surv == {0: 1, 1: 3, 2: 2, 5: 1, 6: 1, 7: 1, 8: 1}
+
+
+def test_fixpoint_is_a_star_per_node(spark):  # noqa: F811
+    # every node maps to exactly one component (no duplicate rows survive
+    # the final star join)
+    rng = random.Random(5)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    out = dedup.connected_components(pairs)
+    assert out.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_nonconvergence_raises(spark):  # noqa: F811
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a: long, id_b: long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)

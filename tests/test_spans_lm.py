@@ -1,0 +1,136 @@
+"""duplicate_spans and unigram_perplexity vs independent pure-Python
+re-implementations on hand-built corpora with planted structure."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import lm
+from towhee_spark.functions.dedup import duplicate_spans
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+
+
+def _py_duplicate_spans(docs: dict[int, str], k: int) -> dict[int, tuple]:
+    toks = {i: _norm_tokens(t) for i, t in docs.items()}
+    wins: dict[str, set[int]] = {}
+    starts: dict[int, list[int]] = {i: [] for i in docs}
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            wins.setdefault(" ".join(ts[s : s + k]), set()).add(i)
+    dup = {w for w, ids in wins.items() if len(ids) >= 2}
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            if " ".join(ts[s : s + k]) in dup:
+                starts[i].append(s + 1)
+    out = {}
+    for i, ss in starts.items():
+        spans = []
+        for s in sorted(ss):
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], s + k - 1)
+            else:
+                spans.append([s, s + k - 1])
+        dup_tokens = sum(b - a + 1 for a, b in spans)
+        n = len(toks[i])
+        out[i] = (n, len(spans), dup_tokens, round(dup_tokens / n, 6))
+    return out
+
+
+def test_duplicate_spans_planted_boilerplate(spark):
+    header = "terms of service apply to all content on this site always"
+    docs = {
+        1: header + " alpha beta gamma delta unique one text here",
+        2: "totally different body text " + header + " trailing words two",
+        3: "no shared material at all in this document three here today",
+        # doc 4 repeats the header TWICE (second copy overlaps nothing new
+        # cross-doc-wise but both copies are duplicated positions)
+        4: header + " middle filler words " + header,
+        5: "short doc",  # below k tokens
+    }
+    k = 5
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicate_spans(sdf, k=k).collect()
+    }
+    want = _py_duplicate_spans(docs, k)
+    for i in docs:
+        assert got[i] == want[i], (i, got[i], want[i])
+    # planted facts: doc 3 clean, doc 1/2 carry the 11-token header span
+    assert got[3][1] == 0 and got[3][2] == 0
+    assert got[1][2] >= 11 and got[2][2] >= 11
+    assert got[4][1] == 2
+
+
+def test_duplicate_spans_adjacent_windows_merge(spark):
+    # two docs sharing one long run -> exactly ONE merged span each, with
+    # dup_tokens equal to the run length (not windows * k)
+    run = " ".join(f"tok{i}" for i in range(20))
+    sdf = spark.createDataFrame(
+        [(1, run + " left tail"), (2, "right head " + run)],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_spans(sdf, k=6).collect()}
+    assert got[1]["dup_spans"] == 1 and got[1]["dup_tokens"] == 20
+    assert got[2]["dup_spans"] == 1 and got[2]["dup_tokens"] == 20
+
+
+def _py_ppl(docs: dict[int, str]) -> dict[int, tuple]:
+    bags = {
+        i: Counter(t for t in _norm_tokens(x) if t != "") for i, x in docs.items()
+    }
+    corpus = Counter()
+    for b in bags.values():
+        corpus.update(b)
+    T, V = sum(corpus.values()), len(corpus)
+    out = {}
+    for i, b in bags.items():
+        n = sum(b.values())
+        if n == 0:
+            out[i] = (0, None, None)
+            continue
+        s = sum(c * math.log((corpus[t] + 1.0) / (T + V)) for t, c in b.items())
+        avg = round(-s / n, 6)
+        out[i] = (n, avg, round(math.exp(avg), 6))
+    return out
+
+
+def test_unigram_perplexity_matches_reference(spark):
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the the the the",  # stop-token heavy -> low perplexity
+        3: "zyx qwv jkl pqr",  # all-rare -> high perplexity
+        4: "the cat sat on the mat",  # duplicate of 1 -> identical score
+        5: "",  # blank
+    }
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"], r["ppl"])
+        for r in lm.unigram_perplexity(sdf).collect()
+    }
+    want = _py_ppl(docs)
+    assert got == want
+    assert got[2][2] < got[1][2] < got[3][2]
+    assert got[5] == (0, None, None)
+
+
+def test_unigram_perplexity_broadcast_matches_shuffle(spark):
+    docs = [(i, f"alpha beta tok{i % 7} gamma tok{i % 3}") for i in range(60)]
+    sdf = spark.createDataFrame(docs, "doc_id: long, text: string")
+    a = lm.unigram_perplexity(sdf, broadcast_vocab=False)
+    b = lm.unigram_perplexity(sdf, broadcast_vocab=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_doc_token_counts_is_single_agg(spark):
+    sdf = spark.createDataFrame([(1, "a b a")], "doc_id: long, text: string")
+    plan = lm.doc_token_counts(sdf)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -624,3 +624,257 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# pair set → duplicate groups (connected components)
+
+
+def _star_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(row count, pmod-bounded hash sum) of an edge set — the convergence
+    check for connected_components. pmod keeps the SUM inside BIGINT under
+    ANSI mode (SUM(xxhash64) overflows; see CLAUDE.md gotchas)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**40))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", reference semantics anchor: the dedup group-merge the
+    reference delegates to its vector store, hub_ops/ann_insert.py:20-40):
+    for every node u, connect each strictly-larger neighbor to
+    min(Γ(u) ∪ {u}). Output edges always point high → low."""
+    bi = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        bi.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least("__mn", F.col("u")).alias("m"))
+    )
+    return (
+        bi.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: edges arrive high → low (large-star's postcondition);
+    for every node u, connect u and all its smaller neighbors to the
+    minimum of that set."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return moved.union(mins.select("u", F.col("m").alias("v"))).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph via alternating
+    large-star / small-star (Kiveris et al.) — the step every dedup tier
+    needs after pair generation: near-dup PAIRS become duplicate GROUPS so
+    one canonical doc per group survives.
+
+    Returns (id, component) for every node that appears in ``pairs``, with
+    ``component`` = the minimum node id in its component. Join back to the
+    corpus (see :func:`dedup_groups`) to pick up singletons.
+
+    Scale: O(log n) rounds, each round two grouped aggregations + one
+    distinct — never materializes a component as a single row or task, so a
+    100M-doc duplicate cluster still fans out across the cluster. Each
+    round ends in ``localCheckpoint`` (lineage truncation — without it the
+    plan doubles per round and the optimizer chokes around round 10; swap
+    for ``checkpoint()`` + a checkpoint dir on a real cluster if executor
+    loss matters). Convergence is detected by an edge-set fingerprint, so
+    this function RUNS Spark jobs when called — it is an iterative
+    algorithm, not an action-free plan builder like the rest of this
+    module; callers composing it into lazy plans get a frame whose inputs
+    are already materialized star edges."""
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _star_fingerprint(edges)
+    if prev[0] == 0:
+        return edges.select(
+            F.col("u").alias("id"), F.col("v").alias("component")
+        )
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _star_fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological graph or max_iter too small for its diameter)"
+        )
+    # fixpoint edges form stars: u → component root (the component minimum);
+    # roots themselves carry no outgoing edge, so add their self-rows
+    nodes = edges.select(F.col("u").alias("id")).union(
+        edges.select(F.col("v").alias("id"))
+    ).distinct()
+    return (
+        nodes.join(edges.withColumnRenamed("u", "id"), "id", "left")
+        .select("id", F.coalesce("v", F.col("id")).alias("component"))
+    )
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, group_id) for EVERY row of ``df``: near-dup pairs collapsed
+    to connected components (group_id = min doc id in the component);
+    singletons map to themselves. ``pairs`` is any dedup tier's output
+    (ngram_jaccard_pairs / minhash_lsh_pairs / simhash / embedding)."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("group_id"),
+        )
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One canonical row per duplicate group: (id_col = the group's min doc
+    id, group_size = docs it represents). The keep-list a dedup pass feeds
+    to the corpus writer."""
+    return (
+        dedup_groups(df, pairs, id_col)
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(F.col("group_id").alias(id_col), "group_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# substring-level duplication (duplicated k-token spans)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated k-token spans, merged into maximal runs —
+    the substring-level dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") that doc-level Jaccard misses:
+    boilerplate headers, quoted paragraphs, licence blocks.
+
+    Per input row: (id_col, n_tokens, dup_spans, dup_tokens, dup_frac)
+    where a position is "duplicated" if its k-token window occurs in ≥ 2
+    DISTINCT documents (within-doc repetition is text.repetition_ratio's
+    job), overlapping/adjacent duplicated windows merge into one span, and
+    dup_frac = dup_tokens / n_tokens rounded to 6.
+
+    Plan: the k shifted slices zip into windows exactly like
+    :func:`shingles` (whole-stage codegen, no interpreted HOF), windows
+    hash through curation.hash60 (cross-engine md5 contract, so the DuckDB
+    oracle reproduces every bucket), the ≥2-docs filter is one hash
+    aggregate over (hash → distinct docs), and span merging is a
+    gaps-and-islands window per doc — partition width bounded by document
+    length, never by corpus size. At 60-bit hashes a corpus of 10^9
+    windows sees ~birthday 10^18/2^61 ≈ 0.4 expected false-collision pairs;
+    raise to two stacked hashes or verify-by-string if that matters."""
+    from towhee_spark.functions.curation import hash60  # noqa: PLC0415
+
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    zipped = F.arrays_zip(
+        *[F.slice("__toks", i + 1, F.col("n_tokens") - (k - 1)) for i in range(k)]
+    )
+    # cache: win feeds BOTH the ≥2-docs aggregate and the hits join —
+    # uncached the window explode would run twice (the simhash round-3
+    # verdict lesson)
+    win = (
+        base.filter(F.col("n_tokens") >= k)
+        .select("id", F.posexplode(zipped).alias("pos", "__g"))
+        .select(
+            "id",
+            (F.col("pos") + 1).alias("start"),
+            hash60(
+                F.concat_ws(" ", *[F.col("__g").getField(str(i)) for i in range(k)])
+            ).alias("h"),
+        )
+        .cache()
+    )
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count_distinct("id").alias("__docs"))
+        .filter(F.col("__docs") >= 2)
+        .select("h")
+    )
+    hits = win.join(dup_h, "h").select("id", "start")
+    w = Window.partitionBy("id").orderBy("start")
+    islands = (
+        hits.withColumn("__prev", F.lag("start").over(w))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull() | (F.col("start") > F.col("__prev") + k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isl", F.sum("__brk").over(w))
+    )
+    per_doc = (
+        islands.groupBy("id", "__isl")
+        .agg((F.max("start") - F.min("start") + k).alias("__len"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("__len").alias("dup_tokens"),
+        )
+    )
+    out = (
+        base.select("id", "n_tokens")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )
+    return _with_cached_deps(out, win)
