@@ -758,6 +758,19 @@ def q_sample_by_hash(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_token_budget(spark, sf_dir):
+    # token-budget mixing: en clamps to ~5k of its ~12k tokens, de to ~2k
+    # of ~3.5k, fr's 10k budget exceeds its total (full keep, rate clamps
+    # to 1), es/zh are unbudgeted (dropped) — every branch exercised
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.sample_to_token_budget(
+        docs, budgets={"en": 5000.0, "de": 2000.0, "fr": 10000.0},
+        strata_col="lang")
+    return out.select("doc_id", "lang")
+
+
 def q_gopher_quality(spark, sf_dir):
     # Gopher-style keep/drop rule set with per-rule audit booleans; every
     # diagnostic is rounded BEFORE its threshold compare so both engines
@@ -981,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "token_budget": q_token_budget,
         "dedup_groups": q_dedup_groups,
         "dedup_survivors": q_dedup_survivors,
         "duplicate_spans": q_duplicate_spans,
@@ -1295,6 +1309,8 @@ def _oracle_sql() -> dict[str, str]:
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
+        "token_budget": _token_budget_sql(
+            {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
         "sample_by_hash": _sample_by_hash_sql(
             {"en": 0.5, "zh": 0.25}, strata_col="lang", default_rate=0.1),
         "gopher_quality": _gopher_sql(norm, min_words=50),
@@ -1696,6 +1712,38 @@ def _sample_by_hash_sql(rates: dict[str, float], strata_col: str = "lang",
                             ELSE {int(round(default_rate * HASH_SPACE))} END AS thr
                 FROM documents)
             WHERE h < thr"""
+
+
+def _token_budget_sql(budgets: dict[str, float], tok_cnt: str,
+                      strata_col: str = "lang", salt: str = "budget") -> str:
+    """Oracle for curation.sample_to_token_budget: identical derivation —
+    BIGINT per-stratum token totals, min(1, budget/total) in one double
+    division, power-of-two scale + floor to the integer threshold, then
+    the 60-bit hash filter. Every step is IEEE-deterministic, so the
+    data-derived thresholds match bitwise across engines."""
+    from towhee_spark.functions.curation import HASH_SPACE  # noqa: PLC0415
+
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN CAST({float(b)} AS DOUBLE)"
+        for s, b in budgets.items())
+    return f"""
+            WITH tot AS (
+                SELECT {strata_col}, CAST(SUM({tok_cnt}) AS BIGINT) AS t
+                FROM documents GROUP BY {strata_col}
+            ),
+            thr AS (
+                SELECT {strata_col},
+                       CAST(floor(
+                           CASE WHEN b IS NULL THEN NULL
+                                WHEN t = 0 THEN 1.0
+                                ELSE least(b / CAST(t AS DOUBLE), 1.0) END
+                           * CAST({HASH_SPACE} AS DOUBLE)) AS BIGINT) AS th
+                FROM (SELECT {strata_col}, t,
+                             CASE {cases} ELSE NULL END AS b FROM tot)
+            )
+            SELECT d.doc_id, d.{strata_col} AS {strata_col}
+            FROM documents d JOIN thr USING ({strata_col})
+            WHERE {_hash60_sql("doc_id", salt)} < th"""
 
 
 def _gopher_sql(norm: str, min_words: int = 50, max_words: int = 100_000,

@@ -191,8 +191,16 @@ def main() -> None:
         "text_stats",
         "text_repetition",
         "pii_scrub",
+        "duplicate_spans",
+        "unigram_ppl",
+        "token_budget",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
+
+    # dedup_groups is ITERATIVE (large-star/small-star rounds run at plan
+    # build), so the honest number times build + force together — a
+    # timed_df row would bill only the final star join
+    timed("dedup_groups_full", lambda: force(qs["dedup_groups"](spark, sf_dir)))
 
     # --- PRODUCTION configs next to their oracle-hardened gate configs ----
     # (VERDICT r2: oracle-determinism configs — minhash 64 bands/exact

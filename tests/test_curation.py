@@ -124,3 +124,60 @@ def test_gopher_rules_fire_individually(spark):
     assert out[4].alpha_ok is False and out[4].words_ok is True
     assert out[5].symbols_ok is False
     assert out[1].word_count == 90 and out[1].stop_hits == 60
+
+
+def test_token_budget_hits_target_and_clamps(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(5, 25))),
+         "big" if i < 800 else "small")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    from towhee_spark.functions.text import token_count
+
+    totals = {
+        r["lang"]: r["t"]
+        for r in df.groupBy("lang").agg(
+            F.sum(token_count("text")).alias("t")).collect()
+    }
+    out = curation.sample_to_token_budget(
+        df, budgets={"big": totals["big"] / 3.0, "small": 10_000_000.0},
+        strata_col="lang")
+    kept = {
+        r["lang"]: r["t"]
+        for r in out.groupBy("lang").agg(
+            F.sum(token_count("text")).alias("t")).collect()
+    }
+    # clamped stratum lands near its budget (rate filter: ~1/sqrt(n) error)
+    assert abs(kept["big"] - totals["big"] / 3.0) / totals["big"] < 0.05
+    # over-budgeted stratum keeps everything
+    assert kept["small"] == totals["small"]
+
+
+def test_token_budget_drops_unbudgeted_and_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e", "xx"), (3, "", "zz")],
+        "doc_id: long, text: string, lang: string",
+    )
+    out = curation.sample_to_token_budget(
+        df, budgets={"en": 100.0, "zz": 5.0}, strata_col="lang")
+    got = sorted(r["doc_id"] for r in out.collect())
+    # xx unbudgeted -> dropped; zz total tokens 0 -> budgeted -> full keep
+    assert got == [1, 3]
+    again = sorted(
+        r["doc_id"]
+        for r in curation.sample_to_token_budget(
+            df, budgets={"en": 100.0, "zz": 5.0}, strata_col="lang").collect()
+    )
+    assert again == got
+
+
+def test_token_budget_validation(spark):
+    df = spark.createDataFrame([(1, "a", "en")], "doc_id: long, text: string, lang: string")
+    with pytest.raises(ValueError, match="at least one"):
+        curation.sample_to_token_budget(df, budgets={}, strata_col="lang")
+    with pytest.raises(ValueError, match="negative"):
+        curation.sample_to_token_budget(df, budgets={"en": -1.0}, strata_col="lang")

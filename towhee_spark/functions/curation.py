@@ -168,3 +168,64 @@ def decontaminate(
         .filter(F.col("hits") >= threshold)
         .select(F.col("id").alias(id_col), "hits", "sample_shingle")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget",
+) -> DataFrame:
+    """Down-sample each stratum to ≈ a TOKEN budget (the unit training
+    mixes are actually specified in), deterministically.
+
+    Two phases, both scale-clean: (1) one aggregation computes each
+    stratum's total token count; (2) each stratum's keep-rate
+    ``min(1, budget/total)`` becomes an integer threshold
+    ``floor(rate · 2^60)`` on the cross-engine hash — the same
+    integer-threshold filter as :func:`sample_by_hash`, joined back via a
+    broadcast of the tiny per-stratum frame. No global sort, no prefix
+    sum: an exact take-until-budget scan would serialize the corpus
+    through one ordered window, while the rate filter keeps the 100 TB
+    pass embarrassingly parallel and lands within ~1/√(docs kept)
+    relative error of the budget (docs are kept whole — token budgets cut
+    at document granularity, never mid-document).
+
+    Membership is stable under corpus growth ONLY through the rate (a doc
+    flips only when its stratum's rate changes); strata absent from
+    ``budgets`` are dropped; a budgeted stratum with zero total tokens is
+    kept in full. Rates derive from data, but every arithmetic step
+    (BIGINT totals → one double division → power-of-two scale → floor)
+    is IEEE-deterministic, so both engines derive bit-identical
+    thresholds."""
+    from towhee_spark.functions.text import token_count  # noqa: PLC0415
+
+    if not budgets:
+        raise ValueError("sample_to_token_budget: need at least one budget")
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"sample_to_token_budget: negative budget for {s!r}")
+    tot = df.groupBy(strata_col).agg(
+        F.sum(token_count(text_col)).cast("long").alias("__t")
+    )
+    bcol: Column | None = None
+    for s, b in budgets.items():
+        cond = F.col(strata_col) == s
+        lit = F.lit(float(b))
+        bcol = F.when(cond, lit) if bcol is None else bcol.when(cond, lit)
+    rate = (
+        F.when(bcol.isNull(), F.lit(None).cast("double"))
+        .when(F.col("__t") == 0, F.lit(1.0))
+        .otherwise(F.least(bcol / F.col("__t").cast("double"), F.lit(1.0)))
+    )
+    thr = tot.select(
+        strata_col,
+        F.floor(rate * F.lit(float(HASH_SPACE))).cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col, "left")
+        .filter(hash60(id_col, salt) < F.col("__thr"))
+        .drop("__thr")
+    )
