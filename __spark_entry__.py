@@ -758,6 +758,23 @@ def q_sample_by_hash(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_neardup_static(spark, sf_dir):
+    # the streaming near-dup front door (streaming.ops.stream_neardup_static)
+    # in its batch face: docs with doc_id%7==3 play the stream, the rest are
+    # the static indexed corpus. impl="expr" + hash="md5" is the
+    # oracle-reproducible path (the affine MinHash family is exact BIGINT
+    # arithmetic on both engines); production pins impl="arrow" (+crc32)
+    from towhee_spark.streaming.ops import stream_neardup_static  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stream_neardup_static(
+        docs.filter(F.col("doc_id") % 7 == 3),
+        ref=docs.filter(F.col("doc_id") % 7 != 3),
+        num_hashes=32, bands=8, threshold=0.5, impl="expr",
+    )
+    return out.select("doc_id", "ref_id", "est_jaccard")
+
+
 def q_token_budget(spark, sf_dir):
     # token-budget mixing: en clamps to ~5k of its ~12k tokens, de to ~2k
     # of ~3.5k, fr's 10k budget exceeds its total (full keep, rate clamps
@@ -995,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round).
     return {
         "token_budget": q_token_budget,
+        "neardup_static": q_neardup_static,
         "dedup_groups": q_dedup_groups,
         "dedup_survivors": q_dedup_survivors,
         "duplicate_spans": q_duplicate_spans,
@@ -1311,6 +1329,7 @@ def _oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
+        "neardup_static": _neardup_static_sql(norm),
         "sample_by_hash": _sample_by_hash_sql(
             {"en": 0.5, "zh": 0.25}, strata_col="lang", default_rate=0.1),
         "gopher_quality": _gopher_sql(norm, min_words=50),
@@ -1712,6 +1731,57 @@ def _sample_by_hash_sql(rates: dict[str, float], strata_col: str = "lang",
                             ELSE {int(round(default_rate * HASH_SPACE))} END AS thr
                 FROM documents)
             WHERE h < thr"""
+
+
+def _neardup_static_sql(norm: str, num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.5, n: int = 3) -> str:
+    """Oracle for the stream_neardup_static batch face, stage by stage:
+    per-doc MinHash signatures from the seeded affine family (constants
+    inlined — the LSH-plane pattern), '|'-joined band slices hashed through
+    the 60-bit md5 contract, stream×ref bucket join, and the signature
+    agreement rate. Every hash is exact BIGINT arithmetic, so signatures
+    match the Spark expr path bit for bit."""
+    from towhee_spark.kernels import (  # noqa: PLC0415
+        MINHASH_H30, MINHASH_P, minhash_affine_params,
+    )
+
+    rows = num_hashes // bands
+    seeds = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_affine_params(num_hashes)))
+    return f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= {n} THEN
+                               unnest([array_to_string(toks[i:i+{n - 1}], ' ')
+                                       for i in range(1, len(toks) - {n - 2})])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents)
+                )
+            ),
+            seeds(seed, a, b) AS (VALUES {seeds}),
+            hv AS (SELECT id,
+                          ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_H30} AS h30
+                   FROM sh),
+            sig AS (SELECT id, seed, MIN((a * h30 + b) % {MINHASH_P}) AS mh
+                    FROM hv CROSS JOIN seeds GROUP BY id, seed),
+            bb AS (SELECT id, seed // {rows} AS band,
+                          ('0x' || substr(md5(array_to_string(
+                               list(mh ORDER BY seed), '|')), 1, 15))::BIGINT AS bh
+                   FROM sig GROUP BY id, seed // {rows}),
+            cand AS (SELECT DISTINCT a.id AS doc_id, b.id AS ref_id
+                     FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh
+                     WHERE a.id % 7 = 3 AND b.id % 7 <> 3),
+            agree AS (SELECT c.doc_id, c.ref_id,
+                             SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS eq
+                      FROM cand c
+                      JOIN sig x ON x.id = c.doc_id
+                      JOIN sig y ON y.id = c.ref_id AND y.seed = x.seed
+                      GROUP BY c.doc_id, c.ref_id)
+            SELECT doc_id, ref_id,
+                   ROUND(CAST(eq AS DOUBLE) / {num_hashes}, 6) AS est_jaccard
+            FROM agree
+            WHERE ROUND(CAST(eq AS DOUBLE) / {num_hashes}, 6) >= {threshold}"""
 
 
 def _token_budget_sql(budgets: dict[str, float], tok_cnt: str,

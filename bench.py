@@ -194,6 +194,7 @@ def main() -> None:
         "duplicate_spans",
         "unigram_ppl",
         "token_budget",
+        "neardup_static",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -232,6 +233,15 @@ def main() -> None:
         docs, "doc_id", "text", max_hamming=4, blocks=6, ngram=3))
     # RAG LSH-index path with Arrow bucket kernel (gate pins impl="expr"
     # for the SQL-mirror oracle; arrow is the production signature path)
+    # streaming near-dup front door, production shape: Arrow signature
+    # kernel + crc32 base hash (the gate pins impl="expr"+md5 for the
+    # SQL-mirror oracle; expr runs the shingle slice in the interpreted
+    # HOF evaluator)
+    from towhee_spark.streaming.ops import stream_neardup_static as _snd
+    timed_df("prod_neardup_static_arrow_crc32", lambda: _snd(
+        docs.filter(F.col("doc_id") % 7 == 3),
+        ref=docs.filter(F.col("doc_id") % 7 != 3),
+        num_hashes=32, bands=8, threshold=0.5, hash="crc32", impl="arrow"))
     timed_df("prod_rag_search_lsh_arrow",
              lambda: entry.q_rag_search_lsh(spark, sf_dir, impl="arrow"))
     # IVF production shape: Arrow matmul assignment, 64 cells probe 8

@@ -878,3 +878,120 @@ def duplicate_spans(
         )
     )
     return _with_cached_deps(out, win)
+
+
+# --------------------------------------------------------------------------
+# per-row MinHash signatures + static near-dup index (streaming front door)
+
+
+def minhash_row_signature(
+    text_col, num_hashes: int = 32, n: int = 3, hash: str = "md5",
+    seed: int = 11, impl: str = "expr",
+):
+    """Per-row MinHash signature Column (array<bigint>) — NO aggregation,
+    so it is streaming-safe and usable in any stateless projection.
+
+    Family: base = md5-60-bit(shingle) folded to 30 bits, then
+    h_i = (a_i·h30 + b_i) mod (2^61−1) with seeded (a_i, b_i)
+    (kernels.minhash_affine_params). Every op is exact BIGINT arithmetic,
+    so the DuckDB oracle reproduces signatures bit-for-bit.
+
+    ``impl="expr"``: native Column expressions — the shingle slice runs in
+    Spark's INTERPRETED HOF evaluator (the round-3 shingles lesson), so
+    this is the oracle/gate path. ``impl="arrow"``: one Arrow batch kernel
+    (kernels.minhash_sig_np) — identical output for hash="md5" (lockstep-
+    tested), and the production path; hash="crc32" is arrow-only (no
+    crc32 in DuckDB) for maximum ingest throughput.
+
+    Shingling mirrors :func:`shingles` exactly (normalize_text tokens,
+    short-doc rule via the slice-clamp: slice(toks, 1, n) of a short array
+    returns the whole array)."""
+    from towhee_spark.kernels import (  # noqa: PLC0415
+        MINHASH_H30, MINHASH_P, minhash_affine_params, minhash_sig_udf,
+    )
+
+    if impl == "arrow":
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        return minhash_sig_udf(num_hashes, n, hash, seed)(c)
+    if impl != "expr":
+        raise ValueError(f"minhash_row_signature: impl must be expr|arrow, got {impl!r}")
+    if hash != "md5":
+        raise ValueError("minhash_row_signature: impl='expr' supports hash='md5' only "
+                         "(crc32 has no cross-engine mirror — use impl='arrow')")
+    toks = F.split(normalize_text(text_col), " ")
+    sz = F.size(toks)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    h30_arr = F.transform(
+        sh_arr,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            F.lit(MINHASH_H30),
+        ),
+    )
+    params = minhash_affine_params(num_hashes, seed)
+
+    def _affine(a: int, b: int):
+        # closure, not default args: PySpark counts every parameter of the
+        # callback as a lambda variable, so `lambda h, a=a, b=b` would bind
+        # as a 3-arg HOF callback
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
+
+    return F.array(*[
+        F.array_min(F.transform(h30_arr, _affine(a, b))) for a, b in params
+    ])
+
+
+def minhash_band_bucket_expr(
+    sig_col, bands: int, num_hashes: int, hash: str = "md5",
+):
+    """array<struct<band,bh>> band buckets of a signature column. md5 mode
+    hashes the '|'-joined band slice through the cross-engine 60-bit md5
+    (oracle-reproducible); any other mode uses xxhash64 (JVM codegen —
+    bucketing only needs consistency between the two join sides)."""
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    rows = num_hashes // bands
+    structs = []
+    for bnd in range(bands):
+        cols = [c[bnd * rows + r] for r in range(rows)]
+        if hash == "md5":
+            bh = F.conv(
+                F.substring(F.md5(F.concat_ws("|", *[x.cast("string") for x in cols])), 1, 15),
+                16, 10,
+            ).cast("long")
+        else:
+            bh = F.xxhash64(*cols)
+        structs.append(F.struct(F.lit(bnd).alias("band"), bh.alias("bh")))
+    return F.array(*structs)
+
+
+def minhash_static_index(
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    hash: str = "md5",
+    seed: int = 11,
+    impl: str = "arrow",
+) -> DataFrame:
+    """(band, bh, ref_id, ref_sig): the banded MinHash index of a static
+    reference corpus — build once, then either keep it as a frame (small
+    refs), or materialize with layout.write_bucketed on (band, bh) so the
+    per-micro-batch stream join needs no static-side shuffle."""
+    if num_hashes % bands:
+        raise ValueError("minhash_static_index: bands must divide num_hashes")
+    sig = ref.select(
+        F.col(id_col).alias("ref_id"),
+        minhash_row_signature(text_col, num_hashes, n, hash, seed, impl).alias("ref_sig"),
+    )
+    return sig.select(
+        F.explode(
+            minhash_band_bucket_expr("ref_sig", bands, num_hashes, hash)
+        ).alias("bb"),
+        "ref_id", "ref_sig",
+    ).select(F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+             "ref_id", "ref_sig")

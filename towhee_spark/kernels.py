@@ -388,3 +388,87 @@ def dot_expr(a, b):
     accumulation order — float-stable across engines)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------------------------------
+# per-row MinHash signatures (streaming-safe: no aggregation)
+
+#: Mersenne prime for the affine MinHash family h_i = (a_i*h30 + b_i) mod P.
+#: The base hash is folded to 30 bits FIRST so a_i*h30 + b_i < 2^62 stays
+#: exact in int64 on every engine (numpy int64, Spark BIGINT under ANSI,
+#: DuckDB BIGINT) — no 128-bit modmul anywhere.
+MINHASH_P = (1 << 61) - 1
+MINHASH_H30 = 1 << 30
+
+
+def minhash_affine_params(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Seeded (a_i, b_i) pairs shared by the Arrow kernel, the native
+    Column expression and the DuckDB oracle (the neardup_planes
+    plan-constant pattern): a_i odd in [1, 2^31), b_i in [0, P)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 30, size=num_hashes, dtype=np.int64) * 2 + 1
+    b = rng.integers(0, MINHASH_P, size=num_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def _row_shingles(text: str, n: int) -> list[str]:
+    """normalize_text + the dedup.shingles short-doc rule, per row: Java's
+    \\s class is ASCII-only, so the mirror collapses [ \\t\\n\\x0b\\f\\r]
+    exactly (NOT Python \\s, which also eats unicode spaces)."""
+    import re  # noqa: PLC0415
+
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", ("" if text is None else str(text)).lower()).strip()
+    toks = norm.split(" ")
+    if len(toks) < n:
+        return [norm]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def minhash_sig_np(
+    texts: "pd.Series | list[str]", num_hashes: int = 32, n: int = 3,
+    hash: str = "md5", seed: int = 11,
+) -> np.ndarray:
+    """(len(texts), num_hashes) int64 MinHash signatures: base hash per
+    shingle (md5-60-bit for oracle parity, crc32 for the hot path), folded
+    to 30 bits, then ONE vectorized affine map per shingle row and a
+    column-min. One digest per shingle (not per shingle×hash) — the affine
+    family does the seed fan-out."""
+    import hashlib  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    params = minhash_affine_params(num_hashes, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[None, :]
+    b = np.array([p[1] for p in params], dtype=np.int64)[None, :]
+    out = np.empty((len(texts), num_hashes), dtype=np.int64)
+    for r, t in enumerate(texts):
+        sh = _row_shingles(t, n)
+        if hash == "md5":
+            base = np.fromiter(
+                (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) for s in sh),
+                dtype=np.int64, count=len(sh),
+            )
+        elif hash == "crc32":
+            base = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in sh),
+                dtype=np.int64, count=len(sh),
+            )
+        else:
+            raise ValueError(f"minhash_sig_np: unknown hash {hash!r}")
+        h30 = (base % MINHASH_H30)[:, None]
+        out[r] = ((a * h30 + b) % MINHASH_P).min(axis=0)
+    return out
+
+
+def minhash_sig_udf(num_hashes: int = 32, n: int = 3, hash: str = "md5",
+                    seed: int = 11):
+    """Batched Arrow UDF: text → array<bigint> signature (stateless — the
+    streaming-safe signature path; dedup.minhash_signatures is the
+    explode+groupBy batch equivalent of the same idea with a different
+    hash family)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        mat = minhash_sig_np(texts.tolist(), num_hashes, n, hash, seed)
+        return pd.Series(list(mat))
+
+    return sig

@@ -296,3 +296,110 @@ def stream_sessionize(
             *aggs.keys(),
         )
     )
+
+
+def stream_neardup_static(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    hash: str = "md5",
+    seed: int = 11,
+    impl: str = "arrow",
+    ts: str | None = None,
+    watermark: str = "30 minutes",
+    broadcast_index: bool | None = None,
+) -> DataFrame:
+    """Ingest-time near-duplicate flagging against a STATIC reference corpus
+    — the approximate counterpart of ``stream_dedup_exact`` for a training
+    pipeline's front door: every incoming document is checked against an
+    already-curated corpus's MinHash index, and matches come back as
+    (stream row + ref_id + est_jaccard ≥ threshold).
+
+    Fully STATELESS per row: signatures are per-row projections
+    (dedup.minhash_row_signature — no aggregation, unlike the batch
+    explode+groupBy signature), candidates come from a stream-static
+    equi-join on (band, bucket), and verification is the signature
+    agreement rate computed from the two signature arrays already on the
+    row — no shuffle-side aggregation, no state store. The only stateful
+    step is optional: multi-band duplicate suppression via
+    ``dropDuplicatesWithinWatermark`` on streams (``ts`` required), plain
+    ``dropDuplicates`` on batch frames.
+
+    Index side: pass ``ref`` to build (and cache) the banded index inline
+    — Structured Streaming re-evaluates the static plan every micro-batch,
+    so the inline build caches it. For reference corpora beyond memory,
+    prebuild with ``dedup.minhash_static_index`` + ``layout.write_bucketed``
+    on (band, bh) and pass ``index=`` (zero static-side shuffle per batch).
+    ``broadcast_index`` forces/forbids broadcasting it (None lets AQE
+    decide — same contract as temporal.carry_join).
+
+    ``impl="arrow"`` (default) computes stream-side signatures in one Arrow
+    kernel per batch; ``impl="expr"``+``hash="md5"`` is the
+    oracle-reproducible path the correctness gate pins. Estimates are
+    E[est] = true Jaccard with binomial error 1/sqrt(num_hashes); run the
+    batch exact-verify tiers downstream where exactness matters."""
+    from towhee_spark.functions import dedup  # noqa: PLC0415
+
+    if (ref is None) == (index is None):
+        raise ValueError("stream_neardup_static: pass exactly one of ref= or index=")
+    if num_hashes % bands:
+        raise ValueError("stream_neardup_static: bands must divide num_hashes")
+    clash = {"__sig", "__bb", "band", "bh", "ref_id", "ref_sig", "est_jaccard"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"stream_neardup_static: input columns {sorted(clash)} collide with "
+            "the operator's working/output columns — rename them first"
+        )
+    cached_deps = []
+    if index is None:
+        index = dedup.minhash_static_index(
+            ref, id_col, text_col, num_hashes, bands, n, hash, seed, impl
+        ).cache()
+        cached_deps.append(index)
+    if broadcast_index is True:
+        index = F.broadcast(index)
+    elif broadcast_index is False:
+        index = index.hint("shuffle_hash")
+
+    sig = dedup.minhash_row_signature(text_col, num_hashes, n, hash, seed, impl)
+    left = df.withColumn("__sig", sig).select(
+        "*",
+        F.explode(
+            dedup.minhash_band_bucket_expr("__sig", bands, num_hashes, hash)
+        ).alias("__bb"),
+    ).select(*df.columns, "__sig",
+             F.col("__bb.band").alias("band"), F.col("__bb.bh").alias("bh"))
+
+    est = (
+        F.size(F.filter(F.zip_with("__sig", "ref_sig", lambda a, b: a == b),
+                        lambda m: m))
+        / F.lit(float(num_hashes))
+    )
+    matched = (
+        left.join(index, ["band", "bh"])
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(*df.columns, "ref_id", "est_jaccard")
+    )
+    # one row per (doc, ref) even when several bands agree
+    if matched.isStreaming:
+        if ts is None:
+            raise ValueError(
+                "stream_neardup_static: streaming input needs ts= (event-time "
+                "column) so multi-band duplicates can be dropped within the "
+                "watermark instead of holding unbounded state"
+            )
+        out = matched.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            [id_col, "ref_id"]
+        )
+    else:
+        out = matched.dropDuplicates([id_col, "ref_id"])
+    # tag the inline-built cached index so release_cached(out) frees it
+    # (CLAUDE: combinators over cached-dep-tagged frames must propagate)
+    return dedup._with_cached_deps(out, *cached_deps)  # noqa: SLF001
