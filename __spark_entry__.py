@@ -1060,11 +1060,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_topk": q_scan_topk,
         "embedding_neardup": q_embedding_neardup,
         "chunk_text": q_chunk_text,
+        "simhash_permuted": q_simhash_permuted,
         "rag_search": q_rag_search,
         "rag_search_lsh": q_rag_search_lsh,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
-        "simhash_permuted": q_simhash_permuted,
         "pii_scrub": q_pii_scrub,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
