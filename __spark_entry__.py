@@ -775,6 +775,18 @@ def q_neardup_static(spark, sf_dir):
     return out.select("doc_id", "ref_id", "est_jaccard")
 
 
+def q_pack_sequences(spark, sf_dir):
+    # concat-and-chunk sequence packing at seq_len=256: the sf0.01 corpus
+    # fills ~107 packs, every one full except the stream tail, with docs
+    # split across boundaries — exercises the two-level prefix sum, the
+    # explode over multi-pack docs, and the slice arithmetic
+    from towhee_spark.functions.packing import pack_sequences  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=256).select(
+        "doc_id", "pack_id", "tok_begin", "tok_end", "pack_off")
+
+
 def q_token_budget(spark, sf_dir):
     # token-budget mixing: en clamps to ~5k of its ~12k tokens, de to ~2k
     # of ~3.5k, fr's 10k budget exceeds its total (full keep, rate clamps
@@ -1011,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
         "dedup_groups": q_dedup_groups,
@@ -1058,9 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_concat": q_towhee_concat,
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "scan_topk": q_scan_topk,
+        "simhash_permuted": q_simhash_permuted,
         "embedding_neardup": q_embedding_neardup,
         "chunk_text": q_chunk_text,
-        "simhash_permuted": q_simhash_permuted,
         "rag_search": q_rag_search,
         "rag_search_lsh": q_rag_search_lsh,
         "text_repetition": q_text_repetition,
@@ -1329,6 +1342,7 @@ def _oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
+        "pack_sequences": _pack_sequences_sql(tok_cnt, seq_len=256),
         "neardup_static": _neardup_static_sql(norm),
         "sample_by_hash": _sample_by_hash_sql(
             {"en": 0.5, "zh": 0.25}, strata_col="lang", default_rate=0.1),
@@ -1731,6 +1745,41 @@ def _sample_by_hash_sql(rates: dict[str, float], strata_col: str = "lang",
                             ELSE {int(round(default_rate * HASH_SPACE))} END AS thr
                 FROM documents)
             WHERE h < thr"""
+
+
+def _pack_sequences_sql(tok_cnt: str, seq_len: int, salt: str = "pack") -> str:
+    """Oracle for packing.pack_sequences: the spec is a plain exclusive
+    cumsum over the (hash60, doc_id) stream order, so DuckDB states it
+    directly with one window — the distributed two-level prefix sum under
+    test must be indistinguishable from it. Integer `//` division mirrors
+    Spark's DIV; the 60-bit md5 order hash is the shared cross-engine
+    contract (curation.hash60)."""
+    return f"""
+            WITH t AS (
+                SELECT doc_id, CAST({tok_cnt} AS BIGINT) AS cnt,
+                       ('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, cnt,
+                       CAST(COALESCE(SUM(cnt) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS st
+                FROM t WHERE cnt > 0
+            ),
+            e AS (
+                SELECT doc_id, cnt, st,
+                       UNNEST(range(st // {seq_len},
+                                    (st + cnt - 1) // {seq_len} + 1)) AS pack_id
+                FROM c
+            )
+            SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+                   CAST(GREATEST(pack_id * {seq_len} - st, 0) AS BIGINT) AS tok_begin,
+                   CAST(LEAST((pack_id + 1) * {seq_len} - st, cnt) AS BIGINT) AS tok_end,
+                   CAST(GREATEST(st - pack_id * {seq_len}, 0) AS BIGINT) AS pack_off
+            FROM e"""
 
 
 def _neardup_static_sql(norm: str, num_hashes: int = 32, bands: int = 8,

@@ -195,6 +195,7 @@ def main() -> None:
         "unigram_ppl",
         "token_budget",
         "neardup_static",
+        "pack_sequences",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

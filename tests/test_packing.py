@@ -1,0 +1,132 @@
+"""Sequence packing: concat-and-chunk layout invariants + model equality.
+
+The model is a 20-line pure-pandas reimplementation of the spec (sort by
+(hash60, id), exclusive cumsum, slice every seq_len tokens) — independent
+of the two-level distributed prefix sum under test.
+"""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.functions.packing import pack_sequences, pack_stats
+
+
+def _h60(v, salt="pack"):
+    return int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:15], 16)
+
+
+def _model(rows, seq_len, salt="pack"):
+    """rows: [(doc_id, tok_cnt)] → [(doc_id, pack_id, begin, end, off)]."""
+    ordered = sorted(
+        [(i, c) for i, c in rows if c and c > 0],
+        key=lambda t: (_h60(t[0], salt), t[0]),
+    )
+    out, start = [], 0
+    for i, c in ordered:
+        lo, hi = start // seq_len, (start + c - 1) // seq_len
+        for p in range(lo, hi + 1):
+            out.append((
+                i, p,
+                max(p * seq_len - start, 0),
+                min((p + 1) * seq_len - start, c),
+                max(start - p * seq_len, 0),
+            ))
+        start += c
+    return out
+
+
+def _docs(spark, counts):
+    rows = [(i, " ".join(f"t{j}" for j in range(c)) if c is not None else None)
+            for i, c in counts]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+COUNTS = [(0, 7), (1, 300), (2, 0), (3, None), (4, 1), (5, 256), (6, 90),
+          (7, 513), (8, 12), (9, 255)]
+
+
+def test_matches_model(spark):
+    df = _docs(spark, COUNTS)
+    got = sorted(
+        tuple(r) for r in
+        pack_sequences(df, seq_len=256).collect()
+    )
+    want = sorted(_model([(i, c or 0) for i, c in COUNTS], 256))
+    assert got == want
+
+
+def test_docs_tile_exactly_and_packs_full(spark):
+    df = _docs(spark, COUNTS)
+    out = pack_sequences(df, seq_len=128).cache()
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(F.min("tok_begin").alias("b"),
+             F.max("tok_end").alias("e"),
+             F.sum(F.col("tok_end") - F.col("tok_begin")).alias("tot"))
+        .collect()
+    )
+    counts = {i: c or 0 for i, c in COUNTS}
+    for r in per_doc:
+        assert r["b"] == 0
+        assert r["e"] == counts[r["doc_id"]] == r["tot"]
+    st = pack_stats(out, 128).orderBy("pack_id").collect()
+    total = sum(c or 0 for _, c in COUNTS)
+    assert [r["pack_id"] for r in st] == list(range(len(st)))
+    for r in st[:-1]:
+        assert r["fill"] == 128 and r["utilization"] == 1.0
+    assert st[-1]["fill"] == total - 128 * (len(st) - 1)
+    out.unpersist()
+
+
+def test_count_col_mode_and_bucketing_invisible(spark):
+    df = _docs(spark, COUNTS).withColumn(
+        "n", F.when(F.col("text").isNull(), None).otherwise(
+            F.size(F.split(F.trim("text"), r"\s+"))))
+    df = df.withColumn("n", F.when(F.trim("text") == "", 0).otherwise(F.col("n")))
+    a = sorted(tuple(r) for r in pack_sequences(df, 64).select(
+        "doc_id", "pack_id", "tok_begin", "tok_end", "pack_off").collect())
+    b = sorted(tuple(r) for r in pack_sequences(
+        df, 64, count_col="n").select(
+        "doc_id", "pack_id", "tok_begin", "tok_end", "pack_off").collect())
+    c = sorted(tuple(r) for r in pack_sequences(df, 64, bucket_bits=2).select(
+        "doc_id", "pack_id", "tok_begin", "tok_end", "pack_off").collect())
+    assert a == b == c
+
+
+def test_guards(spark):
+    df = _docs(spark, COUNTS[:2])
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(df, 0)
+    with pytest.raises(ValueError, match="bucket_bits"):
+        pack_sequences(df, 16, bucket_bits=0)
+    with pytest.raises(ValueError, match="collide"):
+        pack_sequences(df.withColumn("pack_id", F.lit(1)), 16)
+
+
+def test_large_stream_spans_many_buckets(spark):
+    # 2k docs, small seq_len: every bucket populated, boundary docs split
+    n = 2000
+    pdf = pd.DataFrame({"doc_id": range(n), "cnt": [(i * 37) % 90 + 1 for i in range(n)]})
+    df = spark.createDataFrame(pdf)
+    out = pack_sequences(df, 512, count_col="cnt", text_col=None)
+    st = pack_stats(out, 512).collect()
+    total = int(pdf["cnt"].sum())
+    assert sum(r["fill"] for r in st) == total
+    full = [r for r in st if r["fill"] == 512]
+    assert len(full) == total // 512
+
+
+def test_single_corpus_scan_via_reused_exchange(spark):
+    """The bucket-totals branch must NOT re-scan + re-tokenize the corpus:
+    deriving totals from the windowed frame makes both branches share one
+    hashpartitioning(__bkt) exchange, which Spark dedups (ReusedExchange)
+    at execution. A second live FileScan at 100 TB doubles the whole job's
+    input."""
+    df = _docs(spark, COUNTS)
+    out = pack_sequences(df, seq_len=64)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
