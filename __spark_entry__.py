@@ -657,6 +657,20 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_semdedup(spark, sf_dir):
+    # SemDeDup cluster-then-prune (Abbas et al. 2023): md5-hash-sampled
+    # centroids (shared with ivf_topk), argmax-cosine cell assignment,
+    # within-cell ROUND(cos,6) >= 0.3 prune keeping the min-id
+    # representative. The oracle re-runs every stage in SQL. τ=0.3 yields
+    # 255 within-cell dup pairs at sf0.01 (nlist=8); measured margin: the
+    # closest rounded cosine to the 0.3 boundary is 7.8e-5 — 5+ orders
+    # above cross-engine double noise, same b1658cb discipline as ivf_topk
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    out = dedup.semdedup(embs, nlist=8, threshold=0.3, impl="expr")
+    return out.select("vec_id", "cell", "dup_of")
+
+
 def q_bm25(spark, sf_dir):
     # Okapi BM25 lexical retrieval, self-retrieval shape (first 5 docs
     # query the corpus with their own text); fully native plan — the
@@ -1023,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "semdedup": q_semdedup,
         "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
@@ -1336,6 +1351,7 @@ def _oracle_sql() -> dict[str, str]:
         "similarity_topk": _topk_sql(),
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
+        "semdedup": _semdedup_sql(nlist=8, threshold=0.3),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
@@ -1493,6 +1509,56 @@ def _lsh_topk_sql(planes: int = 8, probes: int = 4, dim: int = 64, seed: int = 7
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3"""
 
 
+def _ivf_cell_ctes(nlist: int) -> str:
+    """Shared IVF coarse-quantizer CTEs (DuckDB): ``e`` non-null vectors
+    as DOUBLE[], ``c`` the ``nlist`` md5-hash-sampled centroids, ``ar``
+    every vector's cells ranked by (ROUND(cos,6) DESC, cid ASC), ``cell``
+    the rank-1 assignment — the SQL mirror of similarity.ivf_train +
+    ivf_assign, reused by the ivf_topk and semdedup oracles so the two
+    gates can never drift apart on the quantizer."""
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e
+                  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                           vec_id
+                  LIMIT {nlist}),
+            a AS (SELECT e.vec_id, c.cid,
+                         ROUND(list_dot_product(e.v, c.cv)
+                               / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+                  FROM e CROSS JOIN c),
+            ar AS (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cs DESC, cid) AS rn
+                   FROM a),
+            cell AS (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1)"""
+
+
+def _semdedup_sql(nlist: int = 8, threshold: float = 0.3) -> str:
+    """Oracle that re-runs SemDeDup in SQL: the shared IVF quantizer CTEs,
+    then the within-cell ``aid < bid`` self-join, the ROUND(cos,6) >=
+    threshold prune and the MIN(aid) representative — mirroring
+    dedup.semdedup(impl="expr") stage for stage. All input rows come back
+    (LEFT JOINs), so the gate checks survivors AND the dup mapping."""
+    return f"""
+            WITH {_ivf_cell_ctes(nlist)},
+            close_p AS (SELECT x.vec_id AS aid, y.vec_id AS bid
+                        FROM cell x
+                        JOIN cell y ON x.cell = y.cell AND x.vec_id < y.vec_id
+                        JOIN e ea ON ea.vec_id = x.vec_id
+                        JOIN e eb ON eb.vec_id = y.vec_id
+                        WHERE ROUND(list_dot_product(ea.v, eb.v)
+                                    / (sqrt(list_dot_product(ea.v, ea.v))
+                                       * sqrt(list_dot_product(eb.v, eb.v))),
+                                    6) >= {threshold}),
+            dups AS (SELECT bid AS vec_id, MIN(aid) AS dup_of
+                     FROM close_p GROUP BY bid)
+            SELECT em.vec_id, cl.cell, d.dup_of
+            FROM embeddings em
+            LEFT JOIN cell cl ON cl.vec_id = em.vec_id
+            LEFT JOIN dups d ON d.vec_id = em.vec_id"""
+
+
 def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
     """Oracle that re-runs the IVF ANN algorithm in SQL: centroids are the
     nlist index vectors with the lowest cross-engine md5 id hash, every
@@ -1508,22 +1574,7 @@ def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
     arithmetic differs by ~1e-16 relative, 5 orders below the margin, so
     the rounded argmax is deterministic on this data."""
     return f"""
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings WHERE embedding IS NOT NULL),
-            c AS (SELECT vec_id AS cid, v AS cv FROM e
-                  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
-                           vec_id
-                  LIMIT {nlist}),
-            a AS (SELECT e.vec_id, c.cid,
-                         ROUND(list_dot_product(e.v, c.cv)
-                               / (sqrt(list_dot_product(e.v, e.v))
-                                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
-                  FROM e CROSS JOIN c),
-            ar AS (SELECT vec_id, cid,
-                          row_number() OVER (PARTITION BY vec_id
-                                             ORDER BY cs DESC, cid) AS rn
-                   FROM a),
-            cell AS (SELECT vec_id, cid AS cell FROM ar WHERE rn = 1),
+            WITH {_ivf_cell_ctes(nlist)},
             qp AS (SELECT vec_id AS query_id, cid AS cell FROM ar
                    WHERE rn <= {nprobe} AND vec_id < 10),
             cand AS (SELECT q.query_id, i.vec_id AS match_id

@@ -196,6 +196,7 @@ def main() -> None:
         "token_budget",
         "neardup_static",
         "pack_sequences",
+        "semdedup",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -252,6 +253,11 @@ def main() -> None:
     # scan is reported separately below so the full per-invocation cost is
     # train + probe (code-review finding)
     from towhee_spark.functions import similarity as _sim
+    # SemDeDup production shape: Arrow assignment, 16 cells (gate pins
+    # nlist=8 expr for the SQL-mirror oracle); per-cell candidate volume
+    # ~ n^2/(2*nlist) — grow nlist with the corpus (see dedup.semdedup)
+    timed_df("prod_semdedup_arrow", lambda: _dedup.semdedup(
+        embs, nlist=16, threshold=0.3, impl="arrow"))
     timed_df("prod_ivf_topk_arrow", lambda: _sim.ivf_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         nlist=64, nprobe=8, impl="arrow"))

@@ -574,3 +574,62 @@ def test_plan_construction_is_action_free(spark, embs, monkeypatch):
     dedup.embedding_neardup_pairs(embs, threshold=0.95, dim=64)
     dedup.minhash_lsh_pairs(spark.read.parquet(f"{SF}/documents.parquet"),
                             threshold=0.5, verify="exact")
+
+
+# -- semdedup ---------------------------------------------------------------
+
+
+def test_semdedup_arrow_equals_expr(embs):
+    """The Arrow assignment kernel (production) and the oracle expr path
+    must produce the identical (vec_id, cell, dup_of) mapping."""
+    dembs = embs.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+    def rows(impl):
+        out = dedup.semdedup(dembs, nlist=8, threshold=0.3, impl=impl)
+        got = sorted((r.vec_id, r.cell, r.dup_of) for r in out.collect())
+        dedup.release_cached(out)
+        return got
+
+    assert rows("arrow") == rows("expr")
+
+
+def test_semdedup_planted_duplicates(spark, embs):
+    """Planted near-copies (cos >= 0.99 of a base vector) must map to the
+    SAME cell and be pruned down to exactly one representative — the
+    min-id base vector — while unrelated vectors survive untouched."""
+    rng = np.random.default_rng(7)
+    base = [r for r in embs.limit(6).collect() if r.embedding]
+    rows = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in base]
+    planted = []
+    for r_id, vec in rows[:3]:  # 2 jittered copies of each of 3 bases
+        v = np.array(vec)
+        for j in (1, 2):
+            w = v + rng.normal(0, 0.01 * np.abs(v).mean(), v.shape)
+            planted.append((100_000 + r_id * 10 + j, [float(x) for x in w]))
+    df = spark.createDataFrame(rows + planted, "vec_id long, embedding array<double>")
+    out = dedup.semdedup(df, nlist=2, threshold=0.98, impl="arrow")
+    got = {r.vec_id: (r.cell, r.dup_of) for r in out.collect()}
+    dedup.release_cached(out)
+    for r_id, _ in rows[:3]:
+        cell, dup_of = got[r_id]
+        assert dup_of is None  # the base is the min-id representative
+        for j in (1, 2):
+            c_cell, c_dup = got[100_000 + r_id * 10 + j]
+            assert c_cell == cell  # near-copy lands in the same cell
+            assert c_dup == r_id  # pruned back to the planted base
+    for r_id, _ in rows[3:]:  # unplanted vectors survive
+        assert got[r_id][1] is None
+
+
+def test_semdedup_null_vectors_pass_through(spark):
+    """NULL embeddings keep their row with cell/dup_of NULL (never joined,
+    never dropped) — the ivf_assign null posture."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, None)],
+        "vec_id long, embedding array<double>")
+    out = dedup.semdedup(df, nlist=1, threshold=0.9, impl="expr")
+    got = {r.vec_id: (r.cell, r.dup_of) for r in out.collect()}
+    dedup.release_cached(out)
+    assert got[3] == (None, None)
+    assert got[1] == (1, None)  # vec 1 is the only centroid & survivor
+    assert got[2] == (1, 1)

@@ -995,3 +995,85 @@ def minhash_static_index(
         "ref_id", "ref_sig",
     ).select(F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
              "ref_id", "ref_sig")
+
+
+# --------------------------------------------------------------------------
+# semantic dedup (cluster-then-prune over embeddings)
+
+
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    threshold: float = 0.95,
+    impl: str = "arrow",
+    centroids: list[tuple] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster only —
+    the cluster assignment replaces the all-pairs O(n²) cosine scan with
+    per-cell scans, the paper's own scale story. Fills the semantic tier
+    of the dedup ladder next to the lexical ones (exact / n-gram Jaccard /
+    MinHash / SimHash) and the geometric LSH tier
+    (embedding_neardup_pairs): SemDeDup catches paraphrases whose token
+    overlap is low but whose embeddings nearly coincide.
+
+    Reference anchor: towhee's ann_insert/ann_search hub ops delegate
+    vector dedup to the vector store (hub_ops/ann_search.py:36-53); here
+    the cluster-prune is a first-class DataFrame plan.
+
+    Stages (train/assign shared with the IVF ANN machinery):
+      1. centroids — ``ivf_train`` (deterministic md5-hash-sampled rows,
+         one driver action; pass ``centroids=`` to reuse a trained set);
+      2. ``ivf_assign`` — every vector joins its (ROUND(cos,6) DESC,
+         cid ASC) argmax cell;
+      3. within-cell self-join on ``cell`` with ``id <`` — candidates are
+         per-cell quadratic, NEVER corpus-quadratic;
+      4. a vector is a duplicate iff some LOWER-id vector in its cell has
+         ROUND(cos, 6) >= threshold; ``dup_of`` = the smallest such id
+         (the paper keeps one representative per ε-ball; min-id is the
+         deterministic, engine-agnostic choice of representative).
+
+    Returns ALL input rows as (id_col, cell, dup_of): survivors carry
+    dup_of NULL; NULL vectors pass through with cell NULL (never dropped —
+    same posture as ivf_assign). Filter ``dup_of IS NULL`` for the keep
+    list.
+
+    Sizing rule (100 TB): per-cell candidate volume is Σ|cell|²/2 ≈
+    n²/(2·nlist) under uniform assignment — grow ``nlist`` ∝ n to hold
+    E[|cell|] at a constant budget (the paper runs 50k clusters on LAION;
+    sqrt(n) cells ⇒ linear total work). The self-join shuffles BOTH sides
+    on ``cell`` once; materialize ``ivf_assign`` output partitioned by
+    cell (layout.write_bucketed) to amortize across reruns.
+
+    ``impl``: "arrow" = float64 matmul per Arrow batch for assignment
+    (production); "expr" = centroid literals inlined in Column expressions
+    (oracle-reproducible — the gate config)."""
+    from towhee_spark.functions.similarity import (  # noqa: PLC0415 (cycle)
+        ivf_assign,
+        ivf_train,
+    )
+    from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
+
+    cents = centroids if centroids is not None else ivf_train(
+        emb, id_col, vec_col, nlist)
+    assigned = ivf_assign(emb, cents, id_col, vec_col, impl).cache()
+    a = assigned.select(F.col(id_col).alias("__aid"),
+                        F.col(vec_col).alias("__av"), "cell")
+    b = assigned.select(F.col(id_col).alias("__bid"),
+                        F.col(vec_col).alias("__bv"), "cell")
+    close = (
+        a.join(b, "cell")
+        .where(F.col("__aid") < F.col("__bid"))
+        .where(F.round(cosine_expr(F.col("__av"), F.col("__bv")), 6)
+               >= F.lit(float(threshold)))
+    )
+    dups = close.groupBy(F.col("__bid").alias(id_col)).agg(
+        F.min("__aid").alias("dup_of"))
+    out = (
+        assigned.select(id_col, "cell")
+        .join(dups, id_col, "left")
+        .select(id_col, "cell", "dup_of")
+    )
+    return _with_cached_deps(out, assigned)
