@@ -671,6 +671,22 @@ def q_semdedup(spark, sf_dir):
     return out.select("vec_id", "cell", "dup_of")
 
 
+def q_pq_topk(spark, sf_dir):
+    # product-quantization ADC scan (Jégou et al. 2011): md5-hash-sampled
+    # codebooks (the ivf_train sampling), per-subspace argmax encode,
+    # lookup-table scoring. Measured margins (sf0.001/0.01/0.1): encode
+    # keys within 1.7e-12 of a ROUND(,6) boundary at worst (~3-4 orders
+    # above cross-engine fp noise — the tightest oracle margin in the
+    # repo, documented in BASELINE.md), ADC scores within 5e-11; rank-
+    # boundary rounded ties DO occur (PQ collapses vectors onto ksub^m
+    # code points) and are resolved by the shared match_id-asc tie-break
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qs = embs.filter(F.col("vec_id") < 10)
+    out = similarity.pq_adc_topk(qs, embs, k=3, m=4, ksub=8, impl="expr")
+    return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
+
+
 def q_bm25(spark, sf_dir):
     # Okapi BM25 lexical retrieval, self-retrieval shape (first 5 docs
     # query the corpus with their own text); fully native plan — the
@@ -1038,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round).
     return {
         "semdedup": q_semdedup,
+        "pq_topk": q_pq_topk,
         "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
@@ -1352,6 +1369,7 @@ def _oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
         "semdedup": _semdedup_sql(nlist=8, threshold=0.3),
+        "pq_topk": _pq_topk_sql(m=4, ksub=8, k=3, dim=64),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
@@ -1557,6 +1575,60 @@ def _semdedup_sql(nlist: int = 8, threshold: float = 0.3) -> str:
             FROM embeddings em
             LEFT JOIN cell cl ON cl.vec_id = em.vec_id
             LEFT JOIN dups d ON d.vec_id = em.vec_id"""
+
+
+def _pq_topk_sql(m: int = 4, ksub: int = 8, k: int = 3, dim: int = 64) -> str:
+    """Oracle that re-runs the PQ ADC algorithm in SQL: codebooks = the
+    ksub md5-hash-lowest-id vectors numbered 1..ksub in id order, sliced
+    per subspace; encode = per-(vector, subspace) argmax of
+    ROUND(dot(v_j, c) - 0.5*||c||², 6) with code-asc tie-break (== argmin
+    L2²); score = SUM over subspaces of dot(q_j, cb[code_j]), ranked
+    (ROUND(,6) DESC, match_id ASC) — mirroring similarity.pq_adc_topk(
+    impl="expr") stage for stage. The ≤{m}-addend score sum is the only
+    order-unfixed float reduction and sits ≥5e-11 from every rounding
+    boundary (measured, BASELINE.md)."""
+    ds = dim // m
+    return f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            s AS (SELECT vec_id, v,
+                         row_number() OVER (ORDER BY vec_id) AS code FROM (
+                  SELECT vec_id, v FROM e
+                  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                           vec_id
+                  LIMIT {ksub})),
+            js AS (SELECT unnest(generate_series(0, {m} - 1)) AS j),
+            cb AS (SELECT j, code, list_slice(v, j*{ds}+1, (j+1)*{ds}) AS sub
+                   FROM s CROSS JOIN js),
+            kr AS (SELECT e.vec_id, cb.j, cb.code,
+                          row_number() OVER (PARTITION BY e.vec_id, cb.j
+                              ORDER BY ROUND(
+                                  list_dot_product(
+                                      list_slice(e.v, cb.j*{ds}+1, (cb.j+1)*{ds}),
+                                      cb.sub)
+                                  - 0.5*list_dot_product(cb.sub, cb.sub),
+                                  6) DESC, cb.code) AS rn
+                   FROM e CROSS JOIN cb),
+            enc AS (SELECT vec_id, j, code FROM kr WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+            qtab AS (SELECT q.query_id, cb.j, cb.code,
+                            list_dot_product(
+                                list_slice(q.qv, cb.j*{ds}+1, (cb.j+1)*{ds}),
+                                cb.sub) AS ip
+                     FROM q CROSS JOIN cb),
+            scored AS (SELECT qt.query_id, en.vec_id AS match_id,
+                              SUM(qt.ip) AS raws
+                       FROM enc en
+                       JOIN qtab qt ON qt.j = en.j AND qt.code = en.code
+                       WHERE en.vec_id != qt.query_id
+                       GROUP BY qt.query_id, en.vec_id),
+            ranked AS (SELECT query_id, match_id,
+                              ROUND(ROUND(raws, 6), 4) AS score4,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY ROUND(raws, 6) DESC,
+                                                          match_id) AS rank
+                       FROM scored)
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
 
 
 def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:

@@ -197,6 +197,7 @@ def main() -> None:
         "neardup_static",
         "pack_sequences",
         "semdedup",
+        "pq_topk",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -258,6 +259,12 @@ def main() -> None:
     # ~ n^2/(2*nlist) — grow nlist with the corpus (see dedup.semdedup)
     timed_df("prod_semdedup_arrow", lambda: _dedup.semdedup(
         embs, nlist=16, threshold=0.3, impl="arrow"))
+    # PQ production shape: Arrow encode kernel, 16 codes x 8 subspaces
+    # (gate pins m=4 ksub=8 expr for the SQL-mirror oracle); the encode is
+    # one matmul per batch per subspace, the ADC scan is native lookups
+    timed_df("prod_pq_topk_arrow", lambda: _sim.pq_adc_topk(
+        embs.filter(F.col("vec_id") < 10), embs, k=3,
+        m=8, ksub=16, impl="arrow"))
     timed_df("prod_ivf_topk_arrow", lambda: _sim.ivf_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         nlist=64, nprobe=8, impl="arrow"))

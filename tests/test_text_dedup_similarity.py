@@ -633,3 +633,64 @@ def test_semdedup_null_vectors_pass_through(spark):
     assert got[3] == (None, None)
     assert got[1] == (1, None)  # vec 1 is the only centroid & survivor
     assert got[2] == (1, 1)
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def test_pq_adc_arrow_equals_expr(embs):
+    """The Arrow encode kernel (production) and the oracle expr path must
+    return identical top-k rows."""
+    dembs = embs.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qs = dembs.limit(5)
+
+    def rows(impl):
+        return sorted(
+            (r.query_id, r.rank, r.match_id, r.score)
+            for r in similarity.pq_adc_topk(
+                qs, dembs, k=3, m=4, ksub=8, impl=impl).collect())
+
+    assert rows("arrow") == rows("expr")
+
+
+def test_pq_encode_codebook_rows_are_fixed_points(embs):
+    """Encoding a codebook row must pick its OWN code in every subspace
+    (L2 distance 0 is the unique argmin) — gates the encode argmax and
+    the 1-based code numbering in one shot."""
+    cbs = similarity.pq_train(embs, ksub=8)
+    code_ids = {cid for cid, _ in similarity.ivf_train(embs, nlist=8)}
+    rows = similarity.pq_encode(
+        embs.filter(F.col("vec_id").isin(list(code_ids))), cbs, m=4).collect()
+    by_vec = {tuple(round(float(x), 5) for x in v) : code for code, v in cbs}
+    for r in rows:
+        want = by_vec[tuple(round(float(x), 5) for x in r.embedding)]
+        assert r.codes == [want] * 4, (r.vec_id, r.codes, want)
+
+
+def test_pq_materialized_code_index_roundtrip(spark, embs, tmp_path):
+    """pq_encode written to parquet (codes only — the compressed index)
+    and read back must give pq_adc_topk(encoded=...) the same rows as the
+    inline path — the 16-bytes-per-vector 100 TB scan story."""
+    cbs = similarity.pq_train(embs, ksub=8)
+    path = str(tmp_path / "pq_codes")
+    similarity.pq_encode(embs, cbs, m=4).select("vec_id", "codes").write.parquet(path)
+    back = spark.read.parquet(path)
+    qs = embs.limit(5)
+    inline = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.pq_adc_topk(qs, embs, k=3, m=4, ksub=8).collect())
+    reused = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.pq_adc_topk(
+            qs, embs, k=3, m=4, codebooks=cbs, encoded=back).collect())
+    assert inline == reused
+
+
+def test_pq_rejects_bad_geometry(embs):
+    """dim % m != 0 and non-contiguous codebook codes fail loudly at plan
+    time, not as silent wrong answers."""
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_adc_topk(embs.limit(2), embs, m=5, ksub=8)
+    cbs = similarity.pq_train(embs, ksub=8)
+    with pytest.raises(ValueError, match="contiguous"):
+        similarity.pq_encode(embs, [(c + 1, v) for c, v in cbs], m=4)

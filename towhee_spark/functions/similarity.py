@@ -445,3 +445,169 @@ def ivf_topk(
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
     return _global_topk(scored, k, shards)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (compressed-domain ANN)
+
+
+def pq_train(
+    index: DataFrame,
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    ksub: int = 8,
+) -> list[tuple[int, list]]:
+    """PQ train step: the ``ksub`` codebook entries are the index vectors
+    whose ids hash lowest under the cross-engine md5 hash (the ivf_train
+    sampling, standing in for per-subspace k-means the sandbox can't
+    gate), numbered code = 1..ksub in id-ascending order. Every subspace
+    shares the sample rows; codebook j is their j-th slice. Returns
+    [(code, full_vector), ...] — feed to pq_encode / pq_adc_topk(
+    codebooks=) to train once and reuse."""
+    sampled = ivf_train(index, i_id, i_vec, ksub)  # [(cid, vec)] cid-asc
+    return [(pos + 1, vec) for pos, (_cid, vec) in enumerate(sampled)]
+
+
+def _pq_split(codebooks: list[tuple[int, list]], m: int):
+    """[(code, full_vec)] → (per-subspace [[subvec in code order]], ds).
+    Validates dim % m == 0 and code contiguity loudly."""
+    dim = len(codebooks[0][1])
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    ds = dim // m
+    codes = [c for c, _ in codebooks]
+    if codes != list(range(1, len(codebooks) + 1)):
+        raise ValueError("pq: codebook codes must be contiguous 1..ksub")
+    subs = [[vec[j * ds:(j + 1) * ds] for _, vec in codebooks]
+            for j in range(m)]
+    return subs, ds
+
+
+def _pq_codes_of(codebooks: list[tuple[int, list]], m: int, impl: str):
+    """vector Column → array<int> of per-subspace codes, the argmax of
+    ROUND(dot(v_j, c) - 0.5*||c||², 6) with code-ascending tie-break
+    (== argmin L2(v_j, c): the dot(v_j, v_j) term is constant per row,
+    so only dot products cross the engine boundary — the float-parity
+    posture every cosine oracle here uses)."""
+    from towhee_spark.kernels import dot_expr  # noqa: PLC0415
+
+    subs, ds = _pq_split(codebooks, m)
+    if impl == "arrow":
+        from towhee_spark.kernels import pq_codes_kernel  # noqa: PLC0415
+
+        return pq_codes_kernel(subs, ds), ds
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+
+    def codes_of(vc):
+        cols = []
+        for j in range(m):
+            sub = F.slice(vc, j * ds + 1, ds)
+            entries = []
+            for code, cvec in enumerate(subs[j], start=1):
+                half = 0.5 * sum(float(x) * float(x) for x in cvec)
+                key = F.round(
+                    dot_expr(sub, F.array(*[F.lit(float(x)) for x in cvec]))
+                    - F.lit(half), 6)
+                # 0.0 - key: exact negation that maps BOTH ±0.0 to +0.0,
+                # so the ascending struct sort == (key DESC, code ASC)
+                # with no -0.0 comparison edge on either engine
+                entries.append(F.struct(
+                    (F.lit(0.0) - key).alias("d"), F.lit(code).alias("c")))
+            cols.append(F.element_at(
+                F.sort_array(F.array(*entries)), 1).getField("c"))
+        return F.when(vc.isNotNull(), F.array(*cols))
+    return codes_of, ds
+
+
+def pq_encode(
+    index: DataFrame,
+    codebooks: list[tuple[int, list]],
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    m: int = 4,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Add a ``codes`` array<int> column (one code per subspace) — the
+    compressed representation. This is the materializable PQ index: at
+    100 TB, m log2(ksub+1)-bit codes replace dim×4 bytes per vector
+    (dim=64 m=4 ⇒ 16 B vs 256 B); write it once and every later
+    pq_adc_topk(encoded=read_back) scan reads the codes column only."""
+    if "codes" in index.columns:
+        raise ValueError(
+            "pq_encode: index already has a 'codes' column — rename it first")
+    codes_of, _ = _pq_codes_of(codebooks, m, impl)
+    return index.withColumn("codes", codes_of(F.col(i_vec)))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    m: int = 4,
+    ksub: int = 8,
+    exclude_self: bool = True,
+    shards: int | None = None,
+    impl: str = "arrow",
+    codebooks: list[tuple[int, list]] | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
+    the index is scanned in compressed code space (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search") — the
+    compressed-domain ANN tier next to the hyperplane-LSH and
+    inverted-file ones (ref ann_search.py:36-53 delegates all three index
+    families to Faiss; here each is a DataFrame plan).
+
+    Pipeline: pq_train (hash-sampled codebooks, one driver action —
+    skipped when ``codebooks`` is passed) → pq_encode (per-subspace
+    argmax code — skipped when ``encoded``, e.g. a parquet read-back of a
+    materialized code index, is passed; it must carry i_id + ``codes``) →
+    each query precomputes its m×ksub inner-product lookup table ONCE as
+    native array columns → the scan scores every index row with m
+    element_at lookups + an explicitly left-assoc (t1+t2)+… sum (fixed
+    fp order) instead of a dim-wide dot — approximate score
+    ROUND(Σ_j dot(q_j, cb_j[code_j]), 6), ranked (score DESC, match_id
+    ASC). Exact top-1-self is NOT guaranteed (scores are approximations;
+    self-pairs excluded by default anyway).
+
+    ``impl`` governs the index ENCODE only ("arrow" = per-batch matmul
+    kernel, production; "expr" = codebook literals, oracle-reproducible —
+    the gate config). Query tables and the scan scoring are native
+    Column exprs in both impls — the scan itself never runs Python.
+
+    Scale: scan cost is O(n·m) lookups with no shuffle on the index side
+    (queries broadcast); at 10^9+ rows layer IVF cells on top (encode the
+    ivf_assign output, filter cells first) for the classic IVF-PQ
+    composite."""
+    from towhee_spark.kernels import dot_expr  # noqa: PLC0415
+
+    cbs = codebooks if codebooks is not None else pq_train(
+        index, i_id, i_vec, ksub)
+    subs, ds = _pq_split(cbs, m)
+
+    enc = encoded if encoded is not None else pq_encode(
+        index, cbs, i_id, i_vec, m, impl)
+    ix = enc.select(F.col(i_id).alias("match_id"), "codes").where(
+        F.col("codes").isNotNull())
+
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
+    for j in range(m):
+        sub = F.slice(F.col("__qv"), j * ds + 1, ds)
+        q = q.withColumn(f"__t{j}", F.array(*[
+            dot_expr(sub, F.array(*[F.lit(float(x)) for x in cvec]))
+            for cvec in subs[j]]))
+
+    joined = ix.join(F.broadcast(q.drop("__qv")))
+    score = F.element_at(F.col("__t0"), F.col("codes").getItem(0))
+    for j in range(1, m):
+        score = score + F.element_at(F.col(f"__t{j}"), F.col("codes").getItem(j))
+    scored = joined.select(
+        "query_id", "match_id", F.round(score, 6).alias("score"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    return _global_topk(scored, k, shards)

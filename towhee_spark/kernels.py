@@ -472,3 +472,40 @@ def minhash_sig_udf(num_hashes: int = 32, n: int = 3, hash: str = "md5",
         return pd.Series(list(mat))
 
     return sig
+
+
+def pq_codes_kernel(cbs: "list[np.ndarray]", ds: int):
+    """Arrow kernel factory for product-quantization encoding: vector
+    column → array<int> of per-subspace codes. ``cbs[j]`` is the
+    (ksub, ds) codebook of subspace j with rows in CODE order (code =
+    row index + 1). Per Arrow batch and subspace: ONE float64 matmul of
+    the sliced batch against the codebook, argmax of the 6-rounded
+    `dot(v_j, c) - 0.5*||c||²` key (== argmin L2², the dot(v,v) term is
+    constant per row); np.argmax returns the FIRST max index, which is
+    exactly the code-ascending tie-break the expr path and the DuckDB
+    oracle use."""
+    m = len(cbs)
+    mats = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    halves = [0.5 * (mat * mat).sum(axis=1) for mat in mats]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        vals = vecs.tolist()
+        mask = [v is not None for v in vals]
+        out = [None] * len(vals)
+        if any(mask):
+            x = np.asarray([v for v in vals if v is not None], dtype=np.float64)
+            per_j = []
+            for j in range(m):
+                raw = x[:, j * ds:(j + 1) * ds] @ mats[j].T - halves[j]
+                # half-away-from-zero like F.round/DuckDB ROUND
+                key = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+                per_j.append(np.argmax(key, axis=1) + 1)  # codes are 1-based
+            rows = np.stack(per_j, axis=1).astype(np.int32)
+            it = iter(rows)
+            out = [[int(c) for c in next(it)] if ok else None for ok in mask]
+        return pd.Series(out)
+
+    return codes
