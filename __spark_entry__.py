@@ -687,6 +687,19 @@ def q_pq_topk(spark, sf_dir):
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ composite (Faiss IndexIVFPQ shape): coarse cells prune the
+    # scan, PQ codes compress it — pure composition of the ivf_topk and
+    # pq_topk machineries, so the oracle is their two mirrors joined; no
+    # new float surfaces beyond the margins measured for those two gates
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qs = embs.filter(F.col("vec_id") < 10)
+    out = similarity.ivfpq_topk(
+        qs, embs, k=3, nlist=8, nprobe=3, m=4, ksub=8, impl="expr")
+    return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
+
+
 def q_bm25(spark, sf_dir):
     # Okapi BM25 lexical retrieval, self-retrieval shape (first 5 docs
     # query the corpus with their own text); fully native plan — the
@@ -1055,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "semdedup": q_semdedup,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
@@ -1370,6 +1384,7 @@ def _oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
         "semdedup": _semdedup_sql(nlist=8, threshold=0.3),
         "pq_topk": _pq_topk_sql(m=4, ksub=8, k=3, dim=64),
+        "ivfpq_topk": _ivfpq_topk_sql(nlist=8, nprobe=3, m=4, ksub=8, k=3, dim=64),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
@@ -1622,6 +1637,60 @@ def _pq_topk_sql(m: int = 4, ksub: int = 8, k: int = 3, dim: int = 64) -> str:
                        JOIN qtab qt ON qt.j = en.j AND qt.code = en.code
                        WHERE en.vec_id != qt.query_id
                        GROUP BY qt.query_id, en.vec_id),
+            ranked AS (SELECT query_id, match_id,
+                              ROUND(ROUND(raws, 6), 4) AS score4,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY ROUND(raws, 6) DESC,
+                                                          match_id) AS rank
+                       FROM scored)
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
+
+
+def _ivfpq_topk_sql(nlist: int = 8, nprobe: int = 3, m: int = 4,
+                    ksub: int = 8, k: int = 3, dim: int = 64) -> str:
+    """Oracle for the IVF-PQ composite: the shared IVF quantizer CTEs
+    (probe = rank <= nprobe) joined with the PQ encode/lookup-table CTEs
+    of _pq_topk_sql — candidates are the probed cells' members, scores
+    are the ADC sums of the candidates only. Stage-for-stage mirror of
+    similarity.ivfpq_topk(impl="expr")."""
+    ds = dim // m
+    return f"""
+            WITH {_ivf_cell_ctes(nlist)},
+            s AS (SELECT vec_id, v,
+                         row_number() OVER (ORDER BY vec_id) AS code FROM (
+                  SELECT vec_id, v FROM e
+                  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                           vec_id
+                  LIMIT {ksub})),
+            js AS (SELECT unnest(generate_series(0, {m} - 1)) AS j),
+            cbk AS (SELECT j, code, list_slice(v, j*{ds}+1, (j+1)*{ds}) AS sub
+                    FROM s CROSS JOIN js),
+            kr AS (SELECT e.vec_id, cbk.j, cbk.code,
+                          row_number() OVER (PARTITION BY e.vec_id, cbk.j
+                              ORDER BY ROUND(
+                                  list_dot_product(
+                                      list_slice(e.v, cbk.j*{ds}+1, (cbk.j+1)*{ds}),
+                                      cbk.sub)
+                                  - 0.5*list_dot_product(cbk.sub, cbk.sub),
+                                  6) DESC, cbk.code) AS rn
+                   FROM e CROSS JOIN cbk),
+            enc AS (SELECT vec_id, j, code FROM kr WHERE rn = 1),
+            qp AS (SELECT vec_id AS query_id, cid AS cell FROM ar
+                   WHERE rn <= {nprobe} AND vec_id < 10),
+            qtab AS (SELECT e.vec_id AS query_id, cbk.j, cbk.code,
+                            list_dot_product(
+                                list_slice(e.v, cbk.j*{ds}+1, (cbk.j+1)*{ds}),
+                                cbk.sub) AS ip
+                     FROM e CROSS JOIN cbk WHERE e.vec_id < 10),
+            cand AS (SELECT q.query_id, i.vec_id AS match_id
+                     FROM qp q JOIN cell i ON i.cell = q.cell
+                     WHERE i.vec_id != q.query_id),
+            scored AS (SELECT cd.query_id, cd.match_id, SUM(qt.ip) AS raws
+                       FROM cand cd
+                       JOIN enc en ON en.vec_id = cd.match_id
+                       JOIN qtab qt ON qt.query_id = cd.query_id
+                                   AND qt.j = en.j AND qt.code = en.code
+                       GROUP BY cd.query_id, cd.match_id),
             ranked AS (SELECT query_id, match_id,
                               ROUND(ROUND(raws, 6), 4) AS score4,
                               row_number() OVER (PARTITION BY query_id

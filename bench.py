@@ -198,6 +198,7 @@ def main() -> None:
         "pack_sequences",
         "semdedup",
         "pq_topk",
+        "ivfpq_topk",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -265,6 +266,11 @@ def main() -> None:
     timed_df("prod_pq_topk_arrow", lambda: _sim.pq_adc_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         m=8, ksub=16, impl="arrow"))
+    # IVF-PQ production shape: 64 cells probe 8, 8x16 PQ — the
+    # compressed inverted file (codes scanned: ~nprobe/nlist of corpus)
+    timed_df("prod_ivfpq_topk_arrow", lambda: _sim.ivfpq_topk(
+        embs.filter(F.col("vec_id") < 10), embs, k=3,
+        nlist=64, nprobe=8, m=8, ksub=16, impl="arrow"))
     timed_df("prod_ivf_topk_arrow", lambda: _sim.ivf_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         nlist=64, nprobe=8, impl="arrow"))

@@ -694,3 +694,57 @@ def test_pq_rejects_bad_geometry(embs):
     cbs = similarity.pq_train(embs, ksub=8)
     with pytest.raises(ValueError, match="contiguous"):
         similarity.pq_encode(embs, [(c + 1, v) for c, v in cbs], m=4)
+
+
+def test_ivfpq_arrow_equals_expr(embs):
+    """Both kernels (cell assignment + PQ encode) vs the expr path must
+    return identical top-k rows for the composite."""
+    dembs = embs.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qs = dembs.limit(5)
+
+    def rows(impl):
+        return sorted(
+            (r.query_id, r.rank, r.match_id, r.score)
+            for r in similarity.ivfpq_topk(
+                qs, dembs, k=3, nlist=8, nprobe=3, m=4, ksub=8,
+                impl=impl).collect())
+
+    assert rows("arrow") == rows("expr")
+
+
+def test_ivfpq_full_probe_equals_pq(embs):
+    """nprobe == nlist scans every cell, so IVF-PQ must EQUAL the plain
+    PQ ADC scan — gates that the cell pruning loses nothing beyond the
+    cells it prunes."""
+    qs = embs.limit(5)
+    pq = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.pq_adc_topk(qs, embs, k=3, m=4, ksub=8).collect())
+    ivfpq = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.ivfpq_topk(
+            qs, embs, k=3, nlist=8, nprobe=8, m=4, ksub=8).collect())
+    assert ivfpq == pq
+
+
+def test_ivfpq_materialized_index_roundtrip(spark, embs, tmp_path):
+    """pq_encode(ivf_assign(...)) written partitionBy('cell') and read
+    back must give ivfpq_topk(assigned_encoded=...) the same rows as the
+    inline path — the build-once compressed inverted file."""
+    cents = similarity.ivf_train(embs, nlist=8)
+    cbs = similarity.pq_train(embs, ksub=8)
+    path = str(tmp_path / "ivfpq_index")
+    similarity.pq_encode(similarity.ivf_assign(embs, cents), cbs, m=4).select(
+        "vec_id", "cell", "codes").write.partitionBy("cell").parquet(path)
+    back = spark.read.parquet(path)
+    qs = embs.limit(5)
+    inline = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.ivfpq_topk(
+            qs, embs, k=3, nlist=8, nprobe=3, m=4, ksub=8).collect())
+    reused = sorted(
+        (r.query_id, r.rank, r.match_id, r.score)
+        for r in similarity.ivfpq_topk(
+            qs, embs, k=3, nprobe=3, m=4, centroids=cents, codebooks=cbs,
+            assigned_encoded=back).collect())
+    assert inline == reused

@@ -611,3 +611,79 @@ def pq_adc_topk(
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
     return _global_topk(scored, k, shards)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    ksub: int = 8,
+    exclude_self: bool = True,
+    shards: int | None = None,
+    impl: str = "arrow",
+    centroids: list[tuple] | None = None,
+    codebooks: list[tuple[int, list]] | None = None,
+    assigned_encoded: DataFrame | None = None,
+) -> DataFrame:
+    """The classic IVF-PQ composite (Faiss IndexIVFPQ shape): the coarse
+    quantizer prunes the scan to ``nprobe``/``nlist`` of the corpus, the
+    product quantizer compresses what remains to m codes per vector —
+    scan cost is ~(nprobe/nlist)·n rows × m lookups, memory is codes
+    only. Pure composition of ivf_train/ivf_assign + pq_train/pq_encode;
+    the two samplers draw the lowest-md5-hash nlist and ksub ids
+    respectively, so both are reproducible from the corpus alone.
+
+    ``assigned_encoded`` (must carry i_id, ``cell``, ``codes``) is the
+    parquet read-back shape: materialize
+    pq_encode(ivf_assign(index, ...), ...) partitioned by cell ONCE and
+    every later probe reads nprobe/nlist of the files at 16 B/vector.
+
+    Like pq_adc_topk, scores are ADC approximations (no exact-rerank
+    pass) ranked (ROUND(,6) DESC, match_id ASC); ``impl`` governs the
+    assignment/encode kernels only — the probe-join and the scan scoring
+    are native Column exprs in both impls."""
+    from towhee_spark.kernels import dot_expr  # noqa: PLC0415
+
+    cents = centroids if centroids is not None else ivf_train(
+        index, i_id, i_vec, nlist)
+    nprobe = min(nprobe, len(cents))
+    cbs = codebooks if codebooks is not None else pq_train(
+        index, i_id, i_vec, ksub)
+    subs, ds = _pq_split(cbs, m)
+    cells_of = _ivf_cells_of(cents, impl, index.schema[i_id].dataType)
+
+    src = assigned_encoded if assigned_encoded is not None else pq_encode(
+        ivf_assign(index, cents, i_id, i_vec, impl), cbs, i_id, i_vec, m, impl)
+    ix = src.select(F.col(i_id).alias("match_id"), "cell", "codes").where(
+        F.col("codes").isNotNull())
+
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
+        F.explode(
+            F.transform(cells_of(F.col(q_vec), nprobe), lambda s: s.getField("c"))
+        ).alias("cell"),
+    )
+    for j in range(m):
+        sub = F.slice(F.col("__qv"), j * ds + 1, ds)
+        q = q.withColumn(f"__t{j}", F.array(*[
+            dot_expr(sub, F.array(*[F.lit(float(x)) for x in cvec]))
+            for cvec in subs[j]]))
+
+    # each index vector lives in exactly ONE cell and a query's probed
+    # cells are distinct, so the join can't emit a pair twice (ivf_topk)
+    joined = ix.join(F.broadcast(q.drop("__qv")), "cell")
+    score = F.element_at(F.col("__t0"), F.col("codes").getItem(0))
+    for j in range(1, m):
+        score = score + F.element_at(F.col(f"__t{j}"), F.col("codes").getItem(j))
+    scored = joined.select(
+        "query_id", "match_id", F.round(score, 6).alias("score"))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    return _global_topk(scored, k, shards)
