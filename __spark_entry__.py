@@ -700,6 +700,21 @@ def q_ivfpq_topk(spark, sf_dir):
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_classifier(spark, sf_dir):
+    # fastText-shape hashed linear quality classifier: shared-tokenizer
+    # unigrams + bigrams, md5 60-bit bucket hash, broadcast weight table,
+    # mean-pool logit. Weights are integers/1024 (exact binary fractions)
+    # so every per-doc sum is EXACT in double regardless of order — the
+    # logit matches bit-for-bit across engines with NO rounding margin to
+    # document; the gate skips only the sigmoid (engine-ulp exp)
+    from towhee_spark.functions.classifier import linear_classifier_score  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = linear_classifier_score(docs, dim=256)
+    return out.select(
+        "doc_id", "n_feats", F.round("logit", 6).alias("logit6"), "keep")
+
+
 def q_bm25(spark, sf_dir):
     # Okapi BM25 lexical retrieval, self-retrieval shape (first 5 docs
     # query the corpus with their own text); fully native plan — the
@@ -1069,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "classifier_score": q_classifier,
         "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
@@ -1385,6 +1401,7 @@ def _oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(nlist=8, threshold=0.3),
         "pq_topk": _pq_topk_sql(m=4, ksub=8, k=3, dim=64),
         "ivfpq_topk": _ivfpq_topk_sql(nlist=8, nprobe=3, m=4, ksub=8, k=3, dim=64),
+        "classifier_score": _classifier_sql(norm, dim=256),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
@@ -1644,6 +1661,48 @@ def _pq_topk_sql(m: int = 4, ksub: int = 8, k: int = 3, dim: int = 64) -> str:
                                                           match_id) AS rank
                        FROM scored)
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
+
+
+def _classifier_sql(norm: str, dim: int = 256, bias: float = 0.0) -> str:
+    """Oracle that re-runs the hashed linear classifier in SQL: shared
+    normalize_text tokenizer, unigram + adjacent-bigram features (DuckDB
+    index lambdas are 1-based: slice element i pairs with toks[i+1]),
+    hash60 bucket = md5('feat'||f) % dim, weight table re-derived from
+    the same md5 formula over generate_series, exact integer/1024 sums,
+    mean-pool logit — mirroring classifier.linear_classifier_score stage
+    for stage. All sums are exact binary fractions; no margins."""
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split({norm}, ' '),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            f AS (SELECT doc_id, unnest(toks) AS feat FROM d
+                  UNION ALL
+                  SELECT doc_id,
+                         unnest(list_transform(
+                             list_slice(toks, 1, len(toks) - 1),
+                             (x, i) -> x || '_' || toks[i + 1])) AS feat
+                  FROM d WHERE len(toks) >= 2),
+            fb AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5('feat' || feat), 1, 15))::BIGINT
+                               % {dim} AS INT) AS bucket
+                   FROM f),
+            w AS (SELECT CAST(b AS INT) AS bucket,
+                         (('0x' || substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                          % 2001 - 1000) / 1024.0 AS w
+                  FROM (SELECT unnest(generate_series(0, {dim} - 1)) AS b)),
+            agg AS (SELECT fb.doc_id, SUM(w.w) AS wsum,
+                           COUNT(*) AS n_feats
+                    FROM fb JOIN w ON w.bucket = fb.bucket
+                    GROUP BY fb.doc_id)
+            SELECT dd.doc_id,
+                   CAST(COALESCE(agg.n_feats, 0) AS BIGINT) AS n_feats,
+                   ROUND({bias} + COALESCE(agg.wsum / agg.n_feats, 0.0), 6)
+                       AS logit6,
+                   ({bias} + COALESCE(agg.wsum / agg.n_feats, 0.0)) >= 0.0
+                       AS keep
+            FROM documents dd
+            LEFT JOIN agg ON agg.doc_id = dd.doc_id"""
 
 
 def _ivfpq_topk_sql(nlist: int = 8, nprobe: int = 3, m: int = 4,

@@ -199,6 +199,7 @@ def main() -> None:
         "semdedup",
         "pq_topk",
         "ivfpq_topk",
+        "classifier_score",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
