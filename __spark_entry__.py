@@ -715,6 +715,22 @@ def q_classifier(spark, sf_dir):
         "doc_id", "n_feats", F.round("logit", 6).alias("logit6"), "keep")
 
 
+def q_dsir(spark, sf_dir):
+    # DSIR importance selection (Xie et al. 2023): target = the en slice,
+    # raw = the whole corpus; hashed unigram+bigram bag-of-words
+    # log-ratios frozen to INTEGERS (× 2^20) so per-doc accumulation and
+    # the top-k rank are exact int64 — the only float surface is the
+    # per-BUCKET log-ratio rounding (dim=256 values; margin measured at
+    # the oracle helper). Deterministic argmax config (gumbel=False);
+    # gumbel=True is the paper's sampling path, pytest-gated instead
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), k=50, dim=256)
+    return out.select("doc_id", "n_feats", "lw_scaled", "logweight", "rank")
+
+
 def q_bm25(spark, sf_dir):
     # Okapi BM25 lexical retrieval, self-retrieval shape (first 5 docs
     # query the corpus with their own text); fully native plan — the
@@ -1085,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "classifier_score": q_classifier,
+        "dsir_select": q_dsir,
         "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
@@ -1402,6 +1419,7 @@ def _oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_topk_sql(m=4, ksub=8, k=3, dim=64),
         "ivfpq_topk": _ivfpq_topk_sql(nlist=8, nprobe=3, m=4, ksub=8, k=3, dim=64),
         "classifier_score": _classifier_sql(norm, dim=256),
+        "dsir_select": _dsir_sql(norm, dim=256, k=50),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
@@ -1703,6 +1721,73 @@ def _classifier_sql(norm: str, dim: int = 256, bias: float = 0.0) -> str:
                        AS keep
             FROM documents dd
             LEFT JOIN agg ON agg.doc_id = dd.doc_id"""
+
+
+def _dsir_sql(norm: str, dim: int = 256, k: int = 50, smoothing: float = 1.0,
+              scale_bits: int = 20) -> str:
+    """Oracle that re-runs DSIR selection in SQL: the classifier's
+    unigram+bigram feature CTEs, per-bucket counts for the en target and
+    the full corpus, the add-one-smoothed log-ratio frozen to
+    ROUND(lr·2^20) BIGINTs over generate_series, exact integer per-doc
+    sums and the (lw_scaled DESC, doc_id ASC) top-k — mirroring
+    curation.dsir_select(gumbel=False) stage for stage.
+
+    Measured sign-stability margin (b1658cb discipline, sf0.001/0.01/0.1
+    at dim=256): the closest scaled log-ratio to a .5 rounding boundary
+    is 3.3e-5 of a unit — 4+ orders above the ~1e-9 cross-engine ln()
+    noise at 2^20 scale. Everything after the freeze is exact int64 (sum
+    magnitudes ≤ n_feats·max|li| ≈ 2^40, far from overflow)."""
+    s = float(smoothing)
+    sc = 1 << scale_bits
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split({norm}, ' '),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            f AS (SELECT doc_id, unnest(toks) AS feat FROM d
+                  UNION ALL
+                  SELECT doc_id,
+                         unnest(list_transform(
+                             list_slice(toks, 1, len(toks) - 1),
+                             (x, i) -> x || '_' || toks[i + 1])) AS feat
+                  FROM d WHERE len(toks) >= 2),
+            fb AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5('feat' || feat), 1, 15))::BIGINT
+                               % {dim} AS INT) AS bucket
+                   FROM f),
+            ct AS (SELECT fb.bucket, count(*) AS cnt
+                   FROM fb JOIN documents dd ON dd.doc_id = fb.doc_id
+                   WHERE dd.lang = 'en' GROUP BY fb.bucket),
+            cq AS (SELECT bucket, count(*) AS cnt FROM fb GROUP BY bucket),
+            tt AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS t FROM ct),
+            tq AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS t FROM cq),
+            li AS (SELECT b.bucket,
+                          CAST(ROUND((ln(COALESCE(ct.cnt, 0) + {s})
+                                      - ln(tt.t + {s * dim})
+                                      - ln(COALESCE(cq.cnt, 0) + {s})
+                                      + ln(tq.t + {s * dim})) * {sc}, 0)
+                               AS BIGINT) AS li
+                   FROM (SELECT unnest(generate_series(0, {dim} - 1)) AS bucket) b
+                   LEFT JOIN ct ON ct.bucket = b.bucket
+                   LEFT JOIN cq ON cq.bucket = b.bucket
+                   CROSS JOIN tt CROSS JOIN tq),
+            agg AS (SELECT fb.doc_id, CAST(SUM(li.li) AS BIGINT) AS lw,
+                           COUNT(*) AS nf
+                    FROM fb JOIN li ON li.bucket = fb.bucket
+                    GROUP BY fb.doc_id),
+            allr AS (SELECT dd.doc_id,
+                            CAST(COALESCE(agg.nf, 0) AS BIGINT) AS n_feats,
+                            CAST(COALESCE(agg.lw, 0) AS BIGINT) AS lw_scaled
+                     FROM documents dd
+                     LEFT JOIN agg ON agg.doc_id = dd.doc_id),
+            ranked AS (SELECT doc_id, n_feats, lw_scaled,
+                              row_number() OVER (ORDER BY lw_scaled DESC,
+                                                          doc_id) AS rank
+                       FROM allr)
+            SELECT doc_id, n_feats, lw_scaled,
+                   lw_scaled / {float(sc)} AS logweight,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= {k}"""
 
 
 def _ivfpq_topk_sql(nlist: int = 8, nprobe: int = 3, m: int = 4,

@@ -200,6 +200,7 @@ def main() -> None:
         "pq_topk",
         "ivfpq_topk",
         "classifier_score",
+        "dsir_select",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

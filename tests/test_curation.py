@@ -181,3 +181,75 @@ def test_token_budget_validation(spark):
         curation.sample_to_token_budget(df, budgets={}, strata_col="lang")
     with pytest.raises(ValueError, match="negative"):
         curation.sample_to_token_budget(df, budgets={"en": -1.0}, strata_col="lang")
+
+
+# -- DSIR importance resampling ---------------------------------------------
+
+
+def _dsir_corpus(spark):
+    target_rows = [(i, "alpha beta gamma delta alpha beta", "en")
+                   for i in range(10)]
+    mixed = [(100 + i, "alpha beta zeta yot", "xx") for i in range(5)]
+    junk = [(200 + i, "zeta yot omicron kappa zeta yot", "xx")
+            for i in range(5)]
+    empty = [(300, "", "xx")]
+    raw = spark.createDataFrame(
+        target_rows + mixed + junk + empty, "doc_id long, text string, lang string")
+    return raw, raw.filter(F.col("lang") == "en")
+
+
+def test_dsir_orders_target_like_docs_first(spark):
+    """Docs built from target-distribution tokens must out-weigh docs of
+    tokens the target never uses; mixed docs sit between."""
+    raw, target = _dsir_corpus(spark)
+    out = curation.dsir_logweights(raw, target, dim=64)
+    got = {r.doc_id: r.lw_scaled for r in out.collect()}
+    curation_release(out)
+    assert got[0] > got[100] > got[200]
+    assert got[300] == 0  # no features → additive-identity weight
+    sel = curation.dsir_select(raw, target, k=10, dim=64)
+    top = {r.doc_id for r in sel.collect()}
+    curation_release(sel)
+    assert top == set(range(10))  # the 10 target docs win the top-10
+
+
+def test_dsir_logratio_reuse_roundtrip(spark, tmp_path):
+    """dsir_logratio_table written to parquet and read back must drive
+    dsir_select to the identical ranking — the train-once 100 TB shape."""
+    raw, target = _dsir_corpus(spark)
+    lr = curation.dsir_logratio_table(raw, target, dim=64)
+    path = str(tmp_path / "dsir_lr")
+    lr.write.parquet(path)
+    curation_release(lr)
+    back = spark.read.parquet(path)
+    inline = [(r.doc_id, r.lw_scaled, r.rank) for r in
+              curation.dsir_select(raw, target, k=8, dim=64).collect()]
+    reused = [(r.doc_id, r.lw_scaled, r.rank) for r in
+              curation.dsir_select(raw, target, k=8, dim=64,
+                                   logratios=back).collect()]
+    assert inline == reused
+
+
+def test_dsir_gumbel_is_deterministic_sampling(spark):
+    """gumbel=True draws a seeded Gumbel-top-k: stable across reruns,
+    different under a different salt, and biased toward high weights."""
+    raw, target = _dsir_corpus(spark)
+
+    def sel(salt):
+        out = curation.dsir_select(raw, target, k=8, dim=64, gumbel=True,
+                                   gumbel_salt=salt)
+        got = [r.doc_id for r in out.collect()]
+        curation_release(out)
+        return got
+
+    a1, a2, b = sel("g1"), sel("g1"), sel("g2")
+    assert a1 == a2
+    assert set(a1) != set(b) or a1 != b
+    # exp(logweight) of target docs dwarfs junk: junk never sampled
+    assert not ({200, 201, 202, 203, 204} & set(a1))
+
+
+def curation_release(df):
+    from towhee_spark.functions.dedup import release_cached
+
+    release_cached(df)

@@ -24,7 +24,7 @@ every decision here is a pure Column expression the scan can evaluate
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: scale of the cross-engine 60-bit md5 hash (dedup.simhash_hash_expr
@@ -229,3 +229,178 @@ def sample_to_token_budget(
         .filter(hash60(id_col, salt) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — data selection via importance resampling
+
+
+def dsir_logratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    dim: int = 1024,
+    salt: str = "feat",
+    smoothing: float = 1.0,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """The DSIR importance model (Xie et al. 2023, arXiv:2302.03169):
+    hashed-n-gram bag-of-words distributions p (target) and q (raw), one
+    log-ratio per bucket. Returns (bucket:int, li:bigint) where li =
+    ROUND(log((cnt_t+s)/(T_t+s·dim) / ((cnt_q+s)/(T_q+s·dim))) · 2^scale_bits)
+    — the log computed ONCE per bucket (dim values, broadcastable), then
+    frozen to an INTEGER so every per-document accumulation downstream is
+    exact int64 arithmetic (the classifier's order-free-sum discipline;
+    per-doc feature counts are far below the 2^(63-scale_bits-7) overflow
+    line). Features are the shared unigram+bigram set
+    (classifier.feature_array), so the importance model and the quality
+    classifier read the same representation.
+
+    The plan is action-free: corpus totals ride 1-row broadcast
+    crossJoins (the bm25 stats shape); both count aggregates are
+    map-side-combined hash aggregates over the exploded features."""
+    from towhee_spark.functions.classifier import feature_array  # noqa: PLC0415 (cycle)
+
+    def bucket_counts(df):
+        return (
+            df.select(F.explode(feature_array(F.col(text_col))).alias("feat"))
+            .select(F.pmod(hash60(F.col("feat"), salt), F.lit(dim))
+                    .cast("int").alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
+
+    spark = raw.sparkSession
+    s = float(smoothing)
+    denom = F.lit(s * dim)
+    # each count frame feeds TWO consumers (the per-bucket join and its
+    # corpus total); cache so the explode+aggregate runs once per corpus
+    ct = bucket_counts(target).cache()
+    cq = bucket_counts(raw).cache()
+    tt = ct.agg(F.sum("cnt").alias("__tt"))
+    tq = cq.agg(F.sum("cnt").alias("__tq"))
+    lr = (
+        spark.range(dim).select(F.col("id").cast("int").alias("bucket"))
+        .join(F.broadcast(ct.withColumnRenamed("cnt", "__ct")), "bucket", "left")
+        .join(F.broadcast(cq.withColumnRenamed("cnt", "__cq")), "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tq))
+        .select(
+            "bucket",
+            (F.log(F.coalesce("__ct", F.lit(0)) + F.lit(s))
+             - F.log(F.coalesce("__tt", F.lit(0)) + denom)
+             - F.log(F.coalesce("__cq", F.lit(0)) + F.lit(s))
+             + F.log(F.coalesce("__tq", F.lit(0)) + denom)).alias("__lr"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("__lr") * F.lit(float(1 << scale_bits)), 0)
+            .cast("long").alias("li"),
+        )
+    )
+    return _with_cached_deps(lr, ct, cq)
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    salt: str = "feat",
+    smoothing: float = 1.0,
+    scale_bits: int = 20,
+    logratios: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: (id_col, n_feats,
+    lw_scaled:bigint, logweight:double) with lw_scaled = Σ_feat li[bucket]
+    (exact int64; logweight = lw_scaled / 2^scale_bits, an exact binary
+    division). Docs with no features get lw_scaled = 0. Pass
+    ``logratios`` (a dsir_logratio_table result, possibly read back from
+    parquet) to train once and reuse — the 100 TB shape: fit the model on
+    samples, then ONE broadcast join + hash aggregate over the corpus."""
+    lr = logratios if logratios is not None else dsir_logratio_table(
+        raw, target, text_col, dim, salt, smoothing, scale_bits)
+    from towhee_spark.functions.classifier import feature_array  # noqa: PLC0415
+
+    feats = raw.select(
+        F.col(id_col),
+        F.explode(feature_array(F.col(text_col))).alias("feat"),
+    ).select(
+        id_col,
+        F.pmod(hash60(F.col("feat"), salt), F.lit(dim)).cast("int").alias("bucket"),
+    )
+    agg = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("li").alias("lw_scaled"), F.count(F.lit(1)).alias("n_feats"))
+    )
+    out = (
+        raw.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("lw_scaled", F.lit(0)).alias("lw_scaled"),
+        )
+        .withColumn(
+            "logweight",
+            F.col("lw_scaled") / F.lit(float(1 << scale_bits)))
+    )
+    out._cached_deps = list(getattr(lr, "_cached_deps", []))  # noqa: SLF001
+    return out
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    salt: str = "feat",
+    smoothing: float = 1.0,
+    scale_bits: int = 20,
+    gumbel: bool = False,
+    gumbel_salt: str = "gumbel",
+    shards: int | None = 32,
+    logratios: DataFrame | None = None,
+) -> DataFrame:
+    """Select the ``k`` most-target-like documents by DSIR importance.
+
+    ``gumbel=False`` (deterministic, the gate config): rank by the EXACT
+    integer (lw_scaled DESC, id ASC) — a pure argmax selection.
+    ``gumbel=True`` (the paper's resampling): rank by logweight + g where
+    g = -log(-log(u)) and u = (hash60(gumbel_salt||id)+1)/(2^60+1) — a
+    seeded Gumbel-top-k, which IS sampling-without-replacement
+    proportional to exp(logweight); hash-derived noise keeps it
+    deterministic across retries and engines up to float ulp (hence not
+    the oracle path).
+
+    Two-phase top-k (``shards``) exactly like the retrieval family: no
+    single task ever sorts the whole corpus."""
+    lw = dsir_logweights(raw, target, id_col, text_col, dim, salt,
+                         smoothing, scale_bits, logratios)
+    if gumbel:
+        u = (hash60(id_col, gumbel_salt) + F.lit(1)).cast("double") / \
+            F.lit(float(HASH_SPACE + 1))
+        lw = lw.withColumn("__key", F.col("logweight") - F.log(-F.log(u)))
+        order = (F.col("__key").desc(), F.col(id_col).asc())
+    else:
+        order = (F.col("lw_scaled").desc(), F.col(id_col).asc())
+    w = Window.orderBy(*order)
+    if shards:
+        w1 = Window.partitionBy("__shard").orderBy(*order)
+        lw = (
+            lw.withColumn("__shard", F.pmod(F.xxhash64(id_col), F.lit(shards)))
+            .withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= k)
+            .drop("__r1", "__shard")
+        )
+    out = (
+        lw.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "n_feats", "lw_scaled", "logweight", "rank")
+    )
+    out._cached_deps = list(getattr(lw, "_cached_deps", []))  # noqa: SLF001
+    return out
