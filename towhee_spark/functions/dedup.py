@@ -932,16 +932,28 @@ def minhash_row_signature(
         ),
     )
     params = minhash_affine_params(num_hashes, seed)
-
-    def _affine(a: int, b: int):
-        # closure, not default args: PySpark counts every parameter of the
-        # callback as a lambda variable, so `lambda h, a=a, b=b` would bind
-        # as a 3-arg HOF callback
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
-
-    return F.array(*[
-        F.array_min(F.transform(h30_arr, _affine(a, b))) for a, b in params
+    # ONE aggregate fold computing all num_hashes minima per traversal:
+    # the earlier per-hash form (num_hashes separate
+    # array_min(transform(h30_arr, affine)) columns) re-EVALUATED the
+    # whole shingle+md5 chain once per hash function in the interpreted
+    # HOF evaluator — measured 220 s → 9.1 s (24×) for 32 hashes on the
+    # sf0.1 corpus, output identical. acc starts at P (every affine
+    # value is < P, so the first shingle always replaces it).
+    pstruct = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params
     ])
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+    return F.aggregate(
+        h30_arr,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            pstruct,
+            lambda m, p: F.least(
+                m, F.pmod(p.getField("a") * h + p.getField("b"),
+                          F.lit(MINHASH_P))),
+        ),
+    )
 
 
 def minhash_band_bucket_expr(
