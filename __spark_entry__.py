@@ -538,6 +538,16 @@ def q_unigram_ppl(spark, sf_dir):
     return lm.unigram_perplexity(docs)
 
 
+def q_bigram_ppl(spark, sf_dir):
+    # interpolated bigram LM (Jelinek-Mercer, lam=0.75 exactly
+    # representable) — the statistical-quality tier one order above
+    # unigram_ppl; oracle mirrors counts + the fixed-shape interpolation
+    from towhee_spark.functions import lm  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm.bigram_perplexity(docs)
+
+
 def q_text_stats(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -1102,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "classifier_score": q_classifier,
         "dsir_select": q_dsir,
+        "bigram_ppl": q_bigram_ppl,
+        "simhash_permuted": q_simhash_permuted,
         "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
@@ -1150,7 +1162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_concat": q_towhee_concat,
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "scan_topk": q_scan_topk,
-        "simhash_permuted": q_simhash_permuted,
         "embedding_neardup": q_embedding_neardup,
         "chunk_text": q_chunk_text,
         "rag_search": q_rag_search,
@@ -1420,6 +1431,7 @@ def _oracle_sql() -> dict[str, str]:
         "ivfpq_topk": _ivfpq_topk_sql(nlist=8, nprobe=3, m=4, ksub=8, k=3, dim=64),
         "classifier_score": _classifier_sql(norm, dim=256),
         "dsir_select": _dsir_sql(norm, dim=256, k=50),
+        "bigram_ppl": _bigram_ppl_sql(norm),
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
@@ -2786,6 +2798,54 @@ def _unigram_ppl_sql(norm: str) -> str:
             SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, avg_nll,
                    ROUND(exp(avg_nll), 6) AS ppl
             FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+
+def _bigram_ppl_sql(norm: str, lam: float = 0.75) -> str:
+    """Interpolated (Jelinek-Mercer) bigram LM, term for term: p(w2|w1) =
+    λ·cb/c1 + (1−λ)·(cf+1)/(T+V) with the SAME expression tree shape as
+    lm.bigram_perplexity so both engines feed ln the identical double
+    (integer counts, exactly-representable λ, fixed op order); avg_nll
+    rounds to 6 BEFORE the exp like the unigram oracle."""
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split({norm}, ' '),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            bi AS (SELECT doc_id,
+                          unnest(list_transform(
+                              list_slice(toks, 1, len(toks) - 1),
+                              (x, i) -> struct_pack(w1 := x,
+                                                    w2 := toks[i + 1]))) AS g
+                   FROM d WHERE len(toks) >= 2),
+            db AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM bi GROUP BY doc_id, g.w1, g.w2),
+            cb AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb
+                   FROM db GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1
+                   FROM cb GROUP BY w1),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok GROUP BY doc_id, token),
+            fr AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cf
+                   FROM dt GROUP BY token),
+            tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t_total,
+                           CAST(COUNT(*) AS BIGINT) AS v_total FROM fr),
+            sc AS (SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+                          ROUND(-SUM(db.c * ln(
+                              {lam} * (cb.cb / c1.c1)
+                              + {1.0 - lam} * ((fr.cf + 1.0)
+                                               / (tot.t_total + tot.v_total))
+                          )) / SUM(db.c), 6) AS avg_nll
+                   FROM db
+                   JOIN cb ON cb.w1 = db.w1 AND cb.w2 = db.w2
+                   JOIN c1 ON c1.w1 = db.w1
+                   JOIN fr ON fr.token = db.w2
+                   CROSS JOIN tot
+                   GROUP BY db.doc_id)
+            SELECT d2.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, avg_nll,
+                   ROUND(exp(avg_nll), 6) AS ppl
+            FROM documents d2 LEFT JOIN sc ON sc.doc_id = d2.doc_id"""
 
 
 def _quality_sql() -> str:

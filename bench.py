@@ -26,6 +26,19 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_speed_probe() -> float:
+    """Deterministic single-core canary: seconds for a fixed 1e7-iteration
+    Python add loop. ~0.6 s on this host when healthy; round-4 measured a
+    persistent ~2x-degraded window (1.2 s) that also slowed every Spark
+    phase uniformly — recording the probe lets round-over-round bench
+    numbers be host-normalized instead of misread as plan regressions."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10**7):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _cpu_sample() -> tuple[int, ...]:
     with open("/proc/stat") as f:
         return tuple(int(x) for x in f.readline().split()[1:9])
@@ -65,6 +78,8 @@ def main() -> None:
     from towhee_spark.synth import transcripts_spark
 
     from pyspark.sql import functions as F
+
+    host_probe = _host_speed_probe()
 
     timings: dict[str, float] = {}
 
@@ -201,6 +216,7 @@ def main() -> None:
         "ivfpq_topk",
         "classifier_score",
         "dsir_select",
+        "bigram_ppl",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -295,6 +311,7 @@ def main() -> None:
                 "n_turns": n_turns,
                 "total_sec": total,
                 "corpus_gen_sec": corpus_gen_sec,
+                "host_speed_probe_sec": host_probe,
                 "cold_first_run_sec": cold_first_run_sec,
                 "flagship_warm_runs": runs,
                 "flagship_stages_cum_sec": stages_cum,

@@ -107,6 +107,7 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "ivf_topk", "bm25_topk",
         "decontaminate", "hash_split", "sample_by_hash", "gopher_quality",
         "dedup_groups", "dedup_survivors", "duplicate_spans", "unigram_ppl",
+        "bigram_ppl",
         "token_budget", "neardup_static", "pack_sequences", "semdedup",
         "pq_topk", "ivfpq_topk", "classifier_score", "dsir_select",
         "embedding_norms", "text_stats", "text_repetition", "quality_score",

@@ -134,3 +134,71 @@ def test_doc_token_counts_is_single_agg(spark):
     plan = lm.doc_token_counts(sdf)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _py_bigram_ppl(docs: dict[int, str], lam: float = 0.75) -> dict[int, tuple]:
+    doc_bis = {}
+    for i, x in docs.items():
+        toks = [t for t in _norm_tokens(x) if t != ""]
+        doc_bis[i] = Counter(zip(toks, toks[1:]))
+    uni = Counter()
+    for i, x in docs.items():
+        uni.update(t for t in _norm_tokens(x) if t != "")
+    cb = Counter()
+    for b in doc_bis.values():
+        cb.update(b)
+    c1 = Counter()
+    for (w1, _), c in cb.items():
+        c1[w1] += c
+    T, V = sum(uni.values()), len(uni)
+    out = {}
+    for i, b in doc_bis.items():
+        n = sum(b.values())
+        if n == 0:
+            out[i] = (0, None, None)
+            continue
+        s = sum(c * math.log(lam * (cb[bg] / c1[bg[0]])
+                             + (1.0 - lam) * ((uni[bg[1]] + 1.0) / (T + V)))
+                for bg, c in b.items())
+        avg = round(-s / n, 6)
+        out[i] = (n, avg, round(math.exp(avg), 6))
+    return out
+
+
+def test_bigram_perplexity_matches_reference(spark):
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat the cat the cat",   # high-probability bigrams -> low ppl
+        3: "zyx qwv jkl pqr",           # every bigram unique -> higher ppl
+        4: "the cat sat on the mat",    # duplicate of 1 -> identical score
+        5: "",                          # blank
+        6: "single",                    # one token -> no bigram positions
+    }
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id: long, text: string")
+    out = lm.bigram_perplexity(sdf)
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+           for r in out.collect()}
+    from towhee_spark.functions.dedup import release_cached
+
+    release_cached(out)
+    want = _py_bigram_ppl(docs)
+    assert got == want
+    # NOTE no cross-doc ppl-ordering assert: self-trained MLE bigrams give
+    # singleton contexts cb/c1 = 1 (perfectly predictable), so "rare" docs
+    # can legitimately score LOWER ppl than common-word docs; the
+    # order-sensitivity property is asserted by the scramble test below
+    assert got[5] == (0, None, None) and got[6] == (0, None, None)
+    assert got[1] == got[4]
+
+
+def test_bigram_perplexity_discriminates_more_than_unigram(spark):
+    """Word-order scrambling is invisible to the unigram LM but penalized
+    by the bigram LM — the reason to run the higher order."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    scrambled = " ".join(reversed(base.split()))
+    rows = [(1, base), (2, scrambled)] + [(10 + i, base) for i in range(8)]
+    sdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+    uni = {r.doc_id: r.ppl for r in lm.unigram_perplexity(sdf).collect()}
+    bi = {r.doc_id: r.ppl for r in lm.bigram_perplexity(sdf).collect()}
+    assert uni[1] == uni[2]       # same bag -> unigram can't tell
+    assert bi[2] > bi[1]          # order broken -> bigram ppl rises

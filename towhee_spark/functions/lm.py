@@ -107,3 +107,99 @@ def unigram_perplexity(
         )
     )
     return _with_cached_deps(out, doc_tok)
+
+
+def doc_bigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2, c): per-document bigram bag counts — the shingles
+    arrays_zip pattern (two shifted slices zipped then exploded; all
+    whole-stage codegen, never an indexed-transform lambda). Docs with
+    < 2 tokens contribute nothing."""
+    toks = F.split(normalize_text(text_col), " ")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.filter(toks, lambda t: t != "").alias("__toks"),
+    ).select("id", "__toks", F.size("__toks").alias("__sz"))
+    zipped = F.arrays_zip(
+        F.slice("__toks", 1, F.col("__sz") - 1),
+        F.slice("__toks", 2, F.col("__sz") - 1),
+    )
+    return (
+        base.filter(F.col("__sz") >= 2)
+        .select("id", F.explode(zipped).alias("__g"))
+        .select("id", F.col("__g.0").alias("w1"), F.col("__g.1").alias("w2"))
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own INTERPOLATED bigram
+    LM — the Jelinek-Mercer smoothing KenLM-class models use, one order
+    up from unigram_perplexity:
+
+        p(w2|w1) = λ·cb(w1,w2)/c1(w1) + (1−λ)·(cf(w2)+1)/(T+V)
+
+    with cb = corpus bigram counts, c1(w1) = Σ_w2 cb(w1,w2) (the TRUE
+    context count — doc-final tokens never open a bigram, so this is not
+    the unigram count), and the add-one unigram as the backoff mass.
+    Self-trained ⇒ every scored bigram exists in the model (cb ≥ 1); the
+    backoff term keeps the formula total anyway so a foreign-corpus model
+    (pass precomputed frames in a variant) would not produce −inf.
+
+    Returns (id_col, n_bigrams, avg_nll, ppl); docs with < 2 tokens keep
+    n_bigrams = 0 and NULL scores. avg_nll = −(1/n)·Σ c·ln p rounded to
+    6; ppl = exp of the already-rounded avg_nll (the unigram_perplexity
+    float-parity posture: ln operands are identical doubles in both
+    engines — integer counts through a fixed-shape arithmetic tree with
+    an exactly-representable λ — terms are all-negative so no
+    cancellation, and exp sees the rounded value).
+
+    Scale: model training re-aggregates the already-reduced per-doc
+    bigram frame (shuffle rows ∝ distinct (doc, bigram)); scoring is one
+    join on (w1, w2), one on w1, one on w2, all AQE-skew-handled; corpus
+    totals ride a broadcast 1-row crossJoin. Default λ = 0.75 is exactly
+    representable so both engines scale with the identical double."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError("bigram_perplexity: lam must be in (0, 1)")
+    doc_bi = doc_bigram_counts(df, id_col, text_col).cache()
+    doc_tok = doc_token_counts(df, id_col, text_col).cache()
+    cb = doc_bi.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    c1 = cb.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    freq = unigram_counts(doc_tok)
+    totals = freq.agg(F.sum("cf").alias("__T"), F.count(F.lit(1)).alias("__V"))
+    p = (
+        F.lit(float(lam)) * (F.col("cb") / F.col("c1"))
+        + F.lit(1.0 - float(lam))
+        * ((F.col("cf") + F.lit(1.0)) / (F.col("__T") + F.col("__V")))
+    )
+    scored = (
+        doc_bi.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(freq.withColumnRenamed("token", "w2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(-F.sum(F.col("c") * F.log(p)) / F.sum("c"), 6).alias("avg_nll"),
+        )
+    )
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
+
+    out = (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_nll",
+            F.round(F.exp("avg_nll"), 6).alias("ppl"),
+        )
+    )
+    return _with_cached_deps(out, doc_bi, doc_tok)
