@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from towhee_spark import asof_join, lag_lead, locf, sessionize
 from towhee_spark.pipeline import Pipeline
 from towhee_spark.temporal import epoch_us
-from towhee_spark.functions import dedup, similarity, text
+from towhee_spark.functions import clustering, dedup, similarity, text
 from towhee_spark.sources.tables import (
     CONTEXT_SQL,
     TRANSCRIPTS_SQL,
@@ -710,6 +710,28 @@ def q_ivfpq_topk(spark, sf_dir):
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_kmeans(spark, sf_dir):
+    # Lloyd k-means (spherical — cosine is scale-invariant so the raw-mean
+    # update IS the spherical update): init = the shared md5-lowest-id
+    # sample, 2 iterations of argmax-ROUND(cos,6) assignment + INTEGER-
+    # frozen mean update (components frozen to ROUND(x·2^20) BIGINT, so
+    # per-cell sums are order-free exact int64 in both engines and the new
+    # component s/(n·2^20) is one IEEE division of exact ints — bit-
+    # identical across Spark/Python/DuckDB). The oracle unrolls both
+    # iterations in SQL. Measured margins (sf0.001/0.01/0.1): the freeze
+    # hits EXACT .5 ties (synthetic components are power-of-2 rationals) —
+    # harmless, x·2^20 is one multiply of identical doubles and both
+    # engines round half-away-from-zero, so exact ties agree
+    # deterministically; assignment cosines sit ≥2.8e-11 from their
+    # ROUND(,6) boundary (same order as the pq_topk gate, documented
+    # discipline in BASELINE.md).
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    cents = clustering.kmeans_train(embs, k=8, iters=2, impl="expr")
+    out = clustering.kmeans_assign(embs, cents, impl="expr", score_col="cos6")
+    return out.select("vec_id", "cell", "cos6")
+
+
 def q_classifier(spark, sf_dir):
     # fastText-shape hashed linear quality classifier: shared-tokenizer
     # unigrams + bigrams, md5 60-bit bucket hash, broadcast weight table,
@@ -1107,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "kmeans_assign": q_kmeans,
         "semdedup": q_semdedup,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
@@ -1427,6 +1450,7 @@ def _oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_sql(planes=8, probes=4, dim=64, seed=7),
         "ivf_topk": _ivf_topk_sql(nlist=8, nprobe=3, k=3),
         "semdedup": _semdedup_sql(nlist=8, threshold=0.3),
+        "kmeans_assign": _kmeans_sql(k=8, iters=2, dim=64),
         "pq_topk": _pq_topk_sql(m=4, ksub=8, k=3, dim=64),
         "ivfpq_topk": _ivfpq_topk_sql(nlist=8, nprobe=3, m=4, ksub=8, k=3, dim=64),
         "classifier_score": _classifier_sql(norm, dim=256),
@@ -1637,6 +1661,60 @@ def _semdedup_sql(nlist: int = 8, threshold: float = 0.3) -> str:
             FROM embeddings em
             LEFT JOIN cell cl ON cl.vec_id = em.vec_id
             LEFT JOIN dups d ON d.vec_id = em.vec_id"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                scale_bits: int = 20) -> str:
+    """Oracle that re-runs Lloyd k-means in SQL, both iterations unrolled:
+    init = the md5-lowest-id sample (c0, the _ivf_cell_ctes rule), each
+    iteration = argmax-(ROUND(cos,6) DESC, cid ASC) assignment + the
+    integer-frozen mean update  SUM(ROUND(v_j·2^20)::BIGINT) / (n·2^20)
+    (BIGINT/BIGINT is double division in DuckDB — the same IEEE division
+    of exactly-representable ints Python performs in _rebuild_cents), an
+    empty cell keeping its previous centroid via per-component COALESCE —
+    mirroring clustering.kmeans_train(impl="expr") stage for stage."""
+    scale = 1 << scale_bits
+    cos = ("ROUND(list_dot_product(e.v, c.cv)"
+           " / (sqrt(list_dot_product(e.v, e.v))"
+           " * sqrt(list_dot_product(c.cv, c.cv))), 6)")
+    ctes = [f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings WHERE embedding IS NOT NULL),
+            jx AS (SELECT unnest(range(1, {dim + 1})) AS j),
+            c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+                   ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id
+                   LIMIT {k})"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (SELECT e.vec_id, c.cid, {cos} AS cs
+                      FROM e CROSS JOIN c{i - 1} c),
+            r{i} AS (SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cs DESC, cid) AS rn
+                     FROM a{i}),
+            x{i} AS (SELECT vec_id, cid AS cell FROM r{i} WHERE rn = 1),
+            u{i} AS (SELECT x.cell, t.j,
+                            SUM(CAST(ROUND(e.v[t.j] * {scale}.0) AS BIGINT)) AS s,
+                            COUNT(*) AS n
+                     FROM x{i} x JOIN e USING (vec_id) CROSS JOIN jx t
+                     GROUP BY x.cell, t.j),
+            c{i} AS (SELECT p.cid,
+                            list(COALESCE(u.s / (u.n * {scale}), p.cv[t.j])
+                                 ORDER BY t.j) AS cv
+                     FROM c{i - 1} p
+                     CROSS JOIN jx t
+                     LEFT JOIN u{i} u ON u.cell = p.cid AND u.j = t.j
+                     GROUP BY p.cid)""")
+    ctes.append(f"""af AS (SELECT e.vec_id, c.cid, {cos} AS cs
+                    FROM e CROSS JOIN c{iters} c),
+            rf AS (SELECT vec_id, cid, cs,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cs DESC, cid) AS rn
+                   FROM af),
+            ff AS (SELECT vec_id, cid AS cell, cs FROM rf WHERE rn = 1)""")
+    return f"""
+            WITH {','.join(ctes)}
+            SELECT em.vec_id, f.cell, f.cs AS cos6
+            FROM embeddings em LEFT JOIN ff f ON f.vec_id = em.vec_id"""
 
 
 def _pq_topk_sql(m: int = 4, ksub: int = 8, k: int = 3, dim: int = 64) -> str:

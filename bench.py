@@ -217,6 +217,7 @@ def main() -> None:
         "classifier_score",
         "dsir_select",
         "bigram_ppl",
+        "kmeans_assign",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -292,6 +293,14 @@ def main() -> None:
     timed_df("prod_ivf_topk_arrow", lambda: _sim.ivf_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         nlist=64, nprobe=8, impl="arrow"))
+    # k-means production shape: Arrow assignment kernel, 16 cells (gate
+    # pins k=8 expr for the unrolled SQL-mirror oracle). kmeans_train is
+    # ITERATIVE (one aggregate job per Lloyd round at plan build), so the
+    # honest number times train + assign together, like dedup_groups_full
+    from towhee_spark.functions import clustering as _clu
+    timed("prod_kmeans_arrow_full", lambda: force(_clu.kmeans_assign(
+        embs, _clu.kmeans_train(embs, k=16, iters=2, impl="arrow"),
+        impl="arrow", score_col="cos6")))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

@@ -1,0 +1,97 @@
+"""Lloyd k-means: impl parity, objective monotonicity, the empty-cell
+keep-old rule, NULL handling, and the HOF single-evaluation plan shape."""
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import clustering
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+
+
+def test_arrow_expr_parity(embs):
+    """The production arrow kernel and the oracle-mirror expr path must be
+    bit-identical — same trained centroids, same assignments, same scores."""
+    ce = clustering.kmeans_train(embs, k=4, iters=2, impl="expr")
+    ca = clustering.kmeans_train(embs, k=4, iters=2, impl="arrow")
+    assert ce == ca
+    rows_e = sorted(
+        clustering.kmeans_assign(embs, ce, impl="expr", score_col="s").select(
+            "vec_id", "cell", "s").collect())
+    rows_a = sorted(
+        clustering.kmeans_assign(embs, ca, impl="arrow", score_col="s").select(
+            "vec_id", "cell", "s").collect())
+    assert rows_e == rows_a
+
+
+def test_objective_monotone(embs):
+    """Spherical-k-means objective (mean cosine to own centroid) never
+    decreases across Lloyd iterations — cosine is scale-invariant, so the
+    raw-mean update is the spherical update; the integer freeze perturbs
+    each centroid component by <2^-20, hence the tiny tolerance."""
+    prev = None
+    for iters in (0, 1, 2, 3):
+        c = clustering.kmeans_train(embs, k=4, iters=iters, impl="arrow")
+        m = (
+            clustering.kmeans_assign(embs, c, impl="arrow", score_col="s")
+            .agg(F.avg("s")).first()[0]
+        )
+        if prev is not None:
+            assert m >= prev - 1e-6, (iters, prev, m)
+        prev = m
+
+
+def test_centroids_change_and_labels_stable(embs):
+    c0 = clustering.kmeans_train(embs, k=4, iters=0, impl="arrow")
+    c2 = clustering.kmeans_train(embs, k=4, iters=2, impl="arrow")
+    assert [cid for cid, _ in c0] == [cid for cid, _ in c2]  # stable labels
+    assert c0 != c2  # the update actually moved the centroids
+
+
+def test_rebuild_cents_empty_cell_keeps_old():
+    """A cell that captured no vectors keeps its previous centroid — the
+    rule the oracle's per-component COALESCE mirrors."""
+    cents = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    rows = [{"cell": 1, "__n": 2, "__s0": 2 << 20, "__s1": 2 << 20}]
+    out = clustering._rebuild_cents(cents, rows, dim=2, scale=1 << 20)
+    assert out == [(1, [1.0, 1.0]), (2, [0.0, 1.0])]
+
+
+def test_assign_null_vector_gets_null_cell(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id int, embedding array<double>")
+    cents = [(7, [1.0, 0.0]), (9, [0.0, 1.0])]
+    rows = {r.vec_id: r for r in clustering.kmeans_assign(
+        df, cents, impl="expr", score_col="s").collect()}
+    assert rows[1].cell == 7 and rows[1].s == 1.0
+    assert rows[2].cell is None and rows[2].s is None
+    # tie on ROUND(cos,6) → lowest cid wins (the shared ivf rule)
+    tie = spark.createDataFrame(
+        [(3, [1.0, 1.0])], "vec_id int, embedding array<double>")
+    assert clustering.kmeans_assign(
+        tie, cents, impl="expr").first().cell == 7
+
+
+def test_assign_rejects_cell_collision(spark):
+    df = spark.createDataFrame([(1, [1.0], "x")],
+                               "vec_id int, embedding array<double>, cell string")
+    with pytest.raises(ValueError, match="cell"):
+        clustering.kmeans_assign(df, [(1, [1.0])])
+
+
+def test_score_path_single_generator(embs):
+    """score_col routes the k-cosine fold through ONE explode generator —
+    exactly one Generate node, no duplicated fold subtree."""
+    cents = clustering.kmeans_train(embs, k=4, iters=1, impl="expr")
+    plan = clustering.kmeans_assign(
+        embs, cents, impl="expr", score_col="s")._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.count("Generate") == 1

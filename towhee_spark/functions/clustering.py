@@ -1,0 +1,144 @@
+"""Lloyd k-means over embedding columns (spherical / cosine flavor).
+
+The data-mixing cluster step (cluster-then-select curation à la SemDeDup /
+cluster-balanced sampling) the reference delegates to Faiss index training
+(ref hub_ops/ann_search.py:36-53, ann_insert.py:24-43); here the train
+loop is a sequence of Spark jobs — ONE map-side-combined hash aggregate
+per iteration producing k·(dim+1) longs — and the model is k·dim doubles
+broadcast back into the plan as kernel constants / literals.
+
+Cosine is scale-invariant, so the spherical-k-means update (normalized
+mean direction) and the plain mean produce IDENTICAL assignments — we
+keep the raw mean and skip the normalize, which keeps the oracle SQL a
+pure SUM/COUNT mirror.
+
+Exact cross-engine parity (the round-4 integer-freeze discipline): each
+component is frozen ONCE per iteration to ROUND(x·2^scale_bits) BIGINT,
+so the per-cell sums are order-free exact int64 arithmetic in both
+engines, and the new centroid component  s / (n·2^scale_bits)  is one
+IEEE double division of exactly-representable integers — bit-identical in
+Spark, Python and DuckDB. The only float surfaces are the freeze
+(boundary risk measured like DSIR's) and the ROUND(cos, 6) argmax shared
+with ivf_assign.
+
+Scale story (100 TB): per iteration the corpus is scanned once, reduced
+map-side to k rows of dim+1 longs (no shuffle of vectors, no skew — hash
+aggregate, not a window), and k·dim doubles come back to the driver.
+iters actions total, same as any distributed Lloyd implementation; the
+assignment itself is shuffle-free (per-row argmax against broadcast
+centroids).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from towhee_spark.functions.similarity import _ivf_cells_of, ivf_train
+
+
+def _rebuild_cents(
+    cents: list[tuple],
+    rows: list,
+    dim: int,
+    scale: int,
+) -> list[tuple]:
+    """Lloyd update from the collected per-cell integer sums: new
+    component = s_j / (n·scale) (exact-int division, see module doc); a
+    cell that captured no vectors keeps its previous centroid — the same
+    keep-old rule the SQL oracle's per-component COALESCE encodes."""
+    by_cell = {r["cell"]: r for r in rows}
+    out = []
+    for cid, old in cents:
+        r = by_cell.get(cid)
+        if r is None or r["__n"] == 0:
+            out.append((cid, list(old)))
+        else:
+            n = r["__n"]
+            out.append((cid, [r[f"__s{j}"] / (n * scale) for j in range(dim)]))
+    return out
+
+
+def kmeans_train(
+    index: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    impl: str = "arrow",
+    scale_bits: int = 20,
+) -> list[tuple]:
+    """Train Lloyd k-means: init = the ivf_train md5-lowest-id sample
+    (centroid LABELS are those init vector ids, stable across updates),
+    then ``iters`` rounds of argmax-ROUND(cos,6) assignment (cid-asc
+    tie-break — exactly ivf_assign's rule) + integer-frozen mean update.
+    Returns [(cid, [double]*dim), ...] cid-ascending; feed to
+    kmeans_assign / ivf_topk(centroids=) to cluster once and reuse."""
+    cents = ivf_train(index, i_id=i_id, i_vec=i_vec, nlist=k)
+    dim = len(cents[0][1])
+    scale = 1 << scale_bits
+    e = (
+        index.select(
+            F.col(i_id).alias("__id"),
+            F.col(i_vec).cast("array<double>").alias("__v"),
+        )
+        .where(F.col("__v").isNotNull())
+    )
+    id_type = index.schema[i_id].dataType
+    sums = [
+        F.sum(
+            F.round(F.element_at("__v", j + 1) * F.lit(float(scale)), 0)
+            .cast("long")
+        ).alias(f"__s{j}")
+        for j in range(dim)
+    ]
+    for _ in range(iters):
+        cells_of = _ivf_cells_of(cents, impl, id_type)
+        rows = (
+            e.withColumn(
+                "cell", F.element_at(cells_of(F.col("__v"), 1), 1).getField("c")
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"), *sums)
+            .collect()
+        )
+        cents = _rebuild_cents(cents, rows, dim, scale)
+    return cents
+
+
+def kmeans_assign(
+    index: DataFrame,
+    centroids: list[tuple],
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    impl: str = "arrow",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Assign every vector to its trained cluster: original columns + a
+    ``cell`` column (the owning centroid's label) and, when ``score_col``
+    is set, the ROUND(cos, 6) similarity to that centroid — the per-row
+    outlier / mixing-weight signal. Action-free (centroids are REQUIRED —
+    the lsh_topk dim= convention); NULL vectors get NULL cell/score."""
+    if "cell" in index.columns:
+        raise ValueError(
+            "kmeans_assign: index already has a 'cell' column — rename it first")
+    cells_of = _ivf_cells_of(centroids, impl, index.schema[i_id].dataType)
+    vec = F.col(i_vec)
+    if dict(index.dtypes).get(i_vec) != "array<double>":
+        vec = vec.cast("array<double>")
+    if score_col is None:
+        return index.withColumn(
+            "cell", F.element_at(cells_of(vec, 1), 1).getField("c"))
+    # cell AND score both come from the same k-cosine fold: route it
+    # through ONE explode_outer generator so the fold runs once per row
+    # (two sibling Column exprs would re-run it — the interpreted-HOF
+    # re-evaluation trap; explode_outer also keeps NULL-vector rows,
+    # which get NULL cell/score)
+    return (
+        index.select("*", F.explode_outer(cells_of(vec, 1)).alias("__best"))
+        .select(
+            *index.columns,
+            F.col("__best.c").alias("cell"),
+            # cells_of sorts by d = 1 - ROUND(cos, 6); invert to the cosine
+            F.round(F.lit(1.0) - F.col("__best.d"), 6).alias(score_col),
+        )
+    )
