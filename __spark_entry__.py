@@ -839,6 +839,23 @@ def q_decontaminate(spark, sf_dir):
     return curation.decontaminate(corpus, bench, n=3, threshold=3)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    # Bloom-filter decontamination (the compact-broadcast scale shape):
+    # same corpus/benchmark split as q_decontaminate, but membership goes
+    # through a 4096-bit k=3 Bloom filter — deliberately undersized so the
+    # gate exercises REAL false positives; both engines derive the
+    # identical bit map and FP set (md5 positions, integer bit ops), so
+    # the maybe-contaminated counts match exactly. Production sizing:
+    # m_bits ≥ 16× the benchmark's distinct shingles (docstring).
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    bench = docs.filter(F.col("doc_id") < 25)
+    return curation.bloom_decontaminate(
+        corpus, bench, n=3, threshold=3, m_bits=4096, k=3)
+
+
 def q_hash_split(spark, sf_dir):
     # deterministic 80/10/10 split: label = cumulative-threshold bucket of
     # the cross-engine 60-bit md5 hash of 'split'||doc_id — integer
@@ -1129,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans_assign": q_kmeans,
         "semdedup": q_semdedup,
         "pq_topk": q_pq_topk,
@@ -1459,6 +1477,8 @@ def _oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_topk_sql(norm, k=3),
         "rrf_hybrid": _rrf_hybrid_sql(norm, dim=32, kr=10, k=5, c=60),
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
+        "bloom_decontaminate": _bloom_decon_sql(
+            norm, threshold=3, bench_max=25, m_bits=4096, k=3),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -2127,6 +2147,51 @@ def _decontaminate_sql(norm: str, threshold: int = 3, bench_max: int = 25) -> st
             FROM sh JOIN b USING (shingle)
             WHERE id >= {bench_max}
             GROUP BY id HAVING COUNT(*) >= {threshold}"""
+
+
+def _bloom_decon_sql(norm: str, threshold: int = 3, bench_max: int = 25,
+                     m_bits: int = 4096, k: int = 3,
+                     salt: str = "bloom") -> str:
+    """Oracle for curation.bloom_decontaminate: the shared shingle CTE,
+    then the SAME Bloom construction in SQL — md5 60-bit positions
+    mod m_bits, 32-bit words OR-folded, k probes per corpus shingle, a
+    shingle maybe-present iff all k distinct probe indexes hit — so the
+    oracle reproduces the exact false-positive set, not just the exact
+    hits."""
+    def pos(i: int) -> str:
+        return f"({_hash60_sql('shingle', f'{salt}{i}')} % {m_bits})"
+
+    probe_arms = "\n                  UNION ALL ".join(
+        f"SELECT id, shingle, {i} AS i, {pos(i)} AS p FROM shc"
+        for i in range(k)
+    )
+    return f"""
+            WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+            sh AS (
+                SELECT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM t
+                )
+            ),
+            shb AS (SELECT DISTINCT shingle FROM sh WHERE id < {bench_max}),
+            shc AS (SELECT id, shingle FROM sh WHERE id >= {bench_max}),
+            bl AS (SELECT p // 32 AS word,
+                          bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+                   FROM (SELECT unnest([{', '.join(pos(i) for i in range(k))}]) AS p
+                         FROM shb)
+                   GROUP BY 1),
+            pr AS ({probe_arms}),
+            hit AS (SELECT pr.id, pr.shingle
+                    FROM pr JOIN bl ON bl.word = pr.p // 32
+                     AND (bl.bits & (1::BIGINT << CAST(pr.p % 32 AS INT))) != 0
+                    GROUP BY pr.id, pr.shingle
+                    HAVING COUNT(DISTINCT pr.i) = {k})
+            SELECT id AS doc_id, COUNT(*) AS hits, MIN(shingle) AS sample_shingle
+            FROM hit GROUP BY id HAVING COUNT(*) >= {threshold}"""
 
 
 def _hash60_sql(col_sql: str, salt: str) -> str:

@@ -197,6 +197,7 @@ def main() -> None:
         "bm25_topk",
         "rrf_hybrid",
         "decontaminate",
+        "bloom_decontaminate",
         "hash_split",
         "sample_by_hash",
         "gopher_quality",

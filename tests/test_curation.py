@@ -253,3 +253,54 @@ def curation_release(df):
     from towhee_spark.functions.dedup import release_cached
 
     release_cached(df)
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sfdocs(spark):
+    return spark.read.parquet(f"{SF001}/documents.parquet").cache()
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sfdocs):
+    """Bloom guarantee: every exact hit survives the filter, with
+    bloom-hits >= exact-hits per doc (FPs only ever ADD counts)."""
+    corpus = sfdocs.filter(F.col("doc_id") >= 10)
+    bench = sfdocs.filter(F.col("doc_id") < 10)
+    exact = {r.doc_id: r.hits for r in curation.decontaminate(
+        corpus, bench, n=3, threshold=1).collect()}
+    bloom = {r.doc_id: r.hits for r in curation.bloom_decontaminate(
+        corpus, bench, n=3, threshold=1, m_bits=2048, k=3).collect()}
+    assert exact, "fixture produced no contamination — test is vacuous"
+    for did, h in exact.items():
+        assert bloom.get(did, 0) >= h, (did, h, bloom.get(did))
+
+
+def test_bloom_decontaminate_sized_filter_equals_exact(spark, sfdocs):
+    """At the documented sizing (m_bits >= 16x distinct bench shingles)
+    the deterministic FP set is empty on this corpus and the Bloom path
+    reproduces the exact answer row-for-row."""
+    corpus = sfdocs.filter(F.col("doc_id") >= 10)
+    bench = sfdocs.filter(F.col("doc_id") < 10)
+    exact = sorted(curation.decontaminate(
+        corpus, bench, n=3, threshold=1).collect())
+    bloom = sorted(curation.bloom_decontaminate(
+        corpus, bench, n=3, threshold=1, m_bits=1 << 20, k=3).collect())
+    assert bloom == exact
+
+
+def test_bloom_build_shape_and_validation(spark):
+    vals = spark.createDataFrame([(f"s{i}",) for i in range(100)], "shingle string")
+    bl = curation.bloom_build(vals, "shingle", m_bits=1024, k=3).collect()
+    assert len(bl) <= 1024 // 32
+    assert all(0 <= r.word < 1024 // 32 for r in bl)
+    # popcount over all words <= k * n distinct values
+    pop = sum(bin(r.bits & ((1 << 64) - 1)).count("1") for r in bl)
+    assert 0 < pop <= 300
+    with pytest.raises(ValueError, match="m_bits"):
+        curation.bloom_build(vals, "shingle", m_bits=100)
+    with pytest.raises(ValueError, match="k must"):
+        curation.bloom_build(vals, "shingle", k=0)
+    with pytest.raises(ValueError, match="threshold"):
+        curation.bloom_decontaminate(vals, vals, threshold=0)

@@ -105,7 +105,8 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "simhash_weighted", "simhash_permuted", "embedding_neardup",
         "similarity_topk",
         "ivf_topk", "bm25_topk",
-        "decontaminate", "hash_split", "sample_by_hash", "gopher_quality",
+        "decontaminate", "bloom_decontaminate", "hash_split",
+        "sample_by_hash", "gopher_quality",
         "dedup_groups", "dedup_survivors", "duplicate_spans", "unigram_ppl",
         "bigram_ppl",
         "token_budget", "neardup_static", "pack_sequences", "semdedup",

@@ -170,6 +170,114 @@ def decontaminate(
     )
 
 
+def bloom_build(
+    values: DataFrame,
+    value_col: str = "shingle",
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of (word:int, bits:long) — the
+    set bits of an ``m_bits``-wide bitmap packed 32 per word (32, not 64:
+    ``1::BIGINT << 63`` overflows DuckDB while Java wraps silently, so the
+    cross-engine mirror stays in the safe shift range). Bit positions are
+    ``pmod(hash60(salt||i||value), m_bits)`` for i in 0..k-1 — the
+    cross-engine md5 hash, so both engines set identical bits. ≤ m_bits/32
+    rows regardless of input size: a 2^30-bit filter is 4 MiB of rows —
+    always broadcastable."""
+    if m_bits % 32 or m_bits <= 0:
+        raise ValueError("bloom_build: m_bits must be a positive multiple of 32")
+    if not 1 <= k <= 16:
+        raise ValueError("bloom_build: k must be in 1..16")
+    c = F.col(value_col)
+    pos = F.explode(F.array(*[
+        F.pmod(hash60(c, f"{salt}{i}"), F.lit(m_bits)) for i in range(k)
+    ]))
+    return (
+        values.select(pos.alias("p"))
+        .select(
+            F.shiftright("p", 5).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("__m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: int = 1,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    salt: str = "bloom",
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter benchmark set — the
+    100 TB shape for benchmark suites too large to broadcast verbatim: a
+    2^30-bit filter is a 4 MiB broadcast no matter how many shingles the
+    suite holds, vs GBs for the exact distinct-shingle frame. Same output
+    contract (doc_id, hits, sample_shingle), where ``hits`` now counts
+    maybe-contaminated shingles: a superset of the exact answer with
+    per-shingle false-positive rate ≈ (1 − e^(−k·n_set/m_bits))^k — size
+    m_bits ≥ ~16× the benchmark's distinct-shingle count for <0.1% FP at
+    k=3. Deterministic: both engines derive the identical FP set, so the
+    estimate itself is exactly reproducible (and gateable).
+
+    Plan: the corpus shingle stream stays the NON-distinct bag (the
+    decontaminate discipline — no full-corpus pre-dedup exchange); each
+    shingle probes k words of the broadcast filter, a probe survives iff
+    its bit is set, and a shingle is maybe-present iff all k DISTINCT
+    probe indexes survive — counted per (doc, shingle) on the pruned
+    stream only, so both aggregates are contamination-sized, not
+    corpus-sized."""
+    from towhee_spark.functions.dedup import shingles  # noqa: PLC0415
+
+    if threshold < 1:
+        raise ValueError("bloom_decontaminate: threshold must be >= 1")
+    b_sh = (
+        shingles(benchmark, id_col, bench_text_col, n=n)
+        .select("shingle").distinct()
+    )
+    bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k, salt=salt)
+    d_sh = shingles(docs, id_col, text_col, n=n, distinct=False)
+    probes = d_sh.select(
+        "id", "shingle",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.pmod(hash60(F.col("shingle"), f"{salt}{i}"), F.lit(m_bits))
+                .alias("p"),
+            )
+            for i in range(k)
+        ])).alias("__pr"),
+    ).select(
+        "id", "shingle", F.col("__pr.i").alias("i"), F.col("__pr.p").alias("p")
+    )
+    hit = (
+        probes.join(
+            F.broadcast(bloom), F.shiftright("p", 5).cast("int") == F.col("word")
+        )
+        .filter(
+            F.col("bits").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+            ) != 0
+        )
+        .groupBy("id", "shingle")
+        .agg(F.countDistinct("i").alias("__kk"))
+        .filter(F.col("__kk") == k)
+    )
+    return (
+        hit.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("hits"), F.min("shingle").alias("sample_shingle"))
+        .filter(F.col("hits") >= threshold)
+        .select(F.col("id").alias(id_col), "hits", "sample_shingle")
+    )
+
+
 def sample_to_token_budget(
     df: DataFrame,
     budgets: dict[str, float],
