@@ -779,6 +779,21 @@ def q_bm25(spark, sf_dir):
         "query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_tfidf_terms(spark, sf_dir):
+    # per-doc keyword extraction: top-5 terms by tf·idf with the idf
+    # frozen once per TERM to ROUND(idf·2^20) BIGINT — the ranking is
+    # pure int64 (tf·idf_q20), so the only float surface is the per-term
+    # freeze; the single ln is written as one log-of-ratio in BOTH
+    # engines so operand shapes match (never ln(a)−ln(b)). Oracle
+    # re-runs postings → df → freeze → window rank in SQL. Measured
+    # freeze margins (sf0.001/0.01/0.1): idf·2^20 sits ≥3.2e-3 from every
+    # .5 boundary — ~13 orders above cross-engine libm ln noise.
+    from towhee_spark.functions import ranking  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ranking.tfidf_top_terms(docs, k=5)
+
+
 def q_rrf_hybrid(spark, sf_dir):
     # hybrid retrieval: Okapi BM25 lexical top-10 ⊕ exact-cosine dense
     # top-10 over md5-parity embeddings, fused with Reciprocal Rank Fusion
@@ -1146,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "tfidf_terms": q_tfidf_terms,
         "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans_assign": q_kmeans,
         "semdedup": q_semdedup,
@@ -1479,6 +1495,7 @@ def _oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(norm, threshold=3, bench_max=25),
         "bloom_decontaminate": _bloom_decon_sql(
             norm, threshold=3, bench_max=25, m_bits=4096, k=3),
+        "tfidf_terms": _tfidf_sql(norm, k=5),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -2147,6 +2164,37 @@ def _decontaminate_sql(norm: str, threshold: int = 3, bench_max: int = 25) -> st
             FROM sh JOIN b USING (shingle)
             WHERE id >= {bench_max}
             GROUP BY id HAVING COUNT(*) >= {threshold}"""
+
+
+def _tfidf_sql(norm: str, k: int = 5, scale_bits: int = 20) -> str:
+    """Oracle for ranking.tfidf_top_terms: the shared tokenizer mirror,
+    postings + doc frequencies, the per-term integer freeze
+    ROUND((ln((N+1)/(df+1)) + 1)·2^20)::BIGINT (single log-of-ratio, the
+    exact expression Spark evaluates), then the all-integer
+    (tf·idf_q20 DESC, term ASC) window rank."""
+    scale = 1 << scale_bits
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              list_filter(string_split({norm}, ' '),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            post AS (SELECT doc_id, tok AS term, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+                     GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            scored AS (SELECT p.doc_id, p.term, p.tf,
+                              p.tf * CAST(ROUND(
+                                  (ln((s.n_docs + 1.0) / (f.df + 1.0)) + 1.0)
+                                  * {scale}.0) AS BIGINT) AS score_q20
+                       FROM post p JOIN dfreq f USING (term) CROSS JOIN n s),
+            ranked AS (SELECT doc_id, term, tf, score_q20,
+                              row_number() OVER (PARTITION BY doc_id
+                                                 ORDER BY score_q20 DESC,
+                                                          term) AS rank
+                       FROM scored)
+            SELECT doc_id, term, tf, score_q20, rank
+            FROM ranked WHERE rank <= {k}"""
 
 
 def _bloom_decon_sql(norm: str, threshold: int = 3, bench_max: int = 25,

@@ -195,6 +195,7 @@ def main() -> None:
         "lsh_topk",
         "ivf_topk",
         "bm25_topk",
+        "tfidf_terms",
         "rrf_hybrid",
         "decontaminate",
         "bloom_decontaminate",

@@ -304,3 +304,44 @@ def test_bloom_build_shape_and_validation(spark):
         curation.bloom_build(vals, "shingle", k=0)
     with pytest.raises(ValueError, match="threshold"):
         curation.bloom_decontaminate(vals, vals, threshold=0)
+
+
+def test_tfidf_top_terms_matches_python(spark, sfdocs):
+    """Cross-check against a plain Python tf-idf over the same tokenizer:
+    same winners, same integer scores, ranks dense per doc."""
+    import math
+    from collections import Counter
+
+    from towhee_spark.functions import ranking
+    from towhee_spark.functions.dedup import release_cached
+
+    out = ranking.tfidf_top_terms(sfdocs, k=3)
+    rows = out.collect()
+    release_cached(out)
+    py_docs = {
+        r.doc_id: [t for t in (r.text or "").lower().split() if t]
+        for r in sfdocs.select("doc_id", "text").collect()
+    }
+    n = len(py_docs)
+    df = Counter()
+    for toks in py_docs.values():
+        df.update(set(toks))
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.score_q20))
+    for did, entries in got.items():
+        toks = py_docs[did]
+        tf = Counter(toks)
+        scored = sorted(
+            ((-tf[t] * round((math.log((n + 1) / (df[t] + 1)) + 1) * (1 << 20)), t)
+             for t in tf),
+        )[:3]
+        expect = [(i + 1, t, tf[t], -s) for i, (s, t) in enumerate(scored)]
+        assert sorted(entries) == expect, (did, sorted(entries), expect)
+
+
+def test_tfidf_validates_k(spark, sfdocs):
+    from towhee_spark.functions import ranking
+
+    with pytest.raises(ValueError, match="k must"):
+        ranking.tfidf_top_terms(sfdocs, k=0)

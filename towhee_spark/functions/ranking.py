@@ -155,3 +155,63 @@ def rrf_fuse(
     )
     deps = [d for r in rankings for d in getattr(r, "_cached_deps", [])]
     return _with_cached_deps(out, *deps)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    d_id: str = "doc_id",
+    d_text: str = "text",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-document keyword extraction: (doc_id, term, tf, score_q20,
+    rank) — the top-``k`` terms by tf·idf with the smooth non-negative
+    idf = ln((N+1)/(df+1)) + 1 (the sklearn form).
+
+    Exact-integer ranking (the round-4 freeze discipline): idf is
+    computed ONCE per term — a vocabulary-sized frame — and frozen to
+    ROUND(idf·2^scale_bits) BIGINT, so every per-(doc,term) score
+    tf·idf_q20 is exact int64 and the (score DESC, term ASC) rank has no
+    float surface at all; the only boundary risk is the per-term freeze
+    (measured like DSIR's — the one ln is written as a SINGLE log of the
+    ratio in both engines, never ln(a)−ln(b), so the operand shapes
+    match).
+
+    Plan (100 TB story): postings = one map-side-combined hash aggregate
+    over the exploded corpus; df = a second aggregate over postings,
+    joined back on term SHUFFLED (a web-scale vocabulary is not
+    broadcastable); N rides a broadcast 1-row crossJoin (action-free,
+    the bm25 stats shape); the top-k window partitions by DOC — bounded
+    by document length, so no mega-key risk. Tokenizer is the shared
+    normalize mirror (``_toks``)."""
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
+
+    if k < 1:
+        raise ValueError("tfidf_top_terms: k must be >= 1")
+    base = docs.select(
+        F.col(d_id).alias("id"), _toks(F.col(d_text)).alias("__toks")
+    ).cache()
+    post = (
+        base.select("id", F.explode("__toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = base.agg(F.count(F.lit(1)).alias("__n"))
+    scale = float(1 << scale_bits)
+    idf_q = F.round(
+        (F.log((F.col("__n") + 1).cast("double") / (F.col("__df") + 1).cast("double"))
+         + F.lit(1.0)) * F.lit(scale),
+        0,
+    ).cast("long")
+    w = Window.partitionBy("id").orderBy(F.col("score_q20").desc(), "term")
+    out = (
+        post.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("id", "term", "tf", (F.col("tf") * idf_q).alias("score_q20"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(d_id), "term", "tf", "score_q20", "rank")
+    )
+    return _with_cached_deps(out, base, post)
