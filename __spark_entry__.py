@@ -871,6 +871,47 @@ def q_bloom_decontaminate(spark, sf_dir):
         corpus, bench, n=3, threshold=3, m_bits=4096, k=3)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    # Count-min-sketch heavy hitters over the corpus token stream: 4×256
+    # cells (width pinned small so collisions REALLY occur and the
+    # min-over-rows estimate is exercised, not just pass-through counts),
+    # candidates = the distinct vocabulary, keep est >= 500. The oracle
+    # rebuilds the identical sketch in SQL (md5 positions, same salts) —
+    # estimates including their deterministic collision overcounts match
+    # exactly. Production shape: probe per-partition local top-k
+    # candidates instead of the full vocabulary (sketches.cms_estimate
+    # docstring); the sketch itself is mergeable across corpus shards.
+    from towhee_spark.functions import sketches  # noqa: PLC0415
+    from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(_toks(F.col("text"))).alias("term"))
+    cms = sketches.cms_build(toks, "term", depth=4, width=256)
+    cand = toks.distinct()
+    est = sketches.cms_estimate(cms, cand, "term", depth=4, width=256)
+    return est.filter(F.col("est") >= 500)
+
+
+def q_curated_corpus(spark, sf_dir):
+    # the pretraining_curation preset end-to-end: Gopher quality gate →
+    # exact dedup (min-id survivor) → benchmark decontamination →
+    # deterministic 80/10/10 split, as ONE composed plan over the corpus
+    # (doc_id >= 25; docs < 25 play the benchmark). Each stage is
+    # individually gated elsewhere; this gate proves the COMPOSITION —
+    # the oracle chains the same four mirrors with each stage reading the
+    # previous stage's survivors.
+    from towhee_spark.pipelines import pipeline  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    curate = pipeline(
+        "pretraining_curation",
+        benchmark=docs.filter(F.col("doc_id") < 25),
+        min_words=50, decon_n=3, decon_threshold=3,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return curate(docs.filter(F.col("doc_id") >= 25)).select(
+        "doc_id", "lang", "split")
+
+
 def q_hash_split(spark, sf_dir):
     # deterministic 80/10/10 split: label = cumulative-threshold bucket of
     # the cross-engine 60-bit md5 hash of 'split'||doc_id — integer
@@ -1161,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "heavy_hitters": q_heavy_hitters,
+        "curated_corpus": q_curated_corpus,
         "tfidf_terms": q_tfidf_terms,
         "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans_assign": q_kmeans,
@@ -1496,6 +1539,10 @@ def _oracle_sql() -> dict[str, str]:
         "bloom_decontaminate": _bloom_decon_sql(
             norm, threshold=3, bench_max=25, m_bits=4096, k=3),
         "tfidf_terms": _tfidf_sql(norm, k=5),
+        "curated_corpus": _curated_sql(norm, bench_max=25, min_words=50,
+                                       decon_threshold=3),
+        "heavy_hitters": _heavy_hitters_sql(norm, depth=4, width=256,
+                                            threshold=500),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -2164,6 +2211,80 @@ def _decontaminate_sql(norm: str, threshold: int = 3, bench_max: int = 25) -> st
             FROM sh JOIN b USING (shingle)
             WHERE id >= {bench_max}
             GROUP BY id HAVING COUNT(*) >= {threshold}"""
+
+
+def _heavy_hitters_sql(norm: str, depth: int = 4, width: int = 256,
+                       threshold: int = 500, salt: str = "cms") -> str:
+    """Oracle for the CMS heavy-hitters gate: build the identical
+    depth×width sketch in SQL (md5 60-bit positions, same per-row salts),
+    probe every distinct token, est = MIN over rows of COALESCE(cell, 0),
+    keep est >= threshold — collision overcounts and all."""
+    def pos(r: int) -> str:
+        return f"({_hash60_sql('term', f'{salt}{r}')} % {width})"
+
+    build_arms = "\n                  UNION ALL ".join(
+        f"SELECT {r} AS r, {pos(r)} AS c FROM tok" for r in range(depth))
+    probe_arms = "\n                  UNION ALL ".join(
+        f"SELECT term, {r} AS r, {pos(r)} AS c FROM cand" for r in range(depth))
+    return f"""
+            WITH d AS (SELECT list_filter(string_split({norm}, ' '),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            tok AS (SELECT unnest(toks) AS term FROM d),
+            cells AS (SELECT r, c, COUNT(*) AS cnt
+                      FROM ({build_arms})
+                      GROUP BY r, c),
+            cand AS (SELECT DISTINCT term FROM tok),
+            pr AS ({probe_arms}),
+            est AS (SELECT pr.term, MIN(COALESCE(cells.cnt, 0)) AS est
+                    FROM pr LEFT JOIN cells USING (r, c)
+                    GROUP BY pr.term)
+            SELECT term, est FROM est WHERE est >= {threshold}"""
+
+
+def _curated_sql(norm: str, bench_max: int = 25, min_words: int = 50,
+                 decon_threshold: int = 3,
+                 weights: dict | None = None, salt: str = "split") -> str:
+    """Oracle for the pretraining_curation composite: the four stage
+    mirrors CHAINED — the gopher mirror nested as a subquery, exact-dedup
+    min-id survivors computed among quality-kept docs, the shared shingle
+    CTE for decontamination checked on dedup survivors only, and the
+    hash_split threshold CASE on what remains — each stage reading the
+    previous stage's output exactly as the Spark preset composes them."""
+    from towhee_spark.functions.curation import _thresholds  # noqa: PLC0415
+
+    th = _thresholds(weights or {"train": 0.8, "val": 0.1, "test": 0.1})
+    cases = " ".join(f"WHEN h < {thr} THEN '{name}'" for name, thr in th[:-1])
+    return f"""
+            WITH g AS (SELECT doc_id FROM ({_gopher_sql(norm, min_words=min_words)})
+                       WHERE keep AND doc_id >= {bench_max}),
+            ex AS (SELECT MIN(d.doc_id) AS doc_id
+                   FROM documents d JOIN g USING (doc_id)
+                   GROUP BY {norm}),
+            d2 AS (SELECT d.doc_id, d.lang FROM documents d JOIN ex USING (doc_id)),
+            t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+            sh AS (
+                SELECT doc_id AS id, shingle FROM (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               unnest([array_to_string(toks[i:i+2], ' ')
+                                       for i in range(1, len(toks) - 1)])
+                           ELSE array_to_string(toks, ' ') END AS shingle
+                    FROM t
+                )
+            ),
+            shb AS (SELECT DISTINCT shingle FROM sh WHERE id < {bench_max}),
+            flag AS (SELECT s.id
+                     FROM sh s JOIN d2 ON d2.doc_id = s.id
+                     JOIN shb USING (shingle)
+                     GROUP BY s.id
+                     HAVING COUNT(DISTINCT s.shingle) >= {decon_threshold}),
+            d3 AS (SELECT d2.doc_id, d2.lang FROM d2
+                   LEFT JOIN flag ON flag.id = d2.doc_id
+                   WHERE flag.id IS NULL)
+            SELECT doc_id, lang, CASE {cases} ELSE '{th[-1][0]}' END AS split
+            FROM (SELECT doc_id, lang, {_hash60_sql("doc_id", salt)} AS h
+                  FROM d3)"""
 
 
 def _tfidf_sql(norm: str, k: int = 5, scale_bits: int = 20) -> str:

@@ -202,6 +202,8 @@ def main() -> None:
         "hash_split",
         "sample_by_hash",
         "gopher_quality",
+        "curated_corpus",
+        "heavy_hitters",
         "embed_text",
         "rag_search",
         "rag_search_lsh",

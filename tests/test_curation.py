@@ -345,3 +345,55 @@ def test_tfidf_validates_k(spark, sfdocs):
 
     with pytest.raises(ValueError, match="k must"):
         ranking.tfidf_top_terms(sfdocs, k=0)
+
+
+def test_pretraining_curation_preset_stages(spark, sfdocs):
+    """The composite preset filters monotonically stage by stage, the
+    near-dup option drops non-representative duplicates, and survivors
+    carry a split label."""
+    from towhee_spark.pipelines import pipeline
+
+    corpus = sfdocs.filter(F.col("doc_id") >= 5)
+    bench = sfdocs.filter(F.col("doc_id") < 5)
+    # relaxed thresholds so every stage keeps something at sf0.001
+    base = pipeline("pretraining_curation", benchmark=bench, min_words=5,
+                    decon_threshold=1)(corpus)
+    rows = base.collect()
+    assert 0 < len(rows) < corpus.count()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # adding the near-dup stage can only shrink the survivor set
+    with_nd = pipeline("pretraining_curation", benchmark=bench, min_words=5,
+                       decon_threshold=1, neardup_threshold=0.5)(corpus)
+    nd_ids = {r.doc_id for r in with_nd.collect()}
+    assert nd_ids <= {r.doc_id for r in rows}
+
+
+def test_cms_overestimates_and_merges(spark, sfdocs):
+    """CMS guarantees: est >= true for every value; sketches of two
+    corpus halves merged by per-cell re-sum equal the whole-corpus
+    sketch (mergeability — the property that makes it usable per-shard)."""
+    from towhee_spark.functions import sketches
+    from towhee_spark.functions.ranking import _toks
+
+    toks = sfdocs.select("doc_id", F.explode(_toks(F.col("text"))).alias("term"))
+    cms = sketches.cms_build(toks, "term", depth=4, width=16)
+    true = {r.term: r.n for r in
+            toks.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    cand = toks.select("term").distinct()
+    est = {r.term: r.est for r in
+           sketches.cms_estimate(cms, cand, "term", depth=4, width=16).collect()}
+    assert set(est) == set(true)
+    assert all(est[t] >= n for t, n in true.items())
+    assert any(est[t] > true[t] for t in true), "width=16 must collide"
+    # mergeability
+    a = sketches.cms_build(toks.filter(F.col("doc_id") % 2 == 0), "term",
+                           depth=4, width=16)
+    b = sketches.cms_build(toks.filter(F.col("doc_id") % 2 == 1), "term",
+                           depth=4, width=16)
+    merged = (a.unionByName(b).groupBy("r", "c")
+              .agg(F.sum("cnt").alias("cnt")))
+    whole = {(r.r, r.c): r.cnt for r in cms.collect()}
+    assert {(r.r, r.c): r.cnt for r in merged.collect()} == whole
+    with pytest.raises(ValueError, match="depth"):
+        sketches.cms_build(toks, "term", depth=0)

@@ -106,7 +106,8 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "similarity_topk",
         "ivf_topk", "bm25_topk", "tfidf_terms",
         "decontaminate", "bloom_decontaminate", "hash_split",
-        "sample_by_hash", "gopher_quality",
+        "sample_by_hash", "gopher_quality", "curated_corpus",
+        "heavy_hitters",
         "dedup_groups", "dedup_survivors", "duplicate_spans", "unigram_ppl",
         "bigram_ppl",
         "token_budget", "neardup_static", "pack_sequences", "semdedup",

@@ -219,3 +219,52 @@ def _rag_ingest(id_col: str = "doc_id", text_col: str = "text",
         return rows.withColumn("embedding", embed_text_udf(dim=dim)(F.col("chunk")))
 
     return apply
+
+
+@register_pipeline("pretraining_curation")
+def _pretraining_curation(benchmark: DataFrame | None = None,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_words: int = 50,
+                          decon_n: int = 3, decon_threshold: int = 3,
+                          neardup_threshold: float | None = None,
+                          split_weights: dict | None = None,
+                          split_salt: str = "split"):
+    """End-to-end pretraining corpus curation — the composite a pipeline
+    user runs as ONE call, each stage an individually-gated operator:
+
+    1. Gopher quality gate (``text.gopher_rules().keep`` — one codegen
+       projection, evaluated at the scan)
+    2. exact dedup, min-id survivor per normalized text (one hash agg +
+       survivor semi-join)
+    3. optional MinHash-LSH near-dup drop (``neardup_threshold`` set →
+       pairs → connected components → min-id survivors)
+    4. benchmark decontamination (broadcast shingle set, drop flagged)
+    5. deterministic train/val/test ``hash_split``
+
+    Stages apply SEQUENTIALLY: dedup survivors are chosen among
+    quality-kept docs, contamination is checked on dedup survivors —
+    the order a production curation run uses (cheapest filters first,
+    so each later stage scans a smaller corpus). Survivor rows keep all
+    original columns + ``split``."""
+    from towhee_spark.functions import curation, dedup, text  # noqa: PLC0415
+
+    def apply(df: DataFrame) -> DataFrame:
+        kept = df.filter(
+            text.gopher_rules(text_col, min_words=min_words).getField("keep"))
+        ex = dedup.dedup_exact(kept, id_col, text_col).select(id_col)
+        kept = kept.join(ex, id_col)
+        if neardup_threshold is not None:
+            pairs = dedup.minhash_lsh_pairs(
+                kept, id_col=id_col, text_col=text_col,
+                threshold=neardup_threshold)
+            surv = dedup.dedup_survivors(kept, pairs, id_col).select(id_col)
+            kept = kept.join(surv, id_col)
+        if benchmark is not None:
+            flagged = curation.decontaminate(
+                kept, benchmark, n=decon_n, threshold=decon_threshold,
+                id_col=id_col, text_col=text_col).select(id_col)
+            kept = kept.join(flagged, id_col, "left_anti")
+        return curation.hash_split(
+            kept, id_col=id_col, weights=split_weights, salt=split_salt)
+
+    return apply
