@@ -531,6 +531,16 @@ def q_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(docs, k=8)
 
 
+def q_strip_spans(spark, sf_dir):
+    # the removal half of duplicate_spans: documents rewritten with their
+    # cross-corpus duplicated 8-token runs cut out (shared _dup_islands
+    # construction, so detection and removal can never disagree); the
+    # oracle rebuilds the surviving token stream with a NOT EXISTS range
+    # probe + position-ordered string_agg.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.strip_duplicate_spans(docs, k=8)
+
+
 def q_unigram_ppl(spark, sf_dir):
     from towhee_spark.functions import lm  # noqa: PLC0415
 
@@ -871,6 +881,22 @@ def q_bloom_decontaminate(spark, sf_dir):
         corpus, bench, n=3, threshold=3, m_bits=4096, k=3)
 
 
+def q_quality_quantile(spark, sf_dir):
+    # per-language top-20% quality cut via the HISTOGRAM-threshold
+    # selection (curation.top_quantile_by): scores frozen to
+    # ROUND(q6·1e6) int64, per-(lang, score) histogram, threshold = MAX
+    # frozen score whose top-down cumulative count reaches ⌈0.2·n_lang⌉
+    # (the ceil of the identical IEEE product on both engines),
+    # keep-ties. No per-stratum window over the DATA anywhere — the only
+    # window runs over the tiny histogram.
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", "lang", text.quality_score("text").alias("qscore"))
+    return curation.top_quantile_by(scored, "qscore", "lang", q=0.2)
+
+
 def q_heavy_hitters(spark, sf_dir):
     # Count-min-sketch heavy hitters over the corpus token stream: 4×256
     # cells (width pinned small so collisions REALLY occur and the
@@ -884,12 +910,16 @@ def q_heavy_hitters(spark, sf_dir):
     from towhee_spark.functions import sketches  # noqa: PLC0415
     from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
 
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(F.explode(_toks(F.col("text"))).alias("term"))
+    # toks feeds BOTH the sketch build and the candidate set — cache so
+    # the normalize+explode runs once (the simhash shingle-cache lesson)
+    toks = docs.select(F.explode(_toks(F.col("text"))).alias("term")).cache()
     cms = sketches.cms_build(toks, "term", depth=4, width=256)
     cand = toks.distinct()
     est = sketches.cms_estimate(cms, cand, "term", depth=4, width=256)
-    return est.filter(F.col("est") >= 500)
+    return _with_cached_deps(est.filter(F.col("est") >= 500), toks)
 
 
 def q_curated_corpus(spark, sf_dir):
@@ -1202,6 +1232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "strip_spans": q_strip_spans,
+        "quality_quantile": q_quality_quantile,
         "heavy_hitters": q_heavy_hitters,
         "curated_corpus": q_curated_corpus,
         "tfidf_terms": q_tfidf_terms,
@@ -1543,6 +1575,8 @@ def _oracle_sql() -> dict[str, str]:
                                        decon_threshold=3),
         "heavy_hitters": _heavy_hitters_sql(norm, depth=4, width=256,
                                             threshold=500),
+        "quality_quantile": _quality_quantile_sql(q=0.2),
+        "strip_spans": _strip_spans_sql(norm, k=8),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -2211,6 +2245,29 @@ def _decontaminate_sql(norm: str, threshold: int = 3, bench_max: int = 25) -> st
             FROM sh JOIN b USING (shingle)
             WHERE id >= {bench_max}
             GROUP BY id HAVING COUNT(*) >= {threshold}"""
+
+
+def _quality_quantile_sql(q: float = 0.2, scale: int = 1_000_000) -> str:
+    """Oracle for curation.top_quantile_by over quality_score: the same
+    frozen-score histogram, the same top-down cumulative threshold
+    (⌈q·n⌉ as CEIL of the identical double product), keep-ties filter."""
+    return f"""
+            WITH sc AS (SELECT d.doc_id, d.lang,
+                               CAST(ROUND(qs.qscore * {scale}.0) AS BIGINT) AS s,
+                               qs.qscore
+                        FROM documents d JOIN ({_quality_sql()}) qs
+                          ON qs.doc_id = d.doc_id),
+            h AS (SELECT lang, s, COUNT(*) AS c FROM sc GROUP BY lang, s),
+            cum AS (SELECT lang, s,
+                           SUM(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cum,
+                           SUM(c) OVER (PARTITION BY lang) AS tot
+                    FROM h),
+            thr AS (SELECT lang, MAX(s) AS thr FROM cum
+                    WHERE cum >= CAST(CEIL({q} * tot) AS BIGINT)
+                    GROUP BY lang)
+            SELECT sc.doc_id, sc.lang, sc.qscore
+            FROM sc JOIN thr USING (lang)
+            WHERE sc.s >= thr.thr"""
 
 
 def _heavy_hitters_sql(norm: str, depth: int = 4, width: int = 256,
@@ -3039,13 +3096,13 @@ def _dedup_groups_sql(norm: str, threshold: float, survivors: bool = False) -> s
             SELECT doc_id, group_id FROM comp"""
 
 
-def _duplicate_spans_sql(norm: str, k: int) -> str:
-    """Cross-doc duplicated k-token spans, mirrored stage by stage: the
-    k-gram windows hash through the cross-engine md5-60-bit contract, the
-    ≥2-distinct-docs filter and the gaps-and-islands merge share the Spark
-    operator's arithmetic exactly (merge while start ≤ prev + k)."""
-    return f"""
-            WITH base AS (
+def _dup_span_ctes(norm: str, k: int) -> str:
+    """Shared CTE chain for the duplicate_spans / strip_duplicate_spans
+    oracles (the SQL twin of dedup._dup_islands): base → k-gram window
+    hashes → ≥2-distinct-docs filter → gaps-and-islands merge (merge
+    while start ≤ prev + k). Ends at ``isl``; each oracle adds its own
+    final aggregation."""
+    return f"""base AS (
                 SELECT doc_id, string_split({norm}, ' ') AS toks,
                        CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_tokens
                 FROM documents
@@ -3073,7 +3130,14 @@ def _duplicate_spans_sql(norm: str, k: int) -> str:
             ),
             isl AS (SELECT doc_id, start,
                            SUM(brk) OVER (PARTITION BY doc_id ORDER BY start) AS g
-                    FROM isl0),
+                    FROM isl0)"""
+
+
+def _duplicate_spans_sql(norm: str, k: int) -> str:
+    """Cross-doc duplicated k-token spans, mirrored stage by stage via
+    the shared _dup_span_ctes chain."""
+    return f"""
+            WITH {_dup_span_ctes(norm, k)},
             spans AS (SELECT doc_id, g, MAX(start) - MIN(start) + {k} AS len
                       FROM isl GROUP BY doc_id, g),
             per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
@@ -3084,6 +3148,33 @@ def _duplicate_spans_sql(norm: str, k: int) -> str:
                    COALESCE(dup_tokens, 0) AS dup_tokens,
                    ROUND(COALESCE(dup_tokens, 0) / b.n_tokens, 6) AS dup_frac
             FROM base b LEFT JOIN per USING (doc_id)"""
+
+
+def _strip_spans_sql(norm: str, k: int) -> str:
+    """Oracle for dedup.strip_duplicate_spans: the shared span chain,
+    spans widened to (s_start, s_end), token positions cut by a NOT
+    EXISTS range probe, survivors rejoined in position order."""
+    return f"""
+            WITH {_dup_span_ctes(norm, k)},
+            spans AS (SELECT doc_id, MIN(start) AS s_start,
+                             MAX(start) + {k} - 1 AS s_end
+                      FROM isl GROUP BY doc_id, g),
+            tokpos AS (SELECT doc_id, n_tokens, toks,
+                              unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS pos
+                       FROM base),
+            tok AS (SELECT doc_id, n_tokens, pos, toks[pos] AS tok FROM tokpos),
+            kept AS (SELECT t.* FROM tok t
+                     WHERE NOT EXISTS (
+                         SELECT 1 FROM spans s
+                         WHERE s.doc_id = t.doc_id
+                           AND t.pos BETWEEN s.s_start AND s.s_end)),
+            reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+                           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens,
+                   COALESCE(r.kept_tokens, 0) AS kept_tokens,
+                   COALESCE(r.clean_text, '') AS clean_text
+            FROM base b LEFT JOIN reb r USING (doc_id)"""
 
 
 def _unigram_ppl_sql(norm: str) -> str:

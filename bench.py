@@ -204,6 +204,7 @@ def main() -> None:
         "gopher_quality",
         "curated_corpus",
         "heavy_hitters",
+        "quality_quantile",
         "embed_text",
         "rag_search",
         "rag_search_lsh",
@@ -211,6 +212,7 @@ def main() -> None:
         "text_repetition",
         "pii_scrub",
         "duplicate_spans",
+        "strip_spans",
         "unigram_ppl",
         "token_budget",
         "neardup_static",

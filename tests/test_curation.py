@@ -397,3 +397,32 @@ def test_cms_overestimates_and_merges(spark, sfdocs):
     assert {(r.r, r.c): r.cnt for r in merged.collect()} == whole
     with pytest.raises(ValueError, match="depth"):
         sketches.cms_build(toks, "term", depth=0)
+
+
+def test_top_quantile_by_matches_python_selection(spark, sfdocs):
+    """Per stratum: every kept row outscores every dropped row (or ties
+    the threshold), kept count >= ceil(q*n) with keep-ties semantics, and
+    the result equals a plain Python histogram-threshold selection."""
+    import math
+
+    from towhee_spark.functions import curation, text
+
+    scored = sfdocs.select("doc_id", "lang",
+                           text.quality_score("text").alias("s"))
+    out = curation.top_quantile_by(scored, "s", "lang", q=0.3)
+    kept = {(r.doc_id) for r in out.collect()}
+    rows = scored.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((round(r.s * 1e6), r.doc_id))
+    expect = set()
+    for lang, vs in by_lang.items():
+        k = math.ceil(0.3 * len(vs))
+        thr = sorted((s for s, _ in vs), reverse=True)[k - 1]
+        expect |= {d for s, d in vs if s >= thr}
+    assert kept == expect
+    for lang, vs in by_lang.items():
+        n_kept = sum(1 for s, d in vs if d in kept)
+        assert n_kept >= math.ceil(0.3 * len(vs))
+    with pytest.raises(ValueError, match="q must"):
+        curation.top_quantile_by(scored, "s", "lang", q=0.0)

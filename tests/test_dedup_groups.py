@@ -96,3 +96,29 @@ def test_nonconvergence_raises(spark):  # noqa: F811
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iter=1)
+
+
+def test_strip_duplicate_spans_surgery(spark):
+    """Detection and removal agree: the shared 10-token run is cut from
+    both docs (k=8 windows merge into one maximal span), unique tokens
+    survive in order, untouched docs round-trip their normalized text."""
+    from towhee_spark.functions import dedup
+    from towhee_spark.functions.dedup import release_cached
+
+    df = spark.createDataFrame([
+        (1, "a b c d e f g h i j unique one"),
+        (2, "x a b c d e f g h i j other tail"),
+        (3, "totally different words here nothing shared at all ok"),
+    ], "doc_id long, text string")
+    out = dedup.strip_duplicate_spans(df, k=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    release_cached(out)
+    assert rows[1].clean_text == "unique one" and rows[1].kept_tokens == 2
+    assert rows[2].clean_text == "x other tail" and rows[2].kept_tokens == 3
+    assert rows[3].clean_text == "totally different words here nothing shared at all ok"
+    assert rows[3].kept_tokens == rows[3].n_tokens
+    # detection half sees the same spans (shared _dup_islands)
+    ds = {r.doc_id: r for r in dedup.duplicate_spans(df, k=8).collect()}
+    assert ds[1].dup_tokens == rows[1].n_tokens - rows[1].kept_tokens
+    assert ds[2].dup_tokens == rows[2].n_tokens - rows[2].kept_tokens
+    assert ds[3].dup_tokens == 0

@@ -107,8 +107,9 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "ivf_topk", "bm25_topk", "tfidf_terms",
         "decontaminate", "bloom_decontaminate", "hash_split",
         "sample_by_hash", "gopher_quality", "curated_corpus",
-        "heavy_hitters",
-        "dedup_groups", "dedup_survivors", "duplicate_spans", "unigram_ppl",
+        "heavy_hitters", "quality_quantile",
+        "dedup_groups", "dedup_survivors", "duplicate_spans", "strip_spans",
+        "unigram_ppl",
         "bigram_ppl",
         "token_budget", "neardup_static", "pack_sequences", "semdedup",
         "pq_topk", "ivfpq_topk", "classifier_score", "dsir_select",

@@ -83,6 +83,12 @@ def kmeans_train(
         )
         .where(F.col("__v").isNotNull())
     )
+    # every Lloyd iteration re-reads the (id, vec) projection — cache it
+    # for the loop's actions and release before returning (at 100 TB this
+    # is the standard persist-the-training-frame pattern; all actions
+    # happen inside this call, so the unpersist can't strand a consumer)
+    if iters > 0:
+        e = e.cache()
     id_type = index.schema[i_id].dataType
     sums = [
         F.sum(
@@ -91,17 +97,22 @@ def kmeans_train(
         ).alias(f"__s{j}")
         for j in range(dim)
     ]
-    for _ in range(iters):
-        cells_of = _ivf_cells_of(cents, impl, id_type)
-        rows = (
-            e.withColumn(
-                "cell", F.element_at(cells_of(F.col("__v"), 1), 1).getField("c")
+    try:
+        for _ in range(iters):
+            cells_of = _ivf_cells_of(cents, impl, id_type)
+            rows = (
+                e.withColumn(
+                    "cell",
+                    F.element_at(cells_of(F.col("__v"), 1), 1).getField("c"),
+                )
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("__n"), *sums)
+                .collect()
             )
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("__n"), *sums)
-            .collect()
-        )
-        cents = _rebuild_cents(cents, rows, dim, scale)
+            cents = _rebuild_cents(cents, rows, dim, scale)
+    finally:
+        if iters > 0:
+            e.unpersist()
     return cents
 
 

@@ -512,3 +512,58 @@ def dsir_select(
     )
     out._cached_deps = list(getattr(lw, "_cached_deps", []))  # noqa: SLF001
     return out
+
+
+def top_quantile_by(
+    df: DataFrame,
+    score_col: Column | str,
+    strata_col: str,
+    q: float,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Keep each stratum's top-``q`` fraction of rows by score — the
+    per-language quality cut (keep the best 20% of every language), with
+    KEEP-TIES semantics: every row scoring exactly the threshold stays,
+    so each stratum yields ≥ ⌈q·n_s⌉ rows (and the cut is a pure function
+    of the score, never of row order).
+
+    Scale story (the reason this is NOT a per-stratum window over the
+    data): scores are frozen to ROUND(score·scale) int64, the per-
+    (stratum, score) HISTOGRAM is one map-side-combined hash aggregate
+    (cells ≤ strata × distinct scores — thousands, not corpus-sized),
+    the threshold = MAX frozen score whose top-down cumulative count
+    reaches ⌈q·n_s⌉ comes from a window over that tiny histogram, and
+    the data pass is one broadcast-join + filter at the scan. A
+    Window.partitionBy(stratum).orderBy(score) over the rows would
+    serialize a 10^9-row language onto one task; the histogram never
+    does. ⌈q·n⌉ is the ceil of the IEEE double product — both engines
+    compute the identical product, so the boundary is cross-engine
+    deterministic. NULL scores never pass the cut."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError("top_quantile_by: q must be in (0, 1]")
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    si = F.round(sc * F.lit(float(scale)), 0).cast("long")
+    hist = (
+        df.select(F.col(strata_col).alias("__st"), si.alias("__s"))
+        .groupBy("__st", "__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy("__st").orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("__st")
+    thr = (
+        hist.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__k", F.ceil(F.lit(float(q)) * F.sum("__c").over(w_tot)))
+        .filter(F.col("__cum") >= F.col("__k"))
+        .groupBy("__st")
+        .agg(F.max("__s").alias("__thr"))
+    )
+    return (
+        df.join(
+            F.broadcast(thr), F.col(strata_col) == F.col("__st"), "inner"
+        )
+        .filter(si >= F.col("__thr"))
+        .drop("__st", "__thr")
+    )

@@ -784,32 +784,13 @@ def dedup_survivors(
 # substring-level duplication (duplicated k-token spans)
 
 
-def duplicate_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-) -> DataFrame:
-    """Cross-document duplicated k-token spans, merged into maximal runs —
-    the substring-level dedup signal (Lee et al., "Deduplicating Training
-    Data Makes Language Models Better") that doc-level Jaccard misses:
-    boilerplate headers, quoted paragraphs, licence blocks.
-
-    Per input row: (id_col, n_tokens, dup_spans, dup_tokens, dup_frac)
-    where a position is "duplicated" if its k-token window occurs in ≥ 2
-    DISTINCT documents (within-doc repetition is text.repetition_ratio's
-    job), overlapping/adjacent duplicated windows merge into one span, and
-    dup_frac = dup_tokens / n_tokens rounded to 6.
-
-    Plan: the k shifted slices zip into windows exactly like
-    :func:`shingles` (whole-stage codegen, no interpreted HOF), windows
-    hash through curation.hash60 (cross-engine md5 contract, so the DuckDB
-    oracle reproduces every bucket), the ≥2-docs filter is one hash
-    aggregate over (hash → distinct docs), and span merging is a
-    gaps-and-islands window per doc — partition width bounded by document
-    length, never by corpus size. At 60-bit hashes a corpus of 10^9
-    windows sees ~birthday 10^18/2^61 ≈ 0.4 expected false-collision pairs;
-    raise to two stacked hashes or verify-by-string if that matters."""
+def _dup_islands(df: DataFrame, id_col: str, text_col: str, k: int):
+    """Shared construction for the substring-level dedup pair
+    (duplicate_spans / strip_duplicate_spans): (base, win, spans) where
+    base = (id, __toks, n_tokens), win = the CACHED (id, start, h)
+    k-token-window hashes, and spans = the merged maximal duplicated
+    runs (id, s_start, s_end) in 1-based token positions. Both public
+    ops and their oracles read these exact stages — change together."""
     from towhee_spark.functions.curation import hash60  # noqa: PLC0415
 
     toks = F.split(normalize_text(text_col), " ")
@@ -855,13 +836,49 @@ def duplicate_spans(
         )
         .withColumn("__isl", F.sum("__brk").over(w))
     )
-    per_doc = (
+    spans = (
         islands.groupBy("id", "__isl")
-        .agg((F.max("start") - F.min("start") + k).alias("__len"))
-        .groupBy("id")
+        .agg(
+            F.min("start").alias("s_start"),
+            (F.max("start") + k - 1).alias("s_end"),
+        )
+        .select("id", "s_start", "s_end")
+    )
+    return base, win, spans
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated k-token spans, merged into maximal runs —
+    the substring-level dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better") that doc-level Jaccard misses:
+    boilerplate headers, quoted paragraphs, licence blocks.
+
+    Per input row: (id_col, n_tokens, dup_spans, dup_tokens, dup_frac)
+    where a position is "duplicated" if its k-token window occurs in ≥ 2
+    DISTINCT documents (within-doc repetition is text.repetition_ratio's
+    job), overlapping/adjacent duplicated windows merge into one span, and
+    dup_frac = dup_tokens / n_tokens rounded to 6.
+
+    Plan: the k shifted slices zip into windows exactly like
+    :func:`shingles` (whole-stage codegen, no interpreted HOF), windows
+    hash through curation.hash60 (cross-engine md5 contract, so the DuckDB
+    oracle reproduces every bucket), the ≥2-docs filter is one hash
+    aggregate over (hash → distinct docs), and span merging is a
+    gaps-and-islands window per doc — partition width bounded by document
+    length, never by corpus size. At 60-bit hashes a corpus of 10^9
+    windows sees ~birthday 10^18/2^61 ≈ 0.4 expected false-collision pairs;
+    raise to two stacked hashes or verify-by-string if that matters."""
+    base, win, spans = _dup_islands(df, id_col, text_col, k)
+    per_doc = (
+        spans.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("dup_spans"),
-            F.sum("__len").alias("dup_tokens"),
+            F.sum(F.col("s_end") - F.col("s_start") + 1).alias("dup_tokens"),
         )
     )
     out = (
@@ -875,6 +892,66 @@ def duplicate_spans(
             F.round(
                 F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
             ).alias("dup_frac"),
+        )
+    )
+    return _with_cached_deps(out, win)
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The removal half of :func:`duplicate_spans` (Lee et al.'s actual
+    intervention): rewrite every document with its cross-corpus
+    duplicated k-token runs CUT OUT. Returns (id_col, n_tokens,
+    kept_tokens, out_col) where out_col is the surviving tokens rejoined
+    with single spaces — note the rebuild is over the NORMALIZED token
+    stream (lowercased, whitespace-collapsed), the same stream the spans
+    are defined on; a doc whose every token is duplicated comes back as
+    ''. Span construction is shared with duplicate_spans via
+    :func:`_dup_islands` — the two can never disagree on what counts as
+    duplicated.
+
+    Plan: token positions posexplode once (O(total tokens) rows — the
+    inherent cost of text surgery), the span cut is a co-partitioned
+    LEFT ANTI range join on id (spans per doc are few), and the rebuild
+    is one hash aggregate whose array_sort(struct(pos, tok)) makes the
+    collect_list order-independent (the CLAUDE.md collect_list rule).
+    Per-doc aggregate width is bounded by document length, never corpus
+    size."""
+    base, win, spans = _dup_islands(df, id_col, text_col, k)
+    tokpos = base.select(
+        "id", "n_tokens", F.posexplode("__toks").alias("__p0", "tok")
+    ).select("id", "n_tokens", (F.col("__p0") + 1).alias("pos"), "tok")
+    sp = spans.withColumnRenamed("id", "__sid")
+    kept = tokpos.join(
+        sp,
+        (F.col("id") == F.col("__sid"))
+        & (F.col("pos") >= F.col("s_start"))
+        & (F.col("pos") <= F.col("s_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias(out_col),
+    )
+    out = (
+        base.select("id", "n_tokens")
+        .join(rebuilt.drop("n_tokens"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
         )
     )
     return _with_cached_deps(out, win)
