@@ -881,6 +881,23 @@ def q_bloom_decontaminate(spark, sf_dir):
         corpus, bench, n=3, threshold=3, m_bits=4096, k=3)
 
 
+def q_pooled_embeddings(spark, sf_dir):
+    # chunk→group embedding pooling: 25 synthetic groups (vec_id % 25),
+    # exact-int mean (components frozen to ROUND(x·2^20) BIGINT, order-
+    # free int64 sums, one IEEE division — the kmeans freeze discipline),
+    # emitted as gate-sortable sparse rows like embed_text. ONE hash
+    # aggregate of 64 per-component sums; no posexplode of the corpus.
+    from towhee_spark.functions import clustering  # noqa: PLC0415
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")).withColumn(
+        "gid", F.pmod(F.col("vec_id"), F.lit(25)))
+    pooled = clustering.pool_embeddings(
+        embs, "gid", dim=64, mode="mean", quantize_bits=20)
+    return pooled.select(
+        "gid", "n_vecs", F.posexplode("pooled").alias("dim_idx", "val"))
+
+
 def q_quality_quantile(spark, sf_dir):
     # per-language top-20% quality cut via the HISTOGRAM-threshold
     # selection (curation.top_quantile_by): scores frozen to
@@ -1232,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "pooled_embeddings": q_pooled_embeddings,
         "strip_spans": q_strip_spans,
         "quality_quantile": q_quality_quantile,
         "heavy_hitters": q_heavy_hitters,
@@ -1577,6 +1595,7 @@ def _oracle_sql() -> dict[str, str]:
                                             threshold=500),
         "quality_quantile": _quality_quantile_sql(q=0.2),
         "strip_spans": _strip_spans_sql(norm, k=8),
+        "pooled_embeddings": _pooled_sql(groups=25, dim=64),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -2245,6 +2264,26 @@ def _decontaminate_sql(norm: str, threshold: int = 3, bench_max: int = 25) -> st
             FROM sh JOIN b USING (shingle)
             WHERE id >= {bench_max}
             GROUP BY id HAVING COUNT(*) >= {threshold}"""
+
+
+def _pooled_sql(groups: int = 25, dim: int = 64, scale_bits: int = 20) -> str:
+    """Oracle for clustering.pool_embeddings(mode='mean', quantize_bits):
+    the same per-(group, component) integer-frozen sums and the same
+    exact-int division, emitted sparse (gid, n_vecs, dim_idx, val)."""
+    scale = 1 << scale_bits
+    return f"""
+            WITH e AS (SELECT vec_id % {groups} AS gid,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            jx AS (SELECT unnest(range(1, {dim + 1})) AS j),
+            u AS (SELECT gid, t.j,
+                         SUM(CAST(ROUND(e.v[t.j] * {scale}.0) AS BIGINT)) AS s,
+                         COUNT(*) AS n
+                  FROM e CROSS JOIN jx t GROUP BY gid, t.j)
+            SELECT gid, CAST(n AS BIGINT) AS n_vecs,
+                   CAST(j - 1 AS INT) AS dim_idx,
+                   s / (n * {scale}) AS val
+            FROM u"""
 
 
 def _quality_quantile_sql(q: float = 0.2, scale: int = 1_000_000) -> str:

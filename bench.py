@@ -224,6 +224,7 @@ def main() -> None:
         "dsir_select",
         "bigram_ppl",
         "kmeans_assign",
+        "pooled_embeddings",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -95,3 +95,29 @@ def test_score_path_single_generator(embs):
         embs, cents, impl="expr", score_col="s")._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert plan.count("Generate") == 1
+
+
+def test_pool_embeddings_modes(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [5.0, -1.0]), (1, None)],
+        "g int, embedding array<double>")
+    mean = {r.g: (r.pooled, r.n_vecs) for r in clustering.pool_embeddings(
+        df, "g", dim=2, mode="mean").collect()}
+    assert mean[0] == ([2.0, 4.0], 2)
+    assert mean[1] == ([5.0, -1.0], 1)  # NULL vector ignored
+    mx = {r.g: r.pooled for r in clustering.pool_embeddings(
+        df, "g", dim=2, mode="max").collect()}
+    assert mx[0] == [3.0, 6.0]
+    sm = {r.g: r.pooled for r in clustering.pool_embeddings(
+        df, "g", dim=2, mode="sum", quantize_bits=20).collect()}
+    assert sm[0] == [4.0, 8.0]
+    # quantized mean matches plain mean on exactly-representable inputs
+    qm = {r.g: r.pooled for r in clustering.pool_embeddings(
+        df, "g", dim=2, mode="mean", quantize_bits=20).collect()}
+    assert qm == {g: p for g, (p, _) in mean.items()}
+    with pytest.raises(ValueError, match="dim="):
+        clustering.pool_embeddings(df, "g")
+    with pytest.raises(ValueError, match="max is already exact"):
+        clustering.pool_embeddings(df, "g", dim=2, mode="max", quantize_bits=20)
+    with pytest.raises(ValueError, match="unknown mode"):
+        clustering.pool_embeddings(df, "g", dim=2, mode="median")

@@ -153,3 +153,66 @@ def kmeans_assign(
             F.round(F.lit(1.0) - F.col("__best.d"), 6).alias(score_col),
         )
     )
+
+
+def pool_embeddings(
+    index: DataFrame,
+    by: str,
+    i_vec: str = "embedding",
+    dim: int | None = None,
+    mode: str = "mean",
+    quantize_bits: int | None = None,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Aggregate per-chunk/per-turn vectors into one vector per ``by``
+    group (chunk→document embeddings, turn→conversation features):
+    (by, out_col:array<double>, n_vecs).
+
+    ONE map-side-combined hash aggregate of ``dim`` per-component
+    aggregates — never a posexplode of the corpus (which would shuffle
+    n·dim rows). ``dim`` is REQUIRED (the lsh_topk action-free-plan
+    convention). Modes: 'mean', 'sum', 'max'. NULL vectors are ignored;
+    a group with only NULLs disappears (no rows reach the aggregate).
+
+    Float reproducibility: 'max' is order-free exactly; 'mean'/'sum'
+    over doubles are order-DEPENDENT at the 1e-16 level under partial
+    aggregation (fine in production). ``quantize_bits=b`` switches
+    mean/sum to the kmeans_train freeze discipline — components frozen
+    to ROUND(x·2^b) BIGINT, exact order-free int64 sums, one IEEE
+    division back — bit-identical across runs and engines (the gate
+    path)."""
+    if dim is None:
+        raise ValueError("pool_embeddings: dim= is required "
+                         "(plan construction is action-free)")
+    if mode not in ("mean", "sum", "max"):
+        raise ValueError(f"pool_embeddings: unknown mode {mode!r}")
+    if mode == "max" and quantize_bits is not None:
+        raise ValueError("pool_embeddings: max is already exact — "
+                         "quantize_bits only applies to mean/sum")
+    v = F.col(i_vec).cast("array<double>")
+    base = index.select(F.col(by), v.alias("__v")).where(F.col("__v").isNotNull())
+    comps = [F.element_at("__v", j + 1) for j in range(dim)]
+    if mode == "max":
+        aggs = [F.max(c).alias(f"__a{j}") for j, c in enumerate(comps)]
+    elif quantize_bits is None:
+        aggs = [F.sum(c).alias(f"__a{j}") for j, c in enumerate(comps)]
+    else:
+        scale = float(1 << quantize_bits)
+        aggs = [
+            F.sum(F.round(c * F.lit(scale), 0).cast("long")).alias(f"__a{j}")
+            for j, c in enumerate(comps)
+        ]
+    g = base.groupBy(by).agg(F.count(F.lit(1)).alias("n_vecs"), *aggs)
+    if mode == "max" or (mode == "sum" and quantize_bits is None):
+        vals = [F.col(f"__a{j}") for j in range(dim)]
+    elif mode == "sum":
+        vals = [F.col(f"__a{j}") / F.lit(float(1 << quantize_bits))
+                for j in range(dim)]
+    elif quantize_bits is None:
+        vals = [F.col(f"__a{j}") / F.col("n_vecs") for j in range(dim)]
+    else:
+        # exact-int mean: one IEEE division of exactly-representable ints
+        vals = [F.col(f"__a{j}")
+                / (F.col("n_vecs") * F.lit(1 << quantize_bits))
+                for j in range(dim)]
+    return g.select(by, F.array(*vals).alias(out_col), "n_vecs")
