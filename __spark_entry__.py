@@ -526,6 +526,20 @@ def q_dedup_survivors(spark, sf_dir):
     return out
 
 
+def q_dedup_best(spark, sf_dir):
+    # quality-aware group survivor: same pair graph + connected components
+    # as dedup_groups, but the kept member is argmax(quality_score) with
+    # lowest-id tie-break — one max(struct(score, -id)) hash aggregate per
+    # group, never a per-group window. Oracle = the recursive-CC mirror +
+    # the quality mirror + (score DESC, id ASC) row_number.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3, max_shingle_freq=None)
+    scored = docs.withColumn("qscore", text.quality_score("text"))
+    out = dedup.dedup_best_survivors(scored, pairs, "qscore")
+    dedup.release_cached(pairs)
+    return out
+
+
 def q_duplicate_spans(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.duplicate_spans(docs, k=8)
@@ -1249,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the tail beyond 50 is r03-covered and re-verified locally each
     # round).
     return {
+        "dedup_best": q_dedup_best,
         "pooled_embeddings": q_pooled_embeddings,
         "strip_spans": q_strip_spans,
         "quality_quantile": q_quality_quantile,
@@ -1596,6 +1611,7 @@ def _oracle_sql() -> dict[str, str]:
         "quality_quantile": _quality_quantile_sql(q=0.2),
         "strip_spans": _strip_spans_sql(norm, k=8),
         "pooled_embeddings": _pooled_sql(groups=25, dim=64),
+        "dedup_best": _dedup_groups_sql(norm, threshold=0.5, survivors="best"),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -3127,6 +3143,18 @@ def _dedup_groups_sql(norm: str, threshold: float, survivors: bool = False) -> s
             ),
             comp AS (SELECT node AS doc_id, MIN(lab) AS group_id
                      FROM reach GROUP BY node)"""
+    if survivors == "best":
+        return body + f""",
+            q AS ({_quality_sql()}),
+            j AS (SELECT c.doc_id, c.group_id, q.qscore
+                  FROM comp c JOIN q USING (doc_id)),
+            r AS (SELECT doc_id, group_id, qscore,
+                         row_number() OVER (PARTITION BY group_id
+                                            ORDER BY qscore DESC, doc_id) AS rn,
+                         COUNT(*) OVER (PARTITION BY group_id) AS gs
+                  FROM j)
+            SELECT doc_id, group_id, CAST(gs AS BIGINT) AS group_size, qscore
+            FROM r WHERE rn = 1"""
     if survivors:
         return body + """
             SELECT group_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS group_size

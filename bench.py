@@ -232,6 +232,8 @@ def main() -> None:
     # build), so the honest number times build + force together — a
     # timed_df row would bill only the final star join
     timed("dedup_groups_full", lambda: force(qs["dedup_groups"](spark, sf_dir)))
+    # dedup_best builds the same CC at plan time — bench it _full likewise
+    timed("dedup_best_full", lambda: force(qs["dedup_best"](spark, sf_dir)))
 
     # --- PRODUCTION configs next to their oracle-hardened gate configs ----
     # (VERDICT r2: oracle-determinism configs — minhash 64 bands/exact

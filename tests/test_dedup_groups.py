@@ -122,3 +122,18 @@ def test_strip_duplicate_spans_surgery(spark):
     assert ds[1].dup_tokens == rows[1].n_tokens - rows[1].kept_tokens
     assert ds[2].dup_tokens == rows[2].n_tokens - rows[2].kept_tokens
     assert ds[3].dup_tokens == 0
+
+
+def test_dedup_best_survivors_quality_rule(spark):
+    """The kept member is the group's highest score (lowest id on ties);
+    singletons survive as themselves; group sizes match dedup_survivors."""
+    from towhee_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.group_id: r for r in
+           dedup.dedup_best_survivors(df, pairs, "q").collect()}
+    assert out[1].doc_id == 2 and out[1].group_size == 3 and out[1].q == 0.9
+    assert out[4].doc_id == 4 and out[4].group_size == 1

@@ -108,7 +108,8 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "decontaminate", "bloom_decontaminate", "hash_split",
         "sample_by_hash", "gopher_quality", "curated_corpus",
         "heavy_hitters", "quality_quantile",
-        "dedup_groups", "dedup_survivors", "duplicate_spans", "strip_spans",
+        "dedup_groups", "dedup_survivors", "dedup_best", "duplicate_spans",
+        "strip_spans",
         "unigram_ppl",
         "bigram_ppl",
         "token_budget", "neardup_static", "pack_sequences", "semdedup",

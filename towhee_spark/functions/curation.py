@@ -541,6 +541,9 @@ def top_quantile_by(
     deterministic. NULL scores never pass the cut."""
     if not 0.0 < q <= 1.0:
         raise ValueError("top_quantile_by: q must be in (0, 1]")
+    if "__st" in df.columns or "__thr" in df.columns:
+        raise ValueError("top_quantile_by: input has reserved columns "
+                         "__st/__thr — rename them first")
     sc = F.col(score_col) if isinstance(score_col, str) else score_col
     si = F.round(sc * F.lit(float(scale)), 0).cast("long")
     hist = (

@@ -780,6 +780,49 @@ def dedup_survivors(
     )
 
 
+def dedup_best_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per duplicate group keeping the HIGHEST-``score_col``
+    member (ties → lowest id) — the quality-aware keep rule: when near-dups
+    differ in cleanliness, keep the best-written copy, not the
+    lowest-id one. Returns (id_col = the kept member, group_id,
+    group_size, score_col).
+
+    The argmax is ONE hash aggregate — max(struct(score, -id)) per group,
+    never a per-group window over the rows — so a viral boilerplate
+    cluster with 10^6 members costs the same as any aggregate group.
+    Scores should arrive pre-rounded (quality_score rounds to 6) so the
+    cross-engine compare is on identical values."""
+    g = dedup_groups(df, pairs, id_col)
+    scored = df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(score_col)
+    )
+    j = g.join(scored, id_col)
+    best = (
+        j.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("__b"),
+        )
+        .select(
+            (-F.col("__b.negid")).alias(id_col),
+            "group_id",
+            "group_size",
+            F.col("__b.s").alias(score_col),
+        )
+    )
+    return best
+
+
 # --------------------------------------------------------------------------
 # substring-level duplication (duplicated k-token spans)
 

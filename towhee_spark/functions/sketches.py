@@ -92,6 +92,12 @@ def cms_estimate(
     the sketch frame — it is just rows)."""
     from towhee_spark.functions.curation import hash60  # noqa: PLC0415
 
+    clash = {"r", "c", "cnt"} & set(values.columns)
+    if clash:  # loud, like kmeans_assign's cell guard — the join below
+        # would silently resolve these against the sketch side
+        raise ValueError(
+            f"cms_estimate: values has sketch-reserved columns {sorted(clash)}"
+            " — rename them first")
     v = F.col(value_col)
     probes = F.explode(F.array(*[
         F.struct(
