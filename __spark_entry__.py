@@ -1251,17 +1251,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round correctness run covers the FIRST
-    # 50 entries (r03 artifact: 50 of the then-56 keys, exactly the dict
-    # prefix). Never-driver-covered keys lead the dict: the four newest
-    # (dedup_groups, dedup_survivors, duplicate_spans, unigram_ppl), then
-    # the six the r03 run could not reach (rerank, minhash_lsh,
-    # simhash_pairs, lsh_topk, embed_text, flagship — all green in r02 and
-    # in every local tools/check_correctness.py run) and every other
-    # round-4 addition (ivf_topk, bm25_topk, rrf_hybrid, decontaminate,
-    # hash_split, sample_by_hash, gopher_quality, asof_static …), so the
-    # r03+r04 artifacts together give every query driver-side evidence
-    # (the tail beyond 50 is r03-covered and re-verified locally each
-    # round).
+    # 50 entries (r03 artifact: 50 keys, exactly the dict prefix). Keys the
+    # driver has never covered lead the dict — currently every round-4
+    # addition, newest first (dedup_best, pooled_embeddings, strip_spans,
+    # quality_quantile, heavy_hitters, curated_corpus, tfidf_terms,
+    # bloom_decontaminate, kmeans_assign, semdedup, pq_topk, …) — and every
+    # key beyond position 50 is r03-covered (verified in this round's build
+    # notes) and re-verified locally each round via
+    # tools/check_correctness.py, so consecutive driver artifacts plus the
+    # local replica give every query driver-side or replica evidence.
+    # NEXT ROUND: rotate whatever r04's artifact did not reach to the
+    # front before adding new keys.
     return {
         "dedup_best": q_dedup_best,
         "pooled_embeddings": q_pooled_embeddings,
