@@ -526,6 +526,38 @@ def q_dedup_survivors(spark, sf_dir):
     return out
 
 
+def q_quantized_embeddings(spark, sf_dir):
+    # int8 symmetric quantization (the 4x storage lever for 100 TB vector
+    # columns): mx = max|x|, q = floor(x*127/mx + 0.5) — EXPLICIT
+    # floor-half-up so Spark/DuckDB/numpy all agree (ROUND would mix
+    # half-even and half-away). Codes are bit-identical across engines
+    # (identical double ops on identical operands — no rounding margin at
+    # all); xhat6 checks the dequantized reconstruction.
+    from towhee_spark.functions import quantize  # noqa: PLC0415
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qd = quantize.quantize_embeddings(embs)
+    return qd.select(
+        "vec_id", "q_scale", F.posexplode("q_codes").alias("dim_idx", "q")
+    ).withColumn(
+        "xhat6", F.round(F.col("q") * F.col("q_scale") / F.lit(127.0), 6)
+    )
+
+
+def q_shard_layout(spark, sf_dir):
+    # deterministic training-shard layout: shard = pmod(hash60, 8),
+    # shard_pos = rank within the shard by (hash, id) — the reproducible
+    # global shuffle written before training. The only wide op is a
+    # row_number window partitioned by SHARD (width ≈ n/n_shards); the
+    # oracle mirrors hash, shard and rank exactly.
+    from towhee_spark.layout import shard_by_hash  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_by_hash(docs, n_shards=8).select(
+        "doc_id", "lang", "shard", "shard_pos")
+
+
 def q_dedup_best(spark, sf_dir):
     # quality-aware group survivor: same pair graph + connected components
     # as dedup_groups, but the kept member is argmax(quality_score) with
@@ -1263,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEXT ROUND: rotate whatever r04's artifact did not reach to the
     # front before adding new keys.
     return {
+        "quantized_embeddings": q_quantized_embeddings,
+        "shard_layout": q_shard_layout,
         "dedup_best": q_dedup_best,
         "pooled_embeddings": q_pooled_embeddings,
         "strip_spans": q_strip_spans,
@@ -1612,6 +1646,8 @@ def _oracle_sql() -> dict[str, str]:
         "strip_spans": _strip_spans_sql(norm, k=8),
         "pooled_embeddings": _pooled_sql(groups=25, dim=64),
         "dedup_best": _dedup_groups_sql(norm, threshold=0.5, survivors="best"),
+        "shard_layout": _shard_layout_sql(n_shards=8),
+        "quantized_embeddings": _quantize_sql(),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -2300,6 +2336,39 @@ def _pooled_sql(groups: int = 25, dim: int = 64, scale_bits: int = 20) -> str:
                    CAST(j - 1 AS INT) AS dim_idx,
                    s / (n * {scale}) AS val
             FROM u"""
+
+
+def _quantize_sql() -> str:
+    """Oracle for quantize_embeddings: same mx, same floor-half-up code,
+    same dequantized reconstruction — identical scalar double ops on
+    identical operands, so codes match bit-for-bit with no margin."""
+    return """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE embedding IS NOT NULL),
+            m AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS mx
+                  FROM e),
+            x AS (SELECT vec_id, v, mx,
+                         unnest(range(1, CAST(len(v) AS BIGINT) + 1)) AS j
+                  FROM m WHERE mx > 0)
+            SELECT vec_id, mx AS q_scale, CAST(j - 1 AS INT) AS dim_idx,
+                   CAST(FLOOR(v[j] * 127.0 / mx + 0.5) AS INT) AS q,
+                   ROUND(CAST(FLOOR(v[j] * 127.0 / mx + 0.5) AS INT)
+                         * mx / 127.0, 6) AS xhat6
+            FROM x"""
+
+
+def _shard_layout_sql(n_shards: int = 8, salt: str = "shard") -> str:
+    """Oracle for layout.shard_by_hash: same 60-bit hash, same modulo
+    shard, same (hash, id) rank within shard."""
+    h = _hash60_sql("doc_id", salt)
+    return f"""
+            SELECT doc_id, lang, shard,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY h, doc_id) AS shard_pos
+            FROM (SELECT doc_id, lang, {h} AS h,
+                         CAST({h} % {n_shards} AS INT) AS shard
+                  FROM documents)"""
 
 
 def _quality_quantile_sql(q: float = 0.2, scale: int = 1_000_000) -> str:

@@ -225,6 +225,8 @@ def main() -> None:
         "bigram_ppl",
         "kmeans_assign",
         "pooled_embeddings",
+        "shard_layout",
+        "quantized_embeddings",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

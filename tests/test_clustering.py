@@ -121,3 +121,32 @@ def test_pool_embeddings_modes(spark):
         clustering.pool_embeddings(df, "g", dim=2, mode="max", quantize_bits=20)
     with pytest.raises(ValueError, match="unknown mode"):
         clustering.pool_embeddings(df, "g", dim=2, mode="median")
+
+
+def test_quantize_roundtrip_error_bound(spark, embs):
+    """Codes stay in [-127,127], reconstruction error <= scale/254 per
+    component, NULL/zero vectors degrade to NULL codes."""
+    from towhee_spark.functions import quantize
+
+    qd = quantize.quantize_embeddings(embs)
+    rows = qd.select("vec_id", "embedding", "q_codes", "q_scale").collect()
+    assert rows
+    for r in rows:
+        assert r.q_codes is not None and r.q_scale > 0
+        assert all(-127 <= q <= 127 for q in r.q_codes)
+        for x, q in zip(r.embedding, r.q_codes):
+            assert abs(x - q * r.q_scale / 127.0) <= r.q_scale / 254.0 + 1e-12
+    deg = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0])], "vec_id int, embedding array<double>")
+    dr = {r.vec_id: r for r in quantize.quantize_embeddings(deg).collect()}
+    assert dr[1].q_codes is None and dr[1].q_scale is None
+    assert dr[2].q_codes is None and dr[2].q_scale == 0.0
+    # dequantize_expr round-trips NULL codes to NULL
+    from pyspark.sql import functions as F
+    back = quantize.quantize_embeddings(deg).select(
+        "vec_id",
+        quantize.dequantize_expr(F.col("q_codes"), F.col("q_scale")).alias("x"))
+    assert all(r.x is None for r in back.collect())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="already exists"):
+        quantize.quantize_embeddings(qd)

@@ -272,3 +272,35 @@ def test_bucketed_join_and_agg_plan_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_shard_by_hash_layout(spark):
+    """Deterministic, balanced-ish, dense per-shard positions, and
+    stable across reruns; loud on column collisions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from towhee_spark.layout import shard_by_hash
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = shard_by_hash(df, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 1000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense ranks
+        assert 150 < len(ps) < 350  # hash balance at n=1000
+    again = {(r.doc_id, r.shard, r.shard_pos) for r in
+             shard_by_hash(df, n_shards=4).collect()}
+    assert again == {(r.doc_id, r.shard, r.shard_pos) for r in rows}
+    # a different salt draws an independent epoch ordering
+    other = {(r.doc_id, r.shard, r.shard_pos) for r in
+             shard_by_hash(df, n_shards=4, salt="epoch2").collect()}
+    assert other != again
+    with pytest.raises(ValueError, match="rename"):
+        shard_by_hash(out, n_shards=4)
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_by_hash(df, n_shards=0)

@@ -114,7 +114,8 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "bigram_ppl",
         "token_budget", "neardup_static", "pack_sequences", "semdedup",
         "pq_topk", "ivfpq_topk", "classifier_score", "dsir_select",
-        "kmeans_assign", "pooled_embeddings",
+        "kmeans_assign", "pooled_embeddings", "shard_layout",
+        "quantized_embeddings",
         "embedding_norms", "text_stats", "text_repetition", "quality_score",
         "pii_scrub", "chunk_text", "conv_prompt", "rerank", "json_extract",
         "tpch_q1", "tpch_q3ish", "tpch_q5ish", "cube_agg", "monthly_orders",

@@ -184,3 +184,46 @@ def read_bucketed(spark, table: str) -> DataFrame:
     the catalog — ``spark.read.parquet(path)`` on the same files loses
     the layout and re-shuffles)."""
     return spark.table(table)
+
+
+def shard_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard layout: every row gets (shard,
+    shard_pos) where shard = pmod(hash60(salt||id), n_shards) and
+    shard_pos = the row's rank within its shard ordered by the SAME hash
+    (id-asc tie-break) — i.e. a reproducible global shuffle of the
+    corpus, cut into n_shards files. The standard last step before
+    writing pretraining data: training must not see documents in crawl /
+    source order, and ``rand()``-based shuffles change under retries and
+    AQE re-plans while this layout is a pure function of (salt, id).
+    Write with ``.write.partitionBy('shard')`` and read shards in
+    shard_pos order; change ``salt`` to draw an independent epoch
+    ordering (the multi-epoch shuffle trick).
+
+    Scale: the only wide op is one row_number window PARTITIONED BY
+    SHARD — width ≈ n/n_shards by the hash's uniformity, and n_shards
+    scales with the corpus (a 100 TB corpus writes 10^5 shards), so no
+    task ever sees more than a shard's worth of rows. hash60(NULL) is
+    NULL, so NULL-id rows get NULL shard/pos — give rows real ids first."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from towhee_spark.functions.curation import hash60  # noqa: PLC0415
+
+    if n_shards < 1:
+        raise ValueError("shard_by_hash: n_shards must be >= 1")
+    for c in ("shard", "shard_pos", "__h"):
+        if c in df.columns:
+            raise ValueError(
+                f"shard_by_hash: input already has a {c!r} column — rename it first")
+    h = hash60(id_col, salt)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("__h")
+    )
