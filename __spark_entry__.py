@@ -949,9 +949,11 @@ def q_quality_quantile(spark, sf_dir):
     # selection (curation.top_quantile_by): scores frozen to
     # ROUND(q6·1e6) int64, per-(lang, score) histogram, threshold = MAX
     # frozen score whose top-down cumulative count reaches ⌈0.2·n_lang⌉
-    # (the ceil of the identical IEEE product on both engines),
-    # keep-ties. No per-stratum window over the DATA anywhere — the only
-    # window runs over the tiny histogram.
+    # — computed as EXACT integer (num·n + den−1) div den on both
+    # engines (never a float product: DuckDB parses 0.2 as DECIMAL
+    # while Spark multiplies doubles), keep-ties. No per-stratum window
+    # over the DATA anywhere — the only window runs over the tiny
+    # histogram.
     from towhee_spark.functions import curation  # noqa: PLC0415
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2373,21 +2375,29 @@ def _shard_layout_sql(n_shards: int = 8, salt: str = "shard") -> str:
 
 def _quality_quantile_sql(q: float = 0.2, scale: int = 1_000_000) -> str:
     """Oracle for curation.top_quantile_by over quality_score: the same
-    frozen-score histogram, the same top-down cumulative threshold
-    (⌈q·n⌉ as CEIL of the identical double product), keep-ties filter."""
+    frozen-score histogram and the same EXACT integer ceil
+    k = (num·n + den − 1) // den (q snapped to its decimal rational —
+    a float CEIL(q·tot) would diverge: DuckDB parses the literal as
+    exact DECIMAL while Spark multiplies doubles), keep-ties filter,
+    NULL scores excluded from histogram and total alike."""
+    from fractions import Fraction  # noqa: PLC0415
+
+    frac = Fraction(str(q))
+    num, den = frac.numerator, frac.denominator
     return f"""
             WITH sc AS (SELECT d.doc_id, d.lang,
                                CAST(ROUND(qs.qscore * {scale}.0) AS BIGINT) AS s,
                                qs.qscore
                         FROM documents d JOIN ({_quality_sql()}) qs
-                          ON qs.doc_id = d.doc_id),
+                          ON qs.doc_id = d.doc_id
+                        WHERE qs.qscore IS NOT NULL),
             h AS (SELECT lang, s, COUNT(*) AS c FROM sc GROUP BY lang, s),
             cum AS (SELECT lang, s,
                            SUM(c) OVER (PARTITION BY lang ORDER BY s DESC) AS cum,
                            SUM(c) OVER (PARTITION BY lang) AS tot
                     FROM h),
             thr AS (SELECT lang, MAX(s) AS thr FROM cum
-                    WHERE cum >= CAST(CEIL({q} * tot) AS BIGINT)
+                    WHERE cum >= ({num} * tot + {den - 1}) // {den}
                     GROUP BY lang)
             SELECT sc.doc_id, sc.lang, sc.qscore
             FROM sc JOIN thr USING (lang)

@@ -403,8 +403,6 @@ def test_top_quantile_by_matches_python_selection(spark, sfdocs):
     """Per stratum: every kept row outscores every dropped row (or ties
     the threshold), kept count >= ceil(q*n) with keep-ties semantics, and
     the result equals a plain Python histogram-threshold selection."""
-    import math
-
     from towhee_spark.functions import curation, text
 
     scored = sfdocs.select("doc_id", "lang",
@@ -416,13 +414,26 @@ def test_top_quantile_by_matches_python_selection(spark, sfdocs):
     for r in rows:
         by_lang.setdefault(r.lang, []).append((round(r.s * 1e6), r.doc_id))
     expect = set()
+    def k_of(n):  # exact integer ceil(3n/10) — the Fraction rule the op uses
+        return (3 * n + 9) // 10
     for lang, vs in by_lang.items():
-        k = math.ceil(0.3 * len(vs))
+        k = k_of(len(vs))
         thr = sorted((s for s, _ in vs), reverse=True)[k - 1]
         expect |= {d for s, d in vs if s >= thr}
     assert kept == expect
     for lang, vs in by_lang.items():
         n_kept = sum(1 for s, d in vs if d in kept)
-        assert n_kept >= math.ceil(0.3 * len(vs))
+        assert n_kept >= k_of(len(vs))
     with pytest.raises(ValueError, match="q must"):
         curation.top_quantile_by(scored, "s", "lang", q=0.0)
+
+
+def test_top_quantile_null_scores_do_not_inflate_k(spark):
+    """A stratum of 2 scored + 8 NULL-score rows at q=0.3 keeps
+    ceil(0.3*2)=1 row — NULL scores are excluded from the histogram AND
+    the total (the review finding: counting them made k=3 > n_scored
+    and emptied the stratum entirely)."""
+    rows = [("a", 1, 0.5), ("a", 2, 0.9)] + [("a", i, None) for i in range(3, 11)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, s double")
+    out = curation.top_quantile_by(df, "s", "lang", q=0.3).collect()
+    assert [(r.doc_id, r.s) for r in out] == [(2, 0.9)]

@@ -44,8 +44,12 @@ def _rebuild_cents(
 ) -> list[tuple]:
     """Lloyd update from the collected per-cell integer sums: new
     component = s_j / (n·scale) (exact-int division, see module doc); a
-    cell that captured no vectors keeps its previous centroid — the same
-    keep-old rule the SQL oracle's per-component COALESCE encodes."""
+    cell that captured no vectors keeps its previous centroid, and a
+    PER-COMPONENT NULL sum (every member NULL at that component — e.g.
+    short arrays under non-ANSI element_at) keeps the old component —
+    the exact granularity of the SQL oracle's per-component COALESCE
+    (review finding: a per-cell-only rule crashed on None here while
+    the oracle silently kept the component)."""
     by_cell = {r["cell"]: r for r in rows}
     out = []
     for cid, old in cents:
@@ -54,7 +58,10 @@ def _rebuild_cents(
             out.append((cid, list(old)))
         else:
             n = r["__n"]
-            out.append((cid, [r[f"__s{j}"] / (n * scale) for j in range(dim)]))
+            out.append((cid, [
+                old[j] if r[f"__s{j}"] is None else r[f"__s{j}"] / (n * scale)
+                for j in range(dim)
+            ]))
     return out
 
 
@@ -129,9 +136,13 @@ def kmeans_assign(
     is set, the ROUND(cos, 6) similarity to that centroid — the per-row
     outlier / mixing-weight signal. Action-free (centroids are REQUIRED —
     the lsh_topk dim= convention); NULL vectors get NULL cell/score."""
-    if "cell" in index.columns:
+    clash = {"cell", "__best"} & set(index.columns)
+    if score_col is not None and score_col in index.columns:
+        clash.add(score_col)
+    if clash:
         raise ValueError(
-            "kmeans_assign: index already has a 'cell' column — rename it first")
+            f"kmeans_assign: index already has column(s) {sorted(clash)} — "
+            "rename them first")
     cells_of = _ivf_cells_of(centroids, impl, index.schema[i_id].dataType)
     vec = F.col(i_vec)
     if dict(index.dtypes).get(i_vec) != "array<double>":

@@ -183,8 +183,12 @@ def bloom_build(
     cross-engine mirror stays in the safe shift range). Bit positions are
     ``pmod(hash60(salt||i||value), m_bits)`` for i in 0..k-1 — the
     cross-engine md5 hash, so both engines set identical bits. ≤ m_bits/32
-    rows regardless of input size: a 2^30-bit filter is 4 MiB of rows —
-    always broadcastable."""
+    rows regardless of input CONTENT: the frame costs ~m_bits/2 bytes
+    ((int word, long bits) ≈ 16 B per 32-bit word), so 2^26 bits ≈ 32 MB
+    of rows — comfortably broadcastable — and ~2^28 bits (~128 MB) is
+    the practical broadcast ceiling (review finding: an earlier draft
+    claimed 2^30 bits = 4 MiB, off by two orders; a 2^30-bit filter is
+    ~512 MB as rows — use the shuffled-join fallback there)."""
     if m_bits % 32 or m_bits <= 0:
         raise ValueError("bloom_build: m_bits must be a positive multiple of 32")
     if not 1 <= k <= 16:
@@ -217,9 +221,10 @@ def bloom_decontaminate(
     salt: str = "bloom",
 ) -> DataFrame:
     """:func:`decontaminate` with a Bloom-filter benchmark set — the
-    100 TB shape for benchmark suites too large to broadcast verbatim: a
-    2^30-bit filter is a 4 MiB broadcast no matter how many shingles the
-    suite holds, vs GBs for the exact distinct-shingle frame. Same output
+    100 TB shape for benchmark suites too large to broadcast verbatim:
+    the broadcast costs ~m_bits/2 bytes NO MATTER how many shingles the
+    suite holds (a 2^26-bit filter ≈ 32 MB of rows holds ~4M shingles at
+    <0.1% FP), vs GBs for the exact distinct-shingle frame. Same output
     contract (doc_id, hits, sample_shingle), where ``hits`` now counts
     maybe-contaminated shingles: a superset of the exact answer with
     per-shingle false-positive rate ≈ (1 − e^(−k·n_set/m_bits))^k — size
@@ -536,18 +541,28 @@ def top_quantile_by(
     the data pass is one broadcast-join + filter at the scan. A
     Window.partitionBy(stratum).orderBy(score) over the rows would
     serialize a 10^9-row language onto one task; the histogram never
-    does. ⌈q·n⌉ is the ceil of the IEEE double product — both engines
-    compute the identical product, so the boundary is cross-engine
-    deterministic. NULL scores never pass the cut."""
+    does. ⌈q·n⌉ is EXACT integer arithmetic: q is snapped to the
+    rational num/den its decimal literal denotes (Fraction(str(q))) and
+    k = (num·n + den − 1) div den — no float product anywhere, so the
+    boundary cannot diverge across engines (a float CEIL(q·n) would:
+    DuckDB parses 0.07 as exact DECIMAL while Spark multiplies doubles —
+    review finding). NULL scores are EXCLUDED from both the histogram
+    and n_s (they never pass the cut, and they must not inflate k);
+    rows with NULL strata are dropped by the join."""
     if not 0.0 < q <= 1.0:
         raise ValueError("top_quantile_by: q must be in (0, 1]")
     if "__st" in df.columns or "__thr" in df.columns:
         raise ValueError("top_quantile_by: input has reserved columns "
                          "__st/__thr — rename them first")
+    from fractions import Fraction  # noqa: PLC0415
+
+    frac = Fraction(str(q))
+    num, den = frac.numerator, frac.denominator
     sc = F.col(score_col) if isinstance(score_col, str) else score_col
     si = F.round(sc * F.lit(float(scale)), 0).cast("long")
     hist = (
         df.select(F.col(strata_col).alias("__st"), si.alias("__s"))
+        .where(F.col("__s").isNotNull())
         .groupBy("__st", "__s")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -558,7 +573,10 @@ def top_quantile_by(
     w_tot = Window.partitionBy("__st")
     thr = (
         hist.withColumn("__cum", F.sum("__c").over(w_cum))
-        .withColumn("__k", F.ceil(F.lit(float(q)) * F.sum("__c").over(w_tot)))
+        .withColumn("__n", F.sum("__c").over(w_tot))
+        .withColumn(
+            "__k", F.expr(f"({num} * __n + {den - 1}) div {den}")
+        )
         .filter(F.col("__cum") >= F.col("__k"))
         .groupBy("__st")
         .agg(F.max("__s").alias("__thr"))

@@ -34,17 +34,24 @@ def quantize_embeddings(
             raise ValueError(
                 f"quantize_embeddings: column {c!r} already exists — rename it")
     v = F.col(i_vec).cast("array<double>")
+    # materialize mx into scale_col FIRST and reference the COLUMN inside
+    # the codes lambda: embedding the array_max subtree in the lambda
+    # would re-run the O(dim) max for every element in the interpreted
+    # HOF evaluator — O(dim²) per row (review finding; the CLAUDE.md
+    # no-CSE trap)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    codes = F.transform(
-        v, lambda x: F.floor(x * F.lit(127.0) / mx + F.lit(0.5)).cast("int")
-    )
-    return df.withColumn(
+    with_scale = df.withColumn(
         scale_col,
         F.when(v.isNull(), F.lit(None).cast("double"))
         .when(mx > 0, mx).otherwise(F.lit(0.0)),
-    ).withColumn(
+    )
+    sc = F.col(scale_col)
+    codes = F.transform(
+        v, lambda x: F.floor(x * F.lit(127.0) / sc + F.lit(0.5)).cast("int")
+    )
+    return with_scale.withColumn(
         code_col,
-        F.when(v.isNotNull() & (mx > 0), codes)
+        F.when(v.isNotNull() & (sc > 0), codes)
         .otherwise(F.lit(None).cast("array<int>")),
     )
 

@@ -197,7 +197,6 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
         .cache()
     )
-    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n = base.agg(F.count(F.lit(1)).alias("__n"))
     scale = float(1 << scale_bits)
     idf_q = F.round(
@@ -205,11 +204,18 @@ def tfidf_top_terms(
          + F.lit(1.0)) * F.lit(scale),
         0,
     ).cast("long")
+    # the freeze runs in the VOCAB-sized dfreq frame (one ln per term),
+    # not in the posting-sized post-join projection (review finding: the
+    # expression placed after the join ran once per (doc, term) posting)
+    dfreq = (
+        post.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        .crossJoin(F.broadcast(n))
+        .select("term", idf_q.alias("__idf"))
+    )
     w = Window.partitionBy("id").orderBy(F.col("score_q20").desc(), "term")
     out = (
         post.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .select("id", "term", "tf", (F.col("tf") * idf_q).alias("score_q20"))
+        .select("id", "term", "tf", (F.col("tf") * F.col("__idf")).alias("score_q20"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(d_id), "term", "tf", "score_q20", "rank")

@@ -83,13 +83,17 @@ def cms_estimate(
     salt: str = "cms",
     out_col: str = "est",
 ) -> DataFrame:
-    """Point-query a count-min sketch for every row of ``values``:
+    """Point-query a count-min sketch per DISTINCT row of ``values``:
     est = MIN over the depth rows of the probed cell (a missing cell is
-    0 — nothing ever hashed there). The sketch is ≤ depth·width rows —
-    always broadcast; cost ∝ |values|·depth with no shuffle of the
-    values side beyond the final per-value MIN aggregate. ``depth``,
-    ``width`` and ``salt`` must match the build call (no metadata rides
-    the sketch frame — it is just rows)."""
+    0 — nothing ever hashed there). The final aggregate groups by all of
+    ``values``' columns, so duplicate rows COLLAPSE to one output row
+    (pass a distinct frame, or carry your own row id if you need
+    per-occurrence annotation; map-typed columns are not groupable).
+    The sketch is ≤ depth·width rows — always broadcast; cost ∝
+    |values|·depth with no shuffle of the values side beyond the final
+    per-value MIN aggregate. ``depth``, ``width`` and ``salt`` must
+    match the build call (no metadata rides the sketch frame — it is
+    just rows)."""
     from towhee_spark.functions.curation import hash60  # noqa: PLC0415
 
     clash = {"r", "c", "cnt"} & set(values.columns)

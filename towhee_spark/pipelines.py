@@ -249,6 +249,9 @@ def _pretraining_curation(benchmark: DataFrame | None = None,
     from towhee_spark.functions import curation, dedup, text  # noqa: PLC0415
 
     def apply(df: DataFrame) -> DataFrame:
+        from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
+
+        deps = []
         kept = df.filter(
             text.gopher_rules(text_col, min_words=min_words).getField("keep"))
         ex = dedup.dedup_exact(kept, id_col, text_col).select(id_col)
@@ -257,14 +260,20 @@ def _pretraining_curation(benchmark: DataFrame | None = None,
             pairs = dedup.minhash_lsh_pairs(
                 kept, id_col=id_col, text_col=text_col,
                 threshold=neardup_threshold)
+            # the pairs frame carries cached deps (MinHash signatures) —
+            # propagate them to the preset's output or they leak
+            # (the rrf_fuse combinator rule, CLAUDE.md round 4)
+            deps += getattr(pairs, "_cached_deps", [])
             surv = dedup.dedup_survivors(kept, pairs, id_col).select(id_col)
             kept = kept.join(surv, id_col)
         if benchmark is not None:
             flagged = curation.decontaminate(
                 kept, benchmark, n=decon_n, threshold=decon_threshold,
                 id_col=id_col, text_col=text_col).select(id_col)
+            deps += getattr(flagged, "_cached_deps", [])
             kept = kept.join(flagged, id_col, "left_anti")
-        return curation.hash_split(
+        out = curation.hash_split(
             kept, id_col=id_col, weights=split_weights, salt=split_salt)
+        return _with_cached_deps(out, *deps) if deps else out
 
     return apply
