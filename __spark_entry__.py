@@ -766,6 +766,20 @@ def q_ivfpq_topk(spark, sf_dir):
     return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
 
 
+def q_ivfsq_topk(spark, sf_dir):
+    # IVF-SQ8 composite (Faiss IndexIVFScalarQuantizer shape): coarse
+    # cells prune, int8 scalar quantization compresses, queries score
+    # asymmetrically against the floor-half-up reconstruction — a pure
+    # composition of the ivf_topk and quantized_embeddings machineries,
+    # so the only new float surface is the reconstructed cosine (same
+    # ROUND(,6)+id-asc discipline as the other retrieval gates).
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qs = embs.filter(F.col("vec_id") < 10)
+    out = similarity.ivfsq_topk(qs, embs, k=3, nlist=8, nprobe=3, impl="expr")
+    return out.select("query_id", "match_id", F.round("score", 4).alias("score4"))
+
+
 def q_kmeans(spark, sf_dir):
     # Lloyd k-means (spherical — cosine is scale-invariant so the raw-mean
     # update IS the spherical update): init = the shared md5-lowest-id
@@ -1297,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEXT ROUND: rotate whatever r04's artifact did not reach to the
     # front before adding new keys.
     return {
+        "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
         "shard_layout": q_shard_layout,
         "dedup_best": q_dedup_best,
@@ -1650,6 +1665,7 @@ def _oracle_sql() -> dict[str, str]:
         "dedup_best": _dedup_groups_sql(norm, threshold=0.5, survivors="best"),
         "shard_layout": _shard_layout_sql(n_shards=8),
         "quantized_embeddings": _quantize_sql(),
+        "ivfsq_topk": _ivfsq_topk_sql(nlist=8, nprobe=3, k=3),
         "hash_split": _hash_split_sql({"train": 0.8, "val": 0.1, "test": 0.1}),
         "token_budget": _token_budget_sql(
             {"en": 5000.0, "de": 2000.0, "fr": 10000.0}, tok_cnt),
@@ -2153,6 +2169,43 @@ def _ivf_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
                        FROM cand cd
                        JOIN e qe ON qe.vec_id = cd.query_id
                        JOIN e ie ON ie.vec_id = cd.match_id),
+            ranked AS (SELECT query_id, match_id,
+                              ROUND(ROUND(score, 6), 4) AS score4,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY ROUND(score, 6) DESC,
+                                                          match_id) AS rank
+                       FROM scored)
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
+
+
+def _ivfsq_topk_sql(nlist: int = 8, nprobe: int = 3, k: int = 3) -> str:
+    """Oracle for similarity.ivfsq_topk: the shared IVF quantizer CTEs
+    (cells from ORIGINAL vectors — assignment precedes compression, the
+    Faiss add-time convention), the quantize mirror's floor-half-up
+    int8 reconstruction q·mx/127, and the asymmetric cosine rerank of
+    full-precision queries against reconstructed index vectors."""
+    return f"""
+            WITH {_ivf_cell_ctes(nlist)},
+            m AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS mx
+                  FROM e),
+            r AS (SELECT vec_id,
+                         list_transform(v, x ->
+                             CAST(FLOOR(x * 127.0 / mx + 0.5) AS INT)
+                             * mx / 127.0) AS rv
+                  FROM m WHERE mx > 0),
+            qp AS (SELECT vec_id AS query_id, cid AS cell FROM ar
+                   WHERE rn <= {nprobe} AND vec_id < 10),
+            cand AS (SELECT q.query_id, i.vec_id AS match_id
+                     FROM qp q JOIN cell i ON i.cell = q.cell
+                     WHERE i.vec_id != q.query_id),
+            scored AS (SELECT cd.query_id, cd.match_id,
+                              list_dot_product(qe.v, ie.rv)
+                              / (sqrt(list_dot_product(qe.v, qe.v))
+                                 * sqrt(list_dot_product(ie.rv, ie.rv))) AS score
+                       FROM cand cd
+                       JOIN e qe ON qe.vec_id = cd.query_id
+                       JOIN r ie ON ie.vec_id = cd.match_id),
             ranked AS (SELECT query_id, match_id,
                               ROUND(ROUND(score, 6), 4) AS score4,
                               row_number() OVER (PARTITION BY query_id

@@ -227,6 +227,7 @@ def main() -> None:
         "pooled_embeddings",
         "shard_layout",
         "quantized_embeddings",
+        "ivfsq_topk",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -301,6 +302,9 @@ def main() -> None:
     timed_df("prod_ivfpq_topk_arrow", lambda: _sim.ivfpq_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         nlist=64, nprobe=8, m=8, ksub=16, impl="arrow"))
+    timed_df("prod_ivfsq_topk_arrow", lambda: _sim.ivfsq_topk(
+        embs.filter(F.col("vec_id") < 10), embs, k=3,
+        nlist=64, nprobe=8, impl="arrow"))
     timed_df("prod_ivf_topk_arrow", lambda: _sim.ivf_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         nlist=64, nprobe=8, impl="arrow"))

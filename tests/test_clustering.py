@@ -150,3 +150,40 @@ def test_quantize_roundtrip_error_bound(spark, embs):
     import pytest as _pt
     with _pt.raises(ValueError, match="already exists"):
         quantize.quantize_embeddings(qd)
+
+
+def test_ivfsq_quality_and_materialized_index(spark, embs):
+    """IVF-SQ8 sanity: full-probe SQ results track brute force closely
+    (int8 reconstruction error is tiny relative to score gaps), the
+    materialized quantized index round-trips through parquet, and
+    arrow/expr assignments agree."""
+    from towhee_spark.functions import quantize, similarity
+
+    qs = embs.filter(F.col("vec_id") < 5)
+    full = sorted(
+        (r.query_id, r.match_id) for r in similarity.ivfsq_topk(
+            qs, embs, k=3, nlist=4, nprobe=4, impl="expr").collect())
+    exact = sorted(
+        (r.query_id, r.match_id) for r in similarity.brute_force_topk(
+            qs, embs, k=3).collect())
+    overlap = len(set(full) & set(exact)) / len(exact)
+    assert overlap >= 0.8, (overlap, full, exact)
+    arrow = sorted(
+        (r.query_id, r.match_id) for r in similarity.ivfsq_topk(
+            qs, embs, k=3, nlist=4, nprobe=4, impl="arrow").collect())
+    assert arrow == full
+    # materialized quantized inverted file: write once, probe from read-back
+    import tempfile
+
+    cents = similarity.ivf_train(embs, nlist=4)
+    assigned = similarity.ivf_assign(embs, cents, impl="arrow")
+    qd = quantize.quantize_embeddings(assigned)
+    with tempfile.TemporaryDirectory() as td:
+        qd.select("vec_id", "cell", "q_codes", "q_scale").write.partitionBy(
+            "cell").parquet(f"{td}/ivfsq")
+        back = spark.read.parquet(f"{td}/ivfsq")
+        mat = sorted(
+            (r.query_id, r.match_id) for r in similarity.ivfsq_topk(
+                qs, embs, k=3, nlist=4, nprobe=4, impl="arrow",
+                centroids=cents, quantized=back).collect())
+    assert mat == arrow

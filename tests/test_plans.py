@@ -104,7 +104,7 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "dedup_ngram_capped", "minhash_lsh", "simhash_pairs",
         "simhash_weighted", "simhash_permuted", "embedding_neardup",
         "similarity_topk",
-        "ivf_topk", "bm25_topk", "tfidf_terms",
+        "ivf_topk", "ivfsq_topk", "bm25_topk", "tfidf_terms",
         "decontaminate", "bloom_decontaminate", "hash_split",
         "sample_by_hash", "gopher_quality", "curated_corpus",
         "heavy_hitters", "quality_quantile",

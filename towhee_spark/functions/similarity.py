@@ -447,6 +447,53 @@ def ivf_topk(
     return _global_topk(scored, k, shards)
 
 
+def ivfsq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    i_id: str = "vec_id",
+    i_vec: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    shards: int | None = None,
+    impl: str = "arrow",
+    centroids: list[tuple] | None = None,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-SQ8 (the Faiss IndexIVFScalarQuantizer shape, completing the
+    quartet next to ivf_topk / pq_adc_topk / ivfpq_topk): coarse cells
+    prune the scan, int8 scalar quantization compresses it 4× — a pure
+    composition of ivf_assign + quantize_embeddings + the ivf
+    probe/rerank, scoring ASYMMETRICALLY (full-precision query vs the
+    DEQUANTIZED index vector — the SQ convention; per-component
+    reconstruction error ≤ scale/254).
+
+    ``quantized=`` accepts the materialized (i_id, cell, q_codes,
+    q_scale) frame read back from parquet — the 4×-smaller inverted
+    file; write it ONCE with .write.partitionBy('cell'). The
+    reconstruction is materialized into a COLUMN before the cosine (the
+    quantize-lambda HOF lesson: cosine_expr reads its argument twice)."""
+    from towhee_spark.functions.quantize import (  # noqa: PLC0415
+        dequantize_expr, quantize_embeddings)
+
+    cents = centroids if centroids is not None else ivf_train(
+        index, i_id, i_vec, nlist)
+    if quantized is None:
+        assigned = ivf_assign(index, cents, i_id, i_vec, impl=impl)
+        quantized = quantize_embeddings(assigned, i_vec=i_vec)
+    recon = quantized.withColumn(
+        "__recon", dequantize_expr(F.col("q_codes"), F.col("q_scale")))
+    return ivf_topk(
+        queries, recon, k=k, q_id=q_id, q_vec=q_vec, i_id=i_id,
+        i_vec="__recon", nlist=nlist, nprobe=nprobe,
+        exclude_self=exclude_self, shards=shards, impl=impl,
+        centroids=cents, assigned=recon,
+    )
+
+
 # ---------------------------------------------------------------------------
 # product quantization (compressed-domain ANN)
 
