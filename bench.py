@@ -141,6 +141,22 @@ def main() -> None:
         flagship_pipeline()
         runs.append(round(time.perf_counter() - t0, 3))
     host_cpu = _cpu_pcts(cpu0, _cpu_sample())
+    # SELF-HEAL (round-4 finding): the hypervisor-starvation window is
+    # triggered by the burst START and decays over ~2 min — a single bench
+    # invocation (the driver's) lands its flagship phase squarely inside
+    # it (measured warm runs [63, 6.0, 5.6]: the first replay absorbed the
+    # tail). While the window is still visibly open (sys%>40 or steal%>5
+    # across the replays), keep replaying — up to 5 extra runs — and
+    # report every run + the LAST window's telemetry, so the steady-state
+    # number survives a degraded start without hiding the degradation.
+    extra = 0
+    while (host_cpu["sys_pct"] > 40 or host_cpu["steal_pct"] > 5) and extra < 5:
+        cpu0 = _cpu_sample()
+        t0 = time.perf_counter()
+        flagship_pipeline()
+        runs.append(round(time.perf_counter() - t0, 3))
+        host_cpu = _cpu_pcts(cpu0, _cpu_sample())
+        extra += 1
     timings["flagship_synth"] = min(runs)
     turns_per_sec = round(n_turns / timings["flagship_synth"], 1)
 
