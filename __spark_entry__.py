@@ -1299,18 +1299,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round correctness run covers the FIRST
-    # 50 entries (r03 artifact: 50 keys, exactly the dict prefix). Keys the
-    # driver has never covered lead the dict — currently every round-4
-    # addition, newest first (dedup_best, pooled_embeddings, strip_spans,
-    # quality_quantile, heavy_hitters, curated_corpus, tfidf_terms,
-    # bloom_decontaminate, kmeans_assign, semdedup, pq_topk, …) — and every
-    # key beyond position 50 is r03-covered (verified in this round's build
-    # notes) and re-verified locally each round via
-    # tools/check_correctness.py, so consecutive driver artifacts plus the
-    # local replica give every query driver-side or replica evidence.
-    # NEXT ROUND: rotate whatever r04's artifact did not reach to the
+    # 50 entries. CORRECTNESS_r04.json covered exactly the old positions
+    # 1-50 (ivfsq_topk .. lag_lead_chunked, all green), so this round the
+    # 40 keys r04 did NOT reach (old positions 51-90, bfill_chunked ..
+    # quality_score) are rotated to the front, followed by this round's new
+    # keys — the r04+r05 artifact pair then gives EVERY key driver-side
+    # green evidence. The r04-covered 50 sit beyond position 50 and are
+    # re-verified locally each round via tools/check_correctness.py.
+    # NEXT ROUND: rotate whatever r05's artifact did not reach to the
     # front before adding new keys.
     return {
+        # --- r04-uncovered keys (driver coverage target for r05) ---
+        "bfill_chunked": q_bfill_chunked,
+        "sessionize": q_sessionize,
+        "sessionize_chunked": q_sessionize_chunked,
+        "session_stats": q_session_stats,
+        "towhee_map": q_towhee_map,
+        "towhee_filter": q_towhee_filter,
+        "towhee_flat_map": q_towhee_flat_map,
+        "towhee_window_count": q_towhee_window_count,
+        "towhee_window_sliding": q_towhee_window_sliding,
+        "towhee_window_sliding_chunked": q_towhee_window_sliding_chunked,
+        "towhee_time_window": q_towhee_time_window,
+        "towhee_time_window_exact": q_towhee_time_window_exact,
+        "towhee_time_window_exact_chunked": q_towhee_time_window_exact_chunked,
+        "towhee_reduce": q_towhee_reduce,
+        "towhee_concat": q_towhee_concat,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "scan_topk": q_scan_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "chunk_text": q_chunk_text,
+        "rag_search": q_rag_search,
+        "rag_search_lsh": q_rag_search_lsh,
+        "text_repetition": q_text_repetition,
+        "simhash_weighted": q_simhash_weighted,
+        "pii_scrub": q_pii_scrub,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
+        "cube_agg": q_cube_agg,
+        "topk_orders": q_topk_orders,
+        "window_analytics": q_window_analytics,
+        "anti_semi_join": q_anti_semi_join,
+        "json_extract": q_json_extract,
+        "monthly_orders": q_monthly_orders,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "embedding_norms": q_embedding_norms,
+        "similarity_topk": q_similarity_topk,
+        "conv_prompt": q_conv_prompt,
+        "quality_score": q_quality,
+        # --- round-5 new keys (positions 41-50: driver-covered in r05) ---
+        # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
         "shard_layout": q_shard_layout,
@@ -1361,46 +1402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_chunked": q_asof_chunked,
         "bfill": q_bfill,
         "lag_lead_chunked": q_lag_lead_chunked,
-        "bfill_chunked": q_bfill_chunked,
-        "sessionize": q_sessionize,
-        "sessionize_chunked": q_sessionize_chunked,
-        "session_stats": q_session_stats,
-        "towhee_map": q_towhee_map,
-        "towhee_filter": q_towhee_filter,
-        "towhee_flat_map": q_towhee_flat_map,
-        "towhee_window_count": q_towhee_window_count,
-        "towhee_window_sliding": q_towhee_window_sliding,
-        "towhee_window_sliding_chunked": q_towhee_window_sliding_chunked,
-        "towhee_time_window": q_towhee_time_window,
-        "towhee_time_window_exact": q_towhee_time_window_exact,
-        "towhee_time_window_exact_chunked": q_towhee_time_window_exact_chunked,
-        "towhee_reduce": q_towhee_reduce,
-        "towhee_concat": q_towhee_concat,
-        "dedup_ngram_capped": q_dedup_ngram_capped,
-        "scan_topk": q_scan_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "chunk_text": q_chunk_text,
-        "rag_search": q_rag_search,
-        "rag_search_lsh": q_rag_search_lsh,
-        "text_repetition": q_text_repetition,
-        "simhash_weighted": q_simhash_weighted,
-        "pii_scrub": q_pii_scrub,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3ish": q_tpch_q3ish,
-        "tpch_q5ish": q_tpch_q5ish,
-        "cube_agg": q_cube_agg,
-        "topk_orders": q_topk_orders,
-        "window_analytics": q_window_analytics,
-        "anti_semi_join": q_anti_semi_join,
-        "json_extract": q_json_extract,
-        "monthly_orders": q_monthly_orders,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "embedding_norms": q_embedding_norms,
-        "similarity_topk": q_similarity_topk,
-        "conv_prompt": q_conv_prompt,
-        "quality_score": q_quality,
     }
 
 

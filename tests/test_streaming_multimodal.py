@@ -669,3 +669,22 @@ def test_readthedocs_dead_link_degrades_to_empty(spark, tmp_path):
     # missing INDEX is a misconfiguration: still a hard driver-side error
     with _pytest.raises(Exception):
         readthedocs_texts(spark, str(tmp_path / "no_such_dir")).collect()
+
+
+def test_stream_asof_static_snapshot_cap(spark, corpus_df):
+    """VERDICT r04 ask: an oversized ctx must raise loudly BEFORE the
+    driver snapshot (toPandas) instead of OOMing, and the error must point
+    at the scalable alternative (streaming.stateful)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from towhee_spark.streaming.ops import stream_asof_static
+
+    ctx = corpus_df.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("ctx_score"))
+    with _pytest.raises(ValueError, match="max_snapshot_rows.*stateful"):
+        stream_asof_static(corpus_df, ctx, max_snapshot_rows=10)
+    # at/under the cap the op still plans and runs
+    small = ctx.limit(5)
+    assert stream_asof_static(
+        corpus_df, small, max_snapshot_rows=5).count() == corpus_df.count()

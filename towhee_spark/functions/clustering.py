@@ -174,6 +174,7 @@ def pool_embeddings(
     mode: str = "mean",
     quantize_bits: int | None = None,
     out_col: str = "pooled",
+    validate: bool = True,
 ) -> DataFrame:
     """Aggregate per-chunk/per-turn vectors into one vector per ``by``
     group (chunk→document embeddings, turn→conversation features):
@@ -184,6 +185,16 @@ def pool_embeddings(
     n·dim rows). ``dim`` is REQUIRED (the lsh_topk action-free-plan
     convention). Modes: 'mean', 'sum', 'max'. NULL vectors are ignored;
     a group with only NULLs disappears (no rows reach the aggregate).
+
+    Inputs must be FIXED-DIM arrays of exactly ``dim`` non-NULL
+    components: 'mean' divides each component sum by the group ROW count
+    (n_vecs) while F.sum skips NULLs, so a NULL component would silently
+    deflate that component's mean (the DuckDB oracle mirrors this, but it
+    is not a useful semantic). ``validate=True`` (default) weaves an
+    ``assert_true(size(v) = dim)`` guard into the plan — action-free at
+    build time, loud at execution — catching ragged/short vectors;
+    per-component NULLs inside a right-sized array are NOT checked (an
+    exists() HOF per row — interpreted, too hot for production).
 
     Float reproducibility: 'max' is order-free exactly; 'mean'/'sum'
     over doubles are order-DEPENDENT at the 1e-16 level under partial
@@ -202,6 +213,18 @@ def pool_embeddings(
                          "quantize_bits only applies to mean/sum")
     v = F.col(i_vec).cast("array<double>")
     base = index.select(F.col(by), v.alias("__v")).where(F.col("__v").isNotNull())
+    if validate:
+        # assert_true returns NULL when the predicate holds and throws at
+        # execution otherwise; weaving it through a when() keeps it in the
+        # plan (a free-standing column would be pruned by Catalyst).
+        guard = F.assert_true(
+            F.size("__v") == F.lit(dim),
+            F.concat(F.lit(f"pool_embeddings: ragged input — size({i_vec}) "
+                           f"!= dim={dim}; pass fixed-dim vectors or "
+                           f"validate=False"),
+                     F.lit(" (got size "), F.size("__v"), F.lit(")")))
+        base = base.select(
+            by, F.when(guard.isNull(), F.col("__v")).alias("__v"))
     comps = [F.element_at("__v", j + 1) for j in range(dim)]
     if mode == "max":
         aggs = [F.max(c).alias(f"__a{j}") for j, c in enumerate(comps)]

@@ -796,7 +796,20 @@ def dedup_best_survivors(
     never a per-group window over the rows — so a viral boilerplate
     cluster with 10^6 members costs the same as any aggregate group.
     Scores should arrive pre-rounded (quality_score rounds to 6) so the
-    cross-engine compare is on identical values."""
+    cross-engine compare is on identical values.
+
+    ``id_col`` must be an integral column: the tie-break is integer
+    negation inside the max-struct, so the op is numeric-only by
+    construction. A non-numeric id would silently cast('long') to NULL
+    and drop every row — validated loudly up front instead (the
+    asof_join_chunked / kmeans_assign loud-guard convention)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"dedup_best_survivors: id column {id_col!r} must be integral "
+            f"(got {id_type}) — the tie-break negates the id inside a "
+            f"max(struct); map string ids to a surrogate BIGINT first "
+            f"(e.g. xxhash64) or use dedup_survivors for min-id keep")
     g = dedup_groups(df, pairs, id_col)
     scored = df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(score_col)

@@ -90,6 +90,7 @@ def scan_topk(
     i_id: str = "vec_id",
     i_vec: str = "embedding",
     exclude_self: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Shuffle-free exact cosine top-k for a small query set: the query
     matrix is collected once (an explicit driver action — O(n_queries·dim),
@@ -98,12 +99,27 @@ def scan_topk(
     running per-query top-k, and only ≤ n_queries·k rows per partition reach
     the final global window. The scored pairs themselves never shuffle —
     the 100 TB scan plan (cf. brute_force_topk's shuffled two-phase, which
-    stays bit-parity with the SQL oracle)."""
+    stays bit-parity with the SQL oracle).
+
+    ``max_queries`` (default 100k) guards the driver collect: a query set
+    past the cap raises loudly instead of OOMing the driver — route big
+    query sets through ``brute_force_topk`` (fully shuffled, no driver
+    materialization) or an ANN tier, or raise the cap explicitly."""
     import pandas as pd  # noqa: PLC0415
 
-    qrows = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qv")).collect()
+    # limit(cap+1) bounds the collect itself — the guard never materializes
+    # more than one row past the cap even when the input is huge
+    qrows = (queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qv"))
+             .limit(max_queries + 1).collect())
     if not qrows:
         raise ValueError("scan_topk: empty query set")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"scan_topk: query set exceeds max_queries={max_queries} — the "
+            f"query matrix is collected to the driver. Use brute_force_topk "
+            f"(shuffled, no driver materialization) or an ANN tier "
+            f"(lsh/ivf/pq/ivfpq/ivfsq_topk) for large query sets, or raise "
+            f"max_queries= if it truly fits driver memory")
     q_ids = np.array([r["qid"] for r in qrows])
     qm = np.array([r["qv"] for r in qrows], dtype=np.float64)
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
@@ -303,13 +319,32 @@ def ivf_train(
     i_id: str = "vec_id",
     i_vec: str = "embedding",
     nlist: int = 16,
+    method: str = "sample",
+    iters: int = 2,
+    impl: str = "arrow",
 ) -> list[tuple]:
     """IVF train step (ONE action, like scan_topk's query collect): the
     ``nlist`` centroids are the index vectors whose ids hash lowest under
     the cross-engine md5 hash — a deterministic sample both engines can
     re-derive, standing in for a k-means train the sandbox can't gate.
     Returns [(cid, vector), ...] in cid-ascending order; feed to
-    ivf_assign / ivf_topk(centroids=) to train once and reuse."""
+    ivf_assign / ivf_topk(centroids=) to train once and reuse.
+
+    ``method="kmeans"`` runs ``iters`` Lloyd rounds seeded from that same
+    md5 sample (delegating to :func:`towhee_spark.functions.clustering.
+    kmeans_train` — integer-frozen updates, deterministic but data-
+    DERIVED). Trained centroids give strictly better recall at equal
+    nprobe (measured in tests/test_clustering.py); the plain sample stays
+    the default because it is the oracle-mirrorable gate path."""
+    if method == "kmeans":
+        from towhee_spark.functions.clustering import (  # noqa: PLC0415
+            kmeans_train)
+
+        return kmeans_train(index, k=nlist, iters=iters,
+                            i_id=i_id, i_vec=i_vec, impl=impl)
+    if method != "sample":
+        raise ValueError(
+            f"ivf_train: method must be 'sample' or 'kmeans', got {method!r}")
     crows = (
         index.select(F.col(i_id).alias("cid"), F.col(i_vec).alias("cv"))
         .where(F.col("cv").isNotNull())  # a NULL vector can't be a centroid
@@ -486,6 +521,12 @@ def ivfsq_topk(
         quantized = quantize_embeddings(assigned, i_vec=i_vec)
     recon = quantized.withColumn(
         "__recon", dequantize_expr(F.col("q_codes"), F.col("q_scale")))
+    # All-zero index vectors quantize to NULL codes/scale → NULL __recon;
+    # cosine_expr's NULL→0.0 fallback would emit them at score 0.0 while the
+    # _ivfsq_topk_sql oracle drops them (its r CTE keeps mx > 0 only). Filter
+    # them out so engine and oracle agree even when a probed cell has fewer
+    # than k positive-scoring candidates.
+    recon = recon.where(F.col("__recon").isNotNull())
     return ivf_topk(
         queries, recon, k=k, q_id=q_id, q_vec=q_vec, i_id=i_id,
         i_vec="__recon", nlist=nlist, nprobe=nprobe,
@@ -734,3 +775,57 @@ def ivfpq_topk(
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
     return _global_topk(scored, k, shards)
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation
+
+
+def ann_recall(
+    ann: DataFrame,
+    exact: DataFrame,
+    per_query: bool = True,
+) -> DataFrame:
+    """recall@k of an ANN result against the exact top-k — the tuning
+    signal for nprobe / planes / tables sizing, first-class instead of
+    test-only (VERDICT r04 ask #5). Both inputs are (query_id, match_id,
+    score, rank) frames as produced by every *_topk op in this module;
+    pass the SAME k to both sides or the ratio is not recall@k.
+
+    ``per_query=True`` → (query_id, n_hits, n_exact, recall) with recall
+    = n_hits / n_exact rounded to 6 (cross-engine float discipline) —
+    queries the ANN tier missed entirely still appear (left join from the
+    exact side, n_hits = 0). ``per_query=False`` → one row
+    (n_queries, n_hits, n_exact, recall) micro-averaged over all pairs.
+
+    Scale story: one hash semi-join on (query_id, match_id) + one hash
+    aggregate — no window, no driver action; both sides are ≤ n_queries·k
+    rows by construction, tiny next to the corpora that produced them.
+    """
+    hits = (
+        exact.select("query_id", "match_id")
+        .join(ann.select("query_id", "match_id"), ["query_id", "match_id"],
+              "left_semi")
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = (
+        exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+    )
+    if per_query:
+        return base.withColumn(
+            "recall",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6))
+    return base.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_hits").alias("n_hits"),
+        F.sum("n_exact").alias("n_exact"),
+    ).select(
+        "n_queries", "n_hits", "n_exact",
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+    )

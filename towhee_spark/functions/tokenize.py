@@ -1,0 +1,308 @@
+"""Subword tokenization (WordPiece greedy longest-match) as a Spark plan.
+
+Real training-data pipelines budget, pack and score in MODEL tokens, not
+whitespace words — the reference's LLM ops hand text straight to a
+provider tokenizer (ref towhee/runtime/hub_ops/llm.py:38-44); here the
+tokenizer itself is a first-class distributed op so token budgets
+(curation.sample_to_token_budget), packing and perplexity can run in
+subword units with a DuckDB-mirrorable derivation (VERDICT r04 ask #2).
+
+Algorithm (the BERT WordPiece encoder, greedy longest-match):
+
+* words = the codebase's canonical whitespace tokens (ranking._toks —
+  normalize_text then split);
+* a word longer than ``max_word_chars`` is ``[UNK]``;
+* otherwise scan left→right: at each position take the LONGEST vocab
+  piece matching (position 1 matches bare pieces, later positions match
+  ``##``-prefixed continuation pieces); if no piece matches, the whole
+  word is ``[UNK]``.
+
+Engine design — Spark-first, not a per-row loop: greedy decoding is a
+data-dependent walk, but the walk only ever consults "longest vocab
+match at (word, position)", which is a JOIN, not a loop:
+
+1. distinct words (tokenize each distinct word ONCE — the corpus word
+   distribution is Zipfian, so this dedup is a huge win at scale);
+2. explode (word, pos, piece_len) candidates — bounded by
+   max_word_chars · max_piece_len per word — and broadcast-join the
+   vocab to take max(piece_len) per (word, pos);
+3. one cheap O(len) fold per word replays the greedy walk over the
+   per-position longest-match map (element_at lookups only — no vocab
+   scan inside the lambda, the interpreted-HOF lesson);
+4. join the per-word pieces back and reassemble per document in word
+   order (collect_list(struct) + array_sort + flatten — the codebase's
+   order-stable aggregation pattern).
+
+Scale story (100 TB): the candidate explosion and vocab join run over
+DISTINCT words (≪ corpus tokens); the corpus-sized stages are one
+explode + one broadcast-ish join on word + one hash aggregate per doc.
+No Python worker in the expr path; ``impl='arrow'`` swaps steps 1-4 for
+a batched Arrow kernel doing the same greedy walk against a broadcast
+frozenset (identical output, fewer shuffles — the production path when
+the vocab is large); equality tests keep the two in lockstep.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNK = "[UNK]"
+
+# Java-regex-parity normalizer (the arrow kernel's Python face of
+# text.normalize_text): Java's \s is [ \t\n\x0B\f\r] — NOT Python's
+# unicode-aware \s — so the class is spelled out; lower() differences
+# outside ASCII are out of contract (the expr path is the parity
+# reference; the lockstep equality test runs on the shared corpus).
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _normalize_py(t: str | None) -> str:
+    return _JAVA_WS.sub(" ", (t or "").lower()).strip(" ")
+
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_words: int = 64,
+    n_suffix: int = 16,
+) -> list[str]:
+    """Train a deterministic WordPiece-ish vocab from the corpus (ONE
+    action — the ivf_train/kmeans_train "train step" convention):
+
+    * the ``n_words`` most frequent whole words, ties word-ascending;
+    * the ``n_suffix`` most frequent 2-char word tails as ``##xx``
+      continuation pieces (len(word) >= 3 so the tail is a strict
+      suffix), ties tail-ascending;
+    * every single character OF THE TOP WORDS, both bare and ``##``
+      forms (rare symbols outside the head vocabulary fall to [UNK] —
+      deliberate: it keeps the UNK path alive and the vocab small);
+    * ``[UNK]``.
+
+    Counts are over word OCCURRENCES (the exploded token stream), so
+    both rankings are frequency-weighted exactly like the DuckDB mirror
+    (_tokenize_sql) — every step is a count + total-order top-N, no
+    floats anywhere. Returns a sorted de-duplicated list[str]."""
+    from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
+
+    w = docs.select(
+        F.explode(_toks(F.col(text_col))).alias("word"))
+    top = (
+        w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+        .limit(n_words)
+        .collect()
+    )
+    top_words = [r["word"] for r in top]
+    suf = (
+        w.where(F.length("word") >= 3)
+        .select(F.substring(F.col("word"), -2, 2).alias("t"))
+        .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(n_suffix)
+        .collect()
+    )
+    vocab = set(top_words)
+    vocab.update("##" + r["t"] for r in suf)
+    for word in top_words:
+        for ch in word:
+            vocab.add(ch)
+            vocab.add("##" + ch)
+    vocab.add(UNK)
+    return sorted(vocab)
+
+
+def _vocab_core(piece: str) -> tuple[bool, str]:
+    """piece → (is_prefix, core): '##ab' → (False, 'ab'); 'ab' → (True,
+    'ab'). [UNK] is an output marker, never a match candidate."""
+    if piece.startswith("##"):
+        return False, piece[2:]
+    return True, piece
+
+
+def wordpiece_tokenize(
+    docs: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "expr",
+    max_word_chars: int = 16,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """(id_col, out_col: array<string>, n_tokens: int) — the WordPiece
+    piece stream per document, words in order, pieces in order within
+    each word. Empty/NULL text → empty array, n_tokens = 0.
+
+    ``vocab`` is the trained list (wordpiece_vocab or any list[str] of
+    bare + ``##`` pieces — a real BERT vocab file drops straight in);
+    the plan broadcasts it, so plan construction is action-free (the
+    lsh_topk dim= convention). ``impl='expr'`` is the join-based native
+    plan (module doc); ``impl='arrow'`` the batched kernel."""
+    if not vocab:
+        raise ValueError("wordpiece_tokenize: empty vocab")
+    if impl == "arrow":
+        return _wp_arrow(docs, vocab, id_col, text_col, max_word_chars,
+                         out_col)
+    if impl != "expr":
+        raise ValueError(
+            f"impl must be 'arrow' or 'expr', got {impl!r}")
+    return _wp_expr(docs, vocab, id_col, text_col, max_word_chars, out_col)
+
+
+def _wp_py_word(word: str, vs: frozenset, max_word_chars: int,
+                max_piece: int) -> list[str]:
+    """Reference greedy walk (the arrow kernel's inner loop; also the
+    semantics contract the expr plan and the SQL mirror reproduce)."""
+    n = len(word)
+    if n > max_word_chars:
+        return [UNK]
+    out: list[str] = []
+    pos = 0
+    while pos < n:
+        best = 0
+        lim = min(max_piece, n - pos)
+        for ln in range(lim, 0, -1):
+            cand = word[pos:pos + ln] if pos == 0 else "##" + word[pos:pos + ln]
+            if cand in vs:
+                best = ln
+                out.append(cand)
+                break
+        if best == 0:
+            return [UNK]
+        pos += best
+    return out
+
+
+def _wp_arrow(docs, vocab, id_col, text_col, max_word_chars, out_col):
+    vs = frozenset(vocab)
+    max_piece = max((len(_vocab_core(p)[1]) for p in vocab if p != UNK),
+                    default=1)
+    sc = docs.sparkSession.sparkContext
+    bv = sc.broadcast((vs, max_piece))
+
+    @F.pandas_udf("array<string>")
+    def wp(texts: pd.Series) -> pd.Series:
+        vset, mp = bv.value
+        outs = []
+        for t in texts:
+            words = _normalize_py(t).split()
+            pieces: list[str] = []
+            for w in words:
+                pieces.extend(_wp_py_word(w, vset, max_word_chars, mp))
+            outs.append(pieces)
+        return pd.Series(outs)
+
+    return docs.select(
+        F.col(id_col),
+        wp(F.col(text_col)).alias(out_col),
+    ).withColumn("n_tokens", F.size(out_col))
+
+
+def _wp_expr(docs, vocab, id_col, text_col, max_word_chars, out_col):
+    from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
+
+    spark = docs.sparkSession
+    # rows: (core, is_prefix) — the join key is the RAW substring plus
+    # whether we are at word start, so no string concat runs per candidate
+    vdf = spark.createDataFrame(
+        [(core, bool(is_prefix)) for core, is_prefix in
+         {( _vocab_core(v)[1], _vocab_core(v)[0]) for v in vocab if v != UNK}],
+        "core string, is_prefix boolean",
+    )
+    max_piece = max((len(_vocab_core(p)[1]) for p in vocab if p != UNK),
+                    default=1)
+
+    base = docs.select(F.col(id_col), _toks(F.col(text_col)).alias("__ws"))
+    words = (
+        base.select(F.explode("__ws").alias("word"))
+        .where(F.length("word") <= max_word_chars)
+        .distinct()
+    )
+    # candidate (word, pos, l) grid; pos/l 1-based; l capped by remaining
+    cand = (
+        words.select(
+            "word",
+            F.posexplode(F.sequence(F.lit(1), F.length("word")))
+             .alias("__junk", "pos"),
+        )
+        .drop("__junk")
+        .select(
+            "word", "pos",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.least(F.lit(max_piece),
+                        F.length("word") - F.col("pos") + 1))).alias("l"),
+        )
+        .select(
+            "word", "pos", "l",
+            F.col("word").substr(F.col("pos"), F.col("l")).alias("core"),
+            (F.col("pos") == 1).alias("is_prefix"),
+        )
+    )
+    lmax = (
+        cand.join(F.broadcast(vdf), ["core", "is_prefix"])
+        .groupBy("word", "pos").agg(F.max("l").alias("L"))
+    )
+    lmap = lmax.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.col("L")))).alias("__lm"))
+
+    # greedy replay: O(len) fold, element_at lookups only
+    def step(acc, _):
+        pos, out, failed = acc.getField("p"), acc.getField("o"), acc.getField("f")
+        l = F.coalesce(F.element_at(F.col("__lm"), pos), F.lit(0))
+        piece = F.concat(
+            F.when(pos == 1, F.lit("")).otherwise(F.lit("##")),
+            F.col("word").substr(pos, l))
+        return (
+            F.when(failed | (pos > F.length("word")), acc)
+            .when(l == 0, F.struct(
+                (F.length("word") + 1).alias("p"),
+                F.array(F.lit(UNK)).alias("o"),
+                F.lit(True).alias("f")))
+            .otherwise(F.struct(
+                (pos + l).alias("p"),
+                F.array_append(out, piece).alias("o"),
+                F.lit(False).alias("f")))
+        )
+
+    init = F.struct(
+        F.lit(1).alias("p"),
+        F.array().cast("array<string>").alias("o"),
+        F.lit(False).alias("f"))
+    word_pieces = (
+        words.join(lmap, "word", "left")
+        .select(
+            "word",
+            F.aggregate(
+                F.sequence(F.lit(1), F.length("word")), init, step,
+                lambda s: s.getField("o")).alias("__p"),
+        )
+    )
+
+    # reassemble per doc in word order; over-long words never reached the
+    # match stage — their pieces are [UNK] via the left-join coalesce
+    exploded = base.select(
+        id_col, F.posexplode("__ws").alias("widx", "word"))
+    per_doc = (
+        exploded.join(word_pieces, "word", "left")
+        .select(
+            id_col, "widx",
+            F.coalesce("__p", F.array(F.lit(UNK))).alias("__p"))
+        .groupBy(id_col)
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("widx", "__p"))),
+            lambda s: s.getField("__p"))).alias(out_col))
+    )
+    return (
+        docs.select(id_col).join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(out_col, F.array().cast("array<string>"))
+             .alias(out_col))
+        .withColumn("n_tokens", F.size(out_col))
+    )

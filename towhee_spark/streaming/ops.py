@@ -108,6 +108,7 @@ def stream_asof_static(
     right_cols: list[str] | None = None,
     suffix: str = "",
     matched_ts_col: str | None = None,
+    max_snapshot_rows: int = 2_000_000,
 ) -> DataFrame:
     """As-of join of an unbounded event stream against a STATIC context
     snapshot — the streaming face of ``temporal.asof_join`` when the right
@@ -131,6 +132,12 @@ def stream_asof_static(
     snapshot — a stateless snapshot join has nothing for them to match;
     batch ``asof_join`` instead groups null keys together, the one
     documented parity divergence).
+
+    ``max_snapshot_rows`` (default 2M) guards the plan-time snapshot: a
+    ``ctx`` bigger than the cap raises loudly instead of OOMing the
+    driver — point a big, changing right side at the stateful buffered
+    asof in ``towhee_spark.streaming.stateful`` instead, or raise the cap
+    explicitly if the snapshot genuinely fits driver memory.
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -152,7 +159,18 @@ def stream_asof_static(
         )
 
     # plan-time snapshot: dedupe ties with the batch asof's direction rule
-    # (payload-lexicographic max for backward, min for forward)
+    # (payload-lexicographic max for backward, min for forward).
+    # Size guard first — limit(cap+1).count() is a cheap bounded action
+    # (scans stop once cap+1 rows surface), vs toPandas() on an oversized
+    # ctx which is a driver OOM with no error message.
+    probe = ctx.select(on).limit(max_snapshot_rows + 1).count()
+    if probe > max_snapshot_rows:
+        raise ValueError(
+            f"stream_asof_static: ctx exceeds max_snapshot_rows="
+            f"{max_snapshot_rows} — the snapshot ships in the task closure "
+            f"and must be dimension-sized. Use the stateful buffered asof "
+            f"(towhee_spark.streaming.stateful) for a large/changing right "
+            f"side, or raise max_snapshot_rows= if it truly fits the driver")
     snap = ctx.select(on, ts, *vcols).toPandas()
     # null merge keys make pd.merge_asof raise ('Merge keys contain null
     # values on right side'), and a single null in an integral column has
