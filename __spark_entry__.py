@@ -1088,6 +1088,76 @@ def q_token_budget(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_tokenize(spark, sf_dir):
+    # WordPiece greedy longest-match over a corpus-trained vocab; expr impl
+    # (distinct-word candidate join + O(len) greedy replay fold) — the
+    # oracle re-derives vocab, longest-match table and the greedy walk
+    # (recursive CTE) from the same corpus. max_word_chars=8 keeps the
+    # [UNK] path exercised (longer words map to [UNK] on both engines).
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    t = tok.wordpiece_tokenize(docs, vocab, impl="expr", max_word_chars=8)
+    return t.select(
+        "doc_id", F.posexplode("pieces").alias("pos0", "piece")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "piece")
+
+
+def q_token_budget_wp(spark, sf_dir):
+    # the model-token budget passthrough: budgets counted in WordPiece
+    # tokens (count_col=) instead of whitespace words — the subword
+    # pipeline feeding the same integer-threshold filter as token_budget
+    from towhee_spark.functions import curation  # noqa: PLC0415
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    # the budget op reads its input TWICE (stratum totals, then the hash
+    # filter) — cache the narrow count frame so the wp pipeline runs once
+    # (tagged for release via the dedup cached-deps convention)
+    counts = tok.wordpiece_tokenize(
+        docs, vocab, impl="expr", max_word_chars=8
+    ).select("doc_id", "n_tokens").cache()
+    out = curation.sample_to_token_budget(
+        docs.join(counts, "doc_id"),
+        budgets={"en": 8000.0, "de": 3000.0, "fr": 1000000.0},
+        strata_col="lang", count_col="n_tokens")
+    return dedup._with_cached_deps(  # noqa: SLF001
+        out.select("doc_id", "lang"), counts)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    # BPE: train the merge list on the corpus (24 rounds, each one pair
+    # aggregate + 1-row collect — actions at plan build, the kmeans/ivf
+    # train convention), then encode with the expr fold. The oracle
+    # re-runs the ENTIRE train loop round by round (generated CTE chain —
+    # same packed-string replace merge) and reassembles from the final
+    # word table, so train AND encode are gated end-to-end.
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = tok.bpe_train(docs, n_merges=24)
+    t = tok.bpe_encode(docs, merges, impl="expr")
+    return t.select(
+        "doc_id", F.posexplode("pieces").alias("pos0", "piece")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "piece")
+
+
+def q_ann_recall(spark, sf_dir):
+    # recall@3 of single-probe LSH vs exact brute force, per query — the
+    # first-class ANN tuning signal (probes=1 keeps recall < 1 so the
+    # numbers are non-trivial); both sides have proven oracles, composed
+    from towhee_spark.functions.similarity import ann_recall  # noqa: PLC0415
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    ann = similarity.lsh_topk(qs, embs, k=3, planes=8, probes=1, dim=64,
+                              impl="expr")
+    ex = similarity.brute_force_topk(qs, embs, k=3)
+    return ann_recall(ann, ex)
+
+
 def q_gopher_quality(spark, sf_dir):
     # Gopher-style keep/drop rule set with per-rule audit booleans; every
     # diagnostic is rounded BEFORE its threshold compare so both engines
@@ -1351,6 +1421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prompt": q_conv_prompt,
         "quality_score": q_quality,
         # --- round-5 new keys (positions 41-50: driver-covered in r05) ---
+        "tokenize": q_tokenize,
+        "token_budget_wp": q_token_budget_wp,
+        "ann_recall": q_ann_recall,
+        "bpe_tokenize": q_bpe_tokenize,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1723,6 +1797,11 @@ def _oracle_sql() -> dict[str, str]:
                               ORDER BY ts, turn_idx) AS prompt
             FROM transcripts GROUP BY conv_id""",
         "quality_score": _quality_sql(),
+        "tokenize": _tokenize_sql(norm),
+        "token_budget_wp": _token_budget_wp_sql(
+            norm, budgets={"en": 8000.0, "de": 3000.0, "fr": 1000000.0}),
+        "ann_recall": _ann_recall_sql(),
+        "bpe_tokenize": _bpe_sql(norm, n_merges=24),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -2768,6 +2847,237 @@ def _token_budget_sql(budgets: dict[str, float], tok_cnt: str,
             SELECT d.doc_id, d.{strata_col} AS {strata_col}
             FROM documents d JOIN thr USING ({strata_col})
             WHERE {_hash60_sql("doc_id", salt)} < th"""
+
+
+def _wp_cte(norm: str, n_words: int, n_suffix: int,
+            max_word_chars: int) -> str:
+    """CTE chain mirroring functions.tokenize end-to-end — vocab training
+    (top-N words / top-N 2-char tails / chars of the top words, counts
+    over word occurrences, ties string-ascending), the per-(word, pos)
+    longest-match table, the greedy walk (recursive CTE — advance by the
+    longest matching piece, no match ⇒ the whole word is [UNK]) and the
+    per-doc reassembly. Ends at ``flat(doc_id, pieces)``; the enclosing
+    query MUST open with WITH RECURSIVE."""
+    return f"""
+            d AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm}, ' '), t -> t <> '') AS ws
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, CAST(i AS INT) AS widx, ws[i] AS word
+                FROM d, UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ),
+            topw AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS c FROM w
+                    WHERE word NOT LIKE '##%'
+                    GROUP BY word ORDER BY c DESC, word ASC
+                    LIMIT {n_words})
+            ),
+            sufw AS (
+                SELECT t FROM (
+                    SELECT substr(word, length(word) - 1, 2) AS t,
+                           count(*) AS c
+                    FROM w WHERE length(word) >= 3
+                    GROUP BY t ORDER BY c DESC, t ASC LIMIT {n_suffix})
+            ),
+            chars AS (
+                SELECT DISTINCT substr(word, ci, 1) AS ch
+                FROM topw, UNNEST(range(1, length(word) + 1)) AS uc(ci)
+            ),
+            vocab AS (
+                SELECT word AS core, true AS is_prefix FROM topw
+                UNION SELECT t, false FROM sufw
+                UNION SELECT ch, true FROM chars
+                UNION SELECT ch, false FROM chars
+            ),
+            mp AS (SELECT max(length(core)) AS m FROM vocab),
+            dw AS (SELECT DISTINCT word FROM w
+                   WHERE length(word) <= {max_word_chars}),
+            cand AS (
+                SELECT word, CAST(p AS INT) AS pos, CAST(l AS INT) AS l,
+                       substr(word, p, l) AS core, (p = 1) AS is_prefix
+                FROM dw, mp,
+                     UNNEST(range(1, length(word) + 1)) AS up(p),
+                     UNNEST(range(1, least(mp.m, length(word) - p + 1) + 1))
+                         AS ul(l)
+            ),
+            lmax AS (
+                SELECT word, pos, max(l) AS L
+                FROM cand JOIN vocab USING (core, is_prefix)
+                GROUP BY word, pos
+            ),
+            walk AS (
+                SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS out,
+                       false AS failed
+                FROM dw
+                UNION ALL
+                SELECT t.word,
+                       CASE WHEN l.L IS NULL THEN length(t.word) + 1
+                            ELSE t.pos + l.L END,
+                       CASE WHEN l.L IS NULL THEN ['[UNK]']
+                            ELSE list_append(t.out,
+                                 CASE WHEN t.pos = 1 THEN '' ELSE '##' END
+                                 || substr(t.word, t.pos, l.L)) END,
+                       l.L IS NULL
+                FROM walk t LEFT JOIN lmax l
+                  ON l.word = t.word AND l.pos = t.pos
+                WHERE t.pos <= length(t.word) AND NOT t.failed
+            ),
+            done AS (SELECT word, out FROM walk
+                     WHERE failed OR pos > length(word)),
+            flat AS (
+                SELECT w.doc_id,
+                       flatten(list(coalesce(dn.out, ['[UNK]'])
+                                    ORDER BY w.widx)) AS pieces
+                FROM w LEFT JOIN done dn ON dn.word = w.word
+                GROUP BY w.doc_id
+            )"""
+
+
+def _tokenize_sql(norm: str, n_words: int = 24, n_suffix: int = 8,
+                  max_word_chars: int = 8) -> str:
+    """Oracle for q_tokenize: the _wp_cte pipeline exploded to
+    (doc_id, pos, piece) rows (empty docs emit no rows — matches
+    posexplode on the empty pieces array)."""
+    return f"""
+            WITH RECURSIVE {_wp_cte(norm, n_words, n_suffix, max_word_chars)}
+            SELECT doc_id, CAST(i AS INT) AS pos, pieces[i] AS piece
+            FROM flat, UNNEST(range(1, len(pieces) + 1)) AS u(i)"""
+
+
+def _token_budget_wp_sql(norm: str, budgets: dict[str, float],
+                         n_words: int = 24, n_suffix: int = 8,
+                         max_word_chars: int = 8,
+                         strata_col: str = "lang",
+                         salt: str = "budget") -> str:
+    """Oracle for q_token_budget_wp: _token_budget_sql's threshold
+    derivation with the whitespace token count swapped for the WordPiece
+    piece count (len(flat.pieces); empty docs count 0 via the left
+    join — matching the engine's n_tokens = 0)."""
+    from towhee_spark.functions.curation import HASH_SPACE  # noqa: PLC0415
+
+    cases = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN CAST({float(b)} AS DOUBLE)"
+        for s, b in budgets.items())
+    return f"""
+            WITH RECURSIVE {_wp_cte(norm, n_words, n_suffix, max_word_chars)},
+            cnt AS (
+                SELECT dd.doc_id, dd.{strata_col},
+                       coalesce(len(f.pieces), 0) AS n
+                FROM documents dd LEFT JOIN flat f USING (doc_id)
+            ),
+            tot AS (
+                SELECT {strata_col}, CAST(SUM(n) AS BIGINT) AS t
+                FROM cnt GROUP BY {strata_col}
+            ),
+            thr AS (
+                SELECT {strata_col},
+                       CAST(floor(
+                           CASE WHEN b IS NULL THEN NULL
+                                WHEN t = 0 THEN 1.0
+                                ELSE least(b / CAST(t AS DOUBLE), 1.0) END
+                           * CAST({HASH_SPACE} AS DOUBLE)) AS BIGINT) AS th
+                FROM (SELECT {strata_col}, t,
+                             CASE {cases} ELSE NULL END AS b FROM tot)
+            )
+            SELECT dd.doc_id, dd.{strata_col} AS {strata_col}
+            FROM documents dd JOIN thr USING ({strata_col})
+            WHERE {_hash60_sql("doc_id", salt)} < th"""
+
+
+def _bpe_sql(norm: str, n_merges: int = 24) -> str:
+    """Oracle for q_bpe_tokenize: the BPE train loop UNROLLED — one
+    (pairs, best, words) CTE triple per merge round, generated by this
+    Python loop exactly as the engine's driver loop runs Spark jobs.
+    Symbols ride in the packed form (every symbol wrapped in chr(31),
+    adjacency = the doubled separator) so each merge is ONE
+    non-overlapping left-to-right replace — bit-identical to
+    functions.tokenize._bpe_pat/F.replace. A round with no repeating
+    pair leaves the word table unchanged (LEFT JOIN on the empty best
+    row), mirroring the engine's early loop exit."""
+    sep = "chr(31)"
+    rounds = []
+    for r in range(1, n_merges + 1):
+        rounds.append(f"""
+            p{r} AS MATERIALIZED (
+                SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+                    SELECT cnt, syms[i] AS a, syms[i + 1] AS b
+                    FROM (SELECT cnt,
+                                 string_split(substr(s, 2, length(s) - 2),
+                                              {sep} || {sep}) AS syms
+                          FROM w{r - 1}) t,
+                         UNNEST(range(1, len(syms))) AS u(i)
+                ) GROUP BY a, b HAVING SUM(cnt) >= 2
+            ),
+            b{r} AS MATERIALIZED (SELECT a, b FROM p{r}
+                     ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+            w{r} AS MATERIALIZED (
+                SELECT w.word, w.cnt,
+                       CASE WHEN b.a IS NULL THEN w.s
+                            ELSE replace(w.s,
+                                 {sep} || b.a || {sep} || {sep} || b.b || {sep},
+                                 {sep} || b.a || b.b || {sep}) END AS s
+                FROM w{r - 1} w LEFT JOIN b{r} b ON true
+            )""")
+    return f"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm}, ' '), t -> t <> '') AS ws
+                FROM documents
+            ),
+            wd AS MATERIALIZED (
+                SELECT doc_id, CAST(i AS INT) AS widx, ws[i] AS word
+                FROM d, UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ),
+            w0 AS MATERIALIZED (
+                SELECT word, count(*) AS cnt,
+                       CASE WHEN contains(word, {sep})
+                            THEN {sep} || word || {sep}
+                            ELSE regexp_replace(word, '(.)',
+                                 {sep} || '\\1' || {sep}, 'g') END AS s
+                FROM wd GROUP BY word
+            ),{",".join(rounds)},
+            pieces AS (
+                SELECT word,
+                       string_split(substr(s, 2, length(s) - 2),
+                                    {sep} || {sep}) AS ps
+                FROM w{n_merges}
+            ),
+            flat AS (
+                SELECT wd.doc_id,
+                       flatten(list(p.ps ORDER BY wd.widx)) AS pieces
+                FROM wd JOIN pieces p ON p.word = wd.word
+                GROUP BY wd.doc_id
+            )
+            SELECT doc_id, CAST(i AS INT) AS pos, pieces[i] AS piece
+            FROM flat, UNNEST(range(1, len(pieces) + 1)) AS u(i)"""
+
+
+def _ann_recall_sql() -> str:
+    """Oracle for q_ann_recall: the proven lsh_topk (probes=1) and exact
+    top-k oracles composed verbatim as derived tables, then the
+    hits/exact join + per-query recall — same arithmetic as
+    similarity.ann_recall (BIGINT counts, one double division, ROUND 6)."""
+    return f"""
+            WITH ann AS (SELECT * FROM (
+                {_lsh_topk_sql(planes=8, probes=1, dim=64, seed=7)}) t),
+            ex AS (SELECT * FROM ({_topk_sql()}) t),
+            hits AS (
+                SELECT e.query_id, count(*) AS n_hits
+                FROM ex e JOIN ann a
+                  ON a.query_id = e.query_id AND a.match_id = e.match_id
+                GROUP BY e.query_id
+            ),
+            base AS (SELECT query_id, count(*) AS n_exact
+                     FROM ex GROUP BY query_id)
+            SELECT b.query_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(b.n_exact AS BIGINT) AS n_exact,
+                   ROUND(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / b.n_exact,
+                         6) AS recall
+            FROM base b LEFT JOIN hits h USING (query_id)"""
 
 
 def _gopher_sql(norm: str, min_words: int = 50, max_words: int = 100_000,

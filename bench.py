@@ -244,8 +244,19 @@ def main() -> None:
         "shard_layout",
         "quantized_embeddings",
         "ivfsq_topk",
+        "ann_recall",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
+
+    # tokenize/token_budget_wp TRAIN their vocab at plan build (one action,
+    # like ivf_topk's centroid train) — the _full rows time train + scan
+    timed("tokenize_full", lambda: force(qs["tokenize"](spark, sf_dir)))
+    timed("token_budget_wp_full",
+          lambda: force(qs["token_budget_wp"](spark, sf_dir)))
+    # BPE train is 24 driver round-trips (one pair aggregate each) — the
+    # _full row is dominated by train latency, the prod row below times
+    # the recurring encode scan against a pre-trained merge list
+    timed("bpe_tokenize_full", lambda: force(qs["bpe_tokenize"](spark, sf_dir)))
 
     # dedup_groups is ITERATIVE (large-star/small-star rounds run at plan
     # build), so the honest number times build + force together — a
@@ -332,6 +343,20 @@ def main() -> None:
     timed("prod_kmeans_arrow_full", lambda: force(_clu.kmeans_assign(
         embs, _clu.kmeans_train(embs, k=16, iters=2, impl="arrow"),
         impl="arrow", score_col="cos6")))
+    # WordPiece production shape: Arrow greedy kernel over a pre-trained
+    # vocab (train amortizes across runs — benched separately as the gate
+    # _full row, which pins impl="expr" + train for the SQL mirror)
+    from towhee_spark.functions import tokenize as _tok
+    _wp_vocab = _tok.wordpiece_vocab(docs, n_words=256, n_suffix=64)
+    timed_df("prod_tokenize_arrow", lambda: _tok.wordpiece_tokenize(
+        docs, _wp_vocab, impl="arrow"))
+    timed_df("prod_tokenize_expr", lambda: _tok.wordpiece_tokenize(
+        docs, _wp_vocab, impl="expr"))
+    _bpe_merges = _tok.bpe_train(docs, n_merges=24)
+    timed_df("prod_bpe_encode_arrow", lambda: _tok.bpe_encode(
+        docs, _bpe_merges, impl="arrow"))
+    timed_df("prod_bpe_encode_expr", lambda: _tok.bpe_encode(
+        docs, _bpe_merges, impl="expr"))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())
@@ -356,6 +381,27 @@ def main() -> None:
                 "flagship_warm_runs": runs,
                 "flagship_stages_cum_sec": stages_cum,
                 "host_cpu_during_flagship": host_cpu,
+            }
+        )
+    )
+    # VERDICT r04 ask #7: the driver truncates the BENCH artifact to its
+    # TAIL, which in r04 cut the front of the (single) JSON line and with
+    # it the headline metric. Emit a second, compact line AFTER the full
+    # one — whatever suffix the driver keeps always parses and carries the
+    # flagship number plus the ten heaviest queries.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "turns/sec feature-engineering throughput (flagship pipeline)",
+                "value": turns_per_sec,
+                "unit": "turns/sec",
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "total_sec": total,
+                "queries": top10,
+                "note": "compact tail line (full per-query map on the previous line)",
             }
         )
     )

@@ -187,3 +187,50 @@ def test_ivfsq_quality_and_materialized_index(spark, embs):
                 qs, embs, k=3, nlist=4, nprobe=4, impl="arrow",
                 centroids=cents, quantized=back).collect())
     assert mat == arrow
+
+
+def test_ivf_train_kmeans_improves_recall(spark, embs):
+    """VERDICT r04 ask #3: ivf_train(method='kmeans') wires Lloyd-trained
+    centroids into the IVF tiers and must beat (or at worst match) the
+    md5-sample centroids on recall@k at EQUAL nprobe."""
+    from towhee_spark.functions import similarity
+
+    qs = embs.filter(F.col("vec_id") < 40)
+    exact = similarity.brute_force_topk(qs, embs, k=5)
+
+    def recall(cents):
+        ann = similarity.ivf_topk(qs, embs, k=5, nlist=8, nprobe=2,
+                                  impl="arrow", centroids=cents)
+        row = similarity.ann_recall(ann, exact, per_query=False).collect()[0]
+        return row.n_hits / row.n_exact
+
+    sample = similarity.ivf_train(embs, nlist=8)  # default method
+    trained = similarity.ivf_train(embs, nlist=8, method="kmeans", iters=3)
+    r_sample, r_kmeans = recall(sample), recall(trained)
+    assert r_kmeans >= r_sample, (r_kmeans, r_sample)
+    # both deterministic; record the measured gap in the assertion message
+    assert r_kmeans > 0.0
+    with pytest.raises(ValueError, match="method"):
+        similarity.ivf_train(embs, nlist=8, method="bogus")
+
+
+def test_ann_recall_op(spark, embs):
+    """ann_recall: exact-vs-itself is 1.0 everywhere; a deliberately
+    crippled ANN result scores < 1; per_query=False micro-averages."""
+    from towhee_spark.functions import similarity
+
+    qs = embs.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(qs, embs, k=3)
+    perfect = similarity.ann_recall(exact, exact)
+    rows = perfect.collect()
+    assert len(rows) == 10 and all(r.recall == 1.0 for r in rows)
+    # drop every odd match_id from the "ANN" side → recall < 1 somewhere,
+    # and missed queries still appear with n_hits = 0
+    crippled = exact.filter(F.col("match_id") % 2 == 0)
+    rr = {r.query_id: r for r in
+          similarity.ann_recall(crippled, exact).collect()}
+    assert len(rr) == 10
+    assert any(v.n_hits < v.n_exact for v in rr.values())
+    agg = similarity.ann_recall(crippled, exact, per_query=False).collect()
+    assert len(agg) == 1 and agg[0].n_exact == 30
+    assert agg[0].n_hits == sum(v.n_hits for v in rr.values())

@@ -1,0 +1,199 @@
+"""WordPiece tokenizer: expr/arrow lockstep, greedy semantics, edges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import tokenize as tok
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_wp_py_word_greedy_semantics():
+    """The reference walk: longest match wins, position 1 uses bare
+    pieces, later positions ## pieces, any dead end → whole word [UNK]."""
+    vs = frozenset(["un", "##aff", "##able", "##ab", "aff", "a",
+                    "##f", "##l", "##e", "##b"])
+    assert tok._wp_py_word("unaffable", vs, 16, 5) == \
+        ["un", "##aff", "##able"]
+    # longest-match at pos 1: 'aff' beats 'a'
+    assert tok._wp_py_word("affable", vs, 16, 5) == ["aff", "##able"]
+    # dead end mid-word (no piece matches 'z') → [UNK] for the whole word
+    assert tok._wp_py_word("unz", vs, 16, 5) == ["[UNK]"]
+    # over-long word → [UNK] without scanning
+    assert tok._wp_py_word("unaffable", vs, 4, 5) == ["[UNK]"]
+
+
+def test_wordpiece_expr_arrow_lockstep(spark, docs):
+    """Both impls must produce identical piece streams on the real corpus
+    (the VERDICT r04 lockstep requirement) — including [UNK]s from the
+    tight max_word_chars."""
+    v = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    e = {r.doc_id: (tuple(r.pieces), r.n_tokens)
+         for r in tok.wordpiece_tokenize(
+             docs, v, impl="expr", max_word_chars=8).collect()}
+    a = {r.doc_id: (tuple(r.pieces), r.n_tokens)
+         for r in tok.wordpiece_tokenize(
+             docs, v, impl="arrow", max_word_chars=8).collect()}
+    assert e == a
+    assert len(e) == docs.count()  # every doc present, empty or not
+    # n_tokens is the piece count
+    assert all(len(p) == n for p, n in e.values())
+
+
+def test_wordpiece_matches_python_reference(spark, docs):
+    """The distributed expr plan must equal the plain-Python greedy walk
+    applied per document (independent recomputation, not just
+    arrow-vs-expr agreement)."""
+    v = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    vs = frozenset(v)
+    mp = max(len(p[2:] if p.startswith("##") else p)
+             for p in v if p != tok.UNK)
+    got = {r.doc_id: list(r.pieces)
+           for r in tok.wordpiece_tokenize(
+               docs, v, impl="expr", max_word_chars=8).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    for _, row in pdf.iterrows():
+        words = tok._normalize_py(row["text"]).split(" ")
+        words = [w for w in words if w]
+        want = [p for w in words for p in tok._wp_py_word(w, vs, 8, mp)]
+        assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_wordpiece_edges(spark):
+    """NULL/empty text → empty pieces; a real BERT-style external vocab
+    (not corpus-trained) drops in unchanged."""
+    df = spark.createDataFrame(
+        [(1, "the quick fox"), (2, ""), (3, None), (4, "THE   Quick\tfox")],
+        "doc_id int, text string")
+    vocab = ["the", "quick", "fox", "t", "##h", "##e", "q", "##u"]
+    for impl in ("expr", "arrow"):
+        out = {r.doc_id: list(r.pieces)
+               for r in tok.wordpiece_tokenize(df, vocab, impl=impl).collect()}
+        assert out[1] == ["the", "quick", "fox"]
+        assert out[2] == [] and out[3] == []
+        # normalization: case-fold + whitespace collapse before the walk
+        assert out[4] == ["the", "quick", "fox"]
+    with pytest.raises(ValueError, match="empty vocab"):
+        tok.wordpiece_tokenize(df, [])
+    with pytest.raises(ValueError, match="impl"):
+        tok.wordpiece_tokenize(df, vocab, impl="nope")
+
+
+def test_wordpiece_vocab_deterministic(spark, docs):
+    """Vocab training is one action and fully deterministic: same list on
+    repeated calls, [UNK] always present, no '##'-ambiguous words."""
+    v1 = tok.wordpiece_vocab(docs, n_words=16, n_suffix=4)
+    v2 = tok.wordpiece_vocab(docs, n_words=16, n_suffix=4)
+    assert v1 == v2
+    assert tok.UNK in v1
+    # every continuation piece has a non-empty core
+    assert all(len(p) > 2 for p in v1 if p.startswith("##"))
+
+
+def test_token_budget_count_col(spark, docs):
+    """curation.sample_to_token_budget(count_col=) budgets in the
+    precomputed unit: a stratum whose budget >= its subword total keeps
+    every row; a zero budget keeps none."""
+    from towhee_spark.functions import curation
+
+    v = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    counts = tok.wordpiece_tokenize(docs, v, impl="arrow").select(
+        "doc_id", "n_tokens")
+    d = docs.join(counts, "doc_id")
+    total = d.agg(F.sum("n_tokens")).collect()[0][0]
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep_all = curation.sample_to_token_budget(
+        d, budgets={s: float(total + 1) for s in langs},
+        strata_col="lang", count_col="n_tokens")
+    assert keep_all.count() == docs.count()
+    keep_none = curation.sample_to_token_budget(
+        d, budgets={langs[0]: 0.0}, strata_col="lang",
+        count_col="n_tokens")
+    assert keep_none.count() == 0
+
+
+# --- BPE ---------------------------------------------------------------
+
+
+def _py_bpe_train(word_counts: dict, n_merges: int) -> list:
+    """Independent single-node reference: classic BPE over a word-count
+    table, most-frequent adjacent pair first, (count desc, pair asc)."""
+    syms = {w: ([w] if tok.SEP in w else list(w)) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        counts = {p: c for p, c in counts.items() if c >= 2}
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark, docs):
+    """The distributed train loop (pair aggregate + packed-string replace
+    per round) must learn the same ordered merge list as the classic
+    in-memory BPE trainer."""
+    wc = {}
+    for row in docs.select("text").toPandas()["text"]:
+        for w in tok._normalize_py(row).split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want = _py_bpe_train(wc, 16)
+    got = tok.bpe_train(docs, n_merges=16)
+    assert got == want
+
+
+def test_bpe_encode_lockstep_and_roundtrip(spark, docs):
+    """expr and arrow encodes agree; concatenated pieces reconstruct the
+    normalized words exactly (BPE is lossless — no [UNK])."""
+    merges = tok.bpe_train(docs, n_merges=16)
+    e = {r.doc_id: tuple(r.pieces)
+         for r in tok.bpe_encode(docs, merges, impl="expr").collect()}
+    a = {r.doc_id: tuple(r.pieces)
+         for r in tok.bpe_encode(docs, merges, impl="arrow").collect()}
+    assert e == a
+    pdf = docs.select("doc_id", "text").toPandas()
+    for _, row in pdf.iterrows():
+        words = [w for w in tok._normalize_py(row["text"]).split(" ") if w]
+        assert "".join(e[row["doc_id"]]) == "".join(words)
+
+
+def test_bpe_edges(spark):
+    """Empty merges → character stream; SEP-containing words stay whole;
+    empty/NULL text → empty pieces; merge order is applied in sequence."""
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, ""), (3, None), (4, "x" + tok.SEP + "y")],
+        "doc_id int, text string")
+    for impl in ("expr", "arrow"):
+        out = {r.doc_id: list(r.pieces)
+               for r in tok.bpe_encode(df, [], impl=impl).collect()}
+        assert out[1] == ["a", "b", "a", "b", "a", "b"]
+        assert out[2] == [] and out[3] == []
+        assert out[4] == ["x" + tok.SEP + "y"]
+        out2 = {r.doc_id: list(r.pieces)
+                for r in tok.bpe_encode(
+                    df, [("a", "b"), ("ab", "ab")], impl=impl).collect()}
+        assert out2[1] == ["abab", "ab"]
+    with pytest.raises(ValueError, match="impl"):
+        tok.bpe_encode(df, [], impl="nope")

@@ -290,9 +290,16 @@ def sample_to_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "budget",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Down-sample each stratum to ≈ a TOKEN budget (the unit training
     mixes are actually specified in), deterministically.
+
+    ``count_col`` switches the budget unit from whitespace tokens
+    (text.token_count over ``text_col``, the default) to a precomputed
+    per-row count column — the MODEL-token passthrough (VERDICT r04 ask
+    #2): join wordpiece_tokenize's ``n_tokens`` onto the corpus and
+    budget in subword units; ``text_col`` is ignored when set.
 
     Two phases, both scale-clean: (1) one aggregation computes each
     stratum's total token count; (2) each stratum's keep-rate
@@ -320,8 +327,10 @@ def sample_to_token_budget(
     for s, b in budgets.items():
         if b < 0:
             raise ValueError(f"sample_to_token_budget: negative budget for {s!r}")
+    cnt = (F.col(count_col).cast("long") if count_col is not None
+           else token_count(text_col))
     tot = df.groupBy(strata_col).agg(
-        F.sum(token_count(text_col)).cast("long").alias("__t")
+        F.sum(cnt).cast("long").alias("__t")
     )
     bcol: Column | None = None
     for s, b in budgets.items():

@@ -92,7 +92,12 @@ def wordpiece_vocab(
     w = docs.select(
         F.explode(_toks(F.col(text_col))).alias("word"))
     top = (
-        w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+        # a corpus word that itself starts with '##' would be ambiguous
+        # with a continuation piece (the vocab is a flat string set) —
+        # excluded BEFORE the top-N so the SQL mirror's LIMIT sees the
+        # same candidate stream
+        w.where(~F.col("word").startswith("##"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("word").asc())
         .limit(n_words)
         .collect()
@@ -285,14 +290,186 @@ def _wp_expr(docs, vocab, id_col, text_col, max_word_chars, out_col):
     )
 
     # reassemble per doc in word order; over-long words never reached the
-    # match stage — their pieces are [UNK] via the left-join coalesce
+    # match stage — their pieces are [UNK] via the shared missing= rule
+    return _per_doc_reassemble(docs, base, word_pieces, id_col, out_col,
+                               missing=UNK)
+
+
+# ---------------------------------------------------------------------------
+# BPE (byte-pair encoding) — the GPT-family subword scheme next to WordPiece
+
+
+SEP = "\x1f"  # symbol wrapper; adjacency in the packed string is SEP+SEP
+
+
+def _bpe_wrap_expr(word):
+    """word → the packed symbol string: every char wrapped in SEP
+    (regexp backref — one native projection), SEP-containing words kept
+    as ONE unsplittable symbol (the packed form can't represent them)."""
+    return F.when(
+        word.contains(SEP),
+        F.concat(F.lit(SEP), word, F.lit(SEP)),
+    ).otherwise(F.regexp_replace(word, "(.)", SEP + "$1" + SEP))
+
+
+def _bpe_syms_expr(s):
+    """packed string → array<string> of symbols (strip the outer SEPs,
+    split on the doubled separator)."""
+    return F.split(s.substr(F.lit(2), F.length(s) - 2), SEP + SEP)
+
+
+def _bpe_pat(a: str, b: str) -> tuple[str, str]:
+    return SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 24,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merge list from the corpus: start from characters,
+    repeatedly merge the most frequent adjacent symbol pair (ties →
+    pair-ascending), ``n_merges`` times or until no pair repeats. Returns
+    the ORDERED merge list [(a, b), ...] — feed to bpe_encode.
+
+    Distributed shape: the loop state is the DISTINCT-WORD table
+    (word, cnt, packed symbol string) — cached once; each round is ONE
+    map-side-combined pair-count aggregate + a 1-row collect + one native
+    replace() projection. The packed-string merge (each symbol wrapped in
+    a 0x1F separator, pair merged by a single non-overlapping
+    left-to-right replace — exactly BPE's scan order) keeps every round
+    free of Python and exactly reproducible in DuckDB, so the whole
+    TRAIN loop is oracle-mirrorable round by round.
+
+    Scale story (100 TB): rounds × (one agg over distinct words + 1-row
+    collect). Real BPE trains are run on a corpus SAMPLE — compose with
+    curation.sample_by_hash — and n_merges in the thousands means
+    thousands of driver round-trips: train once, persist the merge list.
+    Replaces the provider-tokenizer seam of the reference's LLM ops
+    (towhee/runtime/hub_ops/llm.py:38-44) with an in-engine trainable."""
+    from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
+
+    w = (
+        docs.select(F.explode(_toks(F.col(text_col))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", "cnt", _bpe_wrap_expr(F.col("word")).alias("s"))
+        .cache()
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            arr = _bpe_syms_expr(F.col("s"))
+            pairs = F.when(
+                F.size(arr) >= 2,
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            best = (
+                w.select("cnt", F.explode(pairs).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").cast("long").alias("c"))
+                .where(F.col("c") >= 2)  # a pair seen once can't compress
+                .orderBy(F.col("c").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            pat, rep = _bpe_pat(a, b)
+            w = w.withColumn("s", F.replace("s", F.lit(pat), F.lit(rep)))
+    finally:
+        w.unpersist()
+    return merges
+
+
+def _bpe_py_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encode (arrow kernel inner loop): the packed-string
+    replace per merge, in merge order — identical to the train update."""
+    if SEP in word:
+        return [word]
+    s = SEP + (SEP + SEP).join(word) + SEP
+    for a, b in merges:
+        pat, rep = _bpe_pat(a, b)
+        s = s.replace(pat, rep)
+    return s[1:-1].split(SEP + SEP) if len(s) > 2 else []
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "expr",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """(id_col, out_col: array<string>, n_tokens) — apply a trained merge
+    list to the corpus (words in order, symbols in order; empty/NULL text
+    → empty array). Unlike WordPiece there is no [UNK]: every word
+    encodes (worst case as characters). Action-free plan construction —
+    ``merges`` is data (train once with bpe_train, persist, reuse).
+
+    ``impl='expr'``: distinct words → ONE fold over the merge-literal
+    array (each step a native replace on the packed string) → per-doc
+    reassembly; ``impl='arrow'``: the same walk in a batched kernel."""
+    if impl == "arrow":
+        sc = docs.sparkSession.sparkContext
+        bm = sc.broadcast(list(merges))
+
+        @F.pandas_udf("array<string>")
+        def enc(texts: pd.Series) -> pd.Series:
+            ms = bm.value
+            outs = []
+            for t in texts:
+                words = [x for x in _normalize_py(t).split(" ") if x]
+                outs.append([p for w in words for p in _bpe_py_word(w, ms)])
+            return pd.Series(outs)
+
+        return docs.select(
+            F.col(id_col), enc(F.col(text_col)).alias(out_col)
+        ).withColumn("n_tokens", F.size(out_col))
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+
+    from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
+
+    base = docs.select(F.col(id_col), _toks(F.col(text_col)).alias("__ws"))
+    words = base.select(F.explode("__ws").alias("word")).distinct()
+    if merges:
+        mlits = F.array(*[
+            F.struct(F.lit(p).alias("p"), F.lit(r).alias("r"))
+            for p, r in (_bpe_pat(a, b) for a, b in merges)
+        ])
+        packed = F.aggregate(
+            mlits,
+            _bpe_wrap_expr(F.col("word")),
+            lambda acc, m: F.replace(acc, m.getField("p"), m.getField("r")),
+        )
+    else:
+        packed = _bpe_wrap_expr(F.col("word"))
+    word_pieces = words.select(
+        "word", _bpe_syms_expr(packed).alias("__p"))
+    return _per_doc_reassemble(docs, base, word_pieces, id_col, out_col,
+                               missing=None)
+
+
+def _per_doc_reassemble(docs, base, word_pieces, id_col, out_col, missing):
+    """Shared tail of the expr tokenizers: join per-word piece arrays back
+    to the (doc, word-position) stream and flatten in word order.
+    ``missing`` = pieces for words absent from word_pieces (WordPiece's
+    over-long [UNK] rule), or None when every word is present (BPE)."""
     exploded = base.select(
         id_col, F.posexplode("__ws").alias("widx", "word"))
+    joined = exploded.join(word_pieces, "word", "left")
+    fill = (F.coalesce("__p", F.array(F.lit(missing)))
+            if missing is not None else F.col("__p"))
     per_doc = (
-        exploded.join(word_pieces, "word", "left")
-        .select(
-            id_col, "widx",
-            F.coalesce("__p", F.array(F.lit(UNK))).alias("__p"))
+        joined.select(id_col, "widx", fill.alias("__p"))
         .groupBy(id_col)
         .agg(F.flatten(F.transform(
             F.array_sort(F.collect_list(F.struct("widx", "__p"))),
