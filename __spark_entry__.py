@@ -1144,6 +1144,20 @@ def q_bpe_tokenize(spark, sf_dir):
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "piece")
 
 
+def q_unigram_ppl_wp(spark, sf_dir):
+    # the statistical quality tier in MODEL tokens: unigram LM trained and
+    # scored over the WordPiece piece stream (lm tokens_col= passthrough) —
+    # completes the subword-unit trio (budget / pack / score)
+    from towhee_spark.functions import lm  # noqa: PLC0415
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    pieces = tok.wordpiece_tokenize(docs, vocab, impl="expr",
+                                    max_word_chars=8)
+    return lm.unigram_perplexity(pieces, tokens_col="pieces")
+
+
 def q_ann_recall(spark, sf_dir):
     # recall@3 of single-probe LSH vs exact brute force, per query — the
     # first-class ANN tuning signal (probes=1 keeps recall < 1 so the
@@ -1425,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_wp": q_token_budget_wp,
         "ann_recall": q_ann_recall,
         "bpe_tokenize": q_bpe_tokenize,
+        "unigram_ppl_wp": q_unigram_ppl_wp,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1802,6 +1817,7 @@ def _oracle_sql() -> dict[str, str]:
             norm, budgets={"en": 8000.0, "de": 3000.0, "fr": 1000000.0}),
         "ann_recall": _ann_recall_sql(),
         "bpe_tokenize": _bpe_sql(norm, n_merges=24),
+        "unigram_ppl_wp": _unigram_ppl_wp_sql(norm),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -3053,6 +3069,32 @@ def _bpe_sql(norm: str, n_merges: int = 24) -> str:
             )
             SELECT doc_id, CAST(i AS INT) AS pos, pieces[i] AS piece
             FROM flat, UNNEST(range(1, len(pieces) + 1)) AS u(i)"""
+
+
+def _unigram_ppl_wp_sql(norm: str, n_words: int = 24, n_suffix: int = 8,
+                        max_word_chars: int = 8) -> str:
+    """Oracle for q_unigram_ppl_wp: the _wp_cte piece stream feeding the
+    EXACT _unigram_ppl_sql math (same ln operands, same round-before-exp);
+    docs with no pieces keep n_tokens = 0 / NULL scores via the left
+    join — matching the engine's coalesce over the tokenize frame."""
+    return f"""
+            WITH RECURSIVE {_wp_cte(norm, n_words, n_suffix, max_word_chars)},
+            tok AS (SELECT doc_id, unnest(pieces) AS token FROM flat),
+            dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok WHERE token <> '' GROUP BY doc_id, token),
+            fr AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cf FROM dt GROUP BY token),
+            tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t_total,
+                           CAST(COUNT(*) AS BIGINT) AS v_total FROM fr),
+            sc AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       ROUND(-SUM(c * ln((cf + 1.0) / (t_total + v_total)))
+                             / SUM(c), 6) AS avg_nll
+                FROM dt JOIN fr USING (token) CROSS JOIN tot
+                GROUP BY doc_id
+            )
+            SELECT dd.doc_id, COALESCE(n_tokens, 0) AS n_tokens, avg_nll,
+                   ROUND(exp(avg_nll), 6) AS ppl
+            FROM documents dd LEFT JOIN sc USING (doc_id)"""
 
 
 def _ann_recall_sql() -> str:

@@ -197,3 +197,33 @@ def test_bpe_edges(spark):
         assert out2[1] == ["abab", "ab"]
     with pytest.raises(ValueError, match="impl"):
         tok.bpe_encode(df, [], impl="nope")
+
+
+def test_bpe_merges_parquet_roundtrip(spark, docs, tmp_path):
+    """Merge lists persist like the ANN materialized indexes: parquet
+    write → reload → identical ordered list → identical encode."""
+    merges = tok.bpe_train(docs, n_merges=12)
+    p = str(tmp_path / "merges")
+    tok.merges_to_df(spark, merges).write.parquet(p)
+    back = tok.merges_from_df(spark.read.parquet(p))
+    assert back == merges
+    a = {r.doc_id: tuple(r.pieces)
+         for r in tok.bpe_encode(docs, merges, impl="arrow").collect()}
+    b = {r.doc_id: tuple(r.pieces)
+         for r in tok.bpe_encode(docs, back, impl="arrow").collect()}
+    assert a == b
+
+
+def test_unigram_ppl_tokens_col(spark, docs):
+    """lm.unigram_perplexity(tokens_col=) scores over a precomputed piece
+    stream; same math as the text path when the pieces ARE the words."""
+    from towhee_spark.functions import lm
+    from towhee_spark.functions.ranking import _toks
+
+    words = docs.select("doc_id", _toks(F.col("text")).alias("ws"))
+    via_tokens = {r.doc_id: (r.n_tokens, r.avg_nll)
+                  for r in lm.unigram_perplexity(
+                      words, tokens_col="ws").collect()}
+    via_text = {r.doc_id: (r.n_tokens, r.avg_nll)
+                for r in lm.unigram_perplexity(docs).collect()}
+    assert via_tokens == via_text

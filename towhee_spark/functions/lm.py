@@ -22,17 +22,22 @@ from towhee_spark.functions.text import normalize_text
 
 
 def doc_token_counts(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, token, c): per-document token bag counts over the canonical
     normalize_text tokens (empty tokens dropped, so blank docs contribute
     nothing). One hash aggregation with map-side combine — the shared base
-    for both model training and document scoring."""
+    for both model training and document scoring.
+
+    ``tokens_col`` switches the unit to a precomputed array<string>
+    column (wordpiece_tokenize / bpe_encode ``pieces``) — the model-token
+    passthrough, same shape as sample_to_token_budget(count_col=) and
+    pack_sequences(count_col=); ``text_col`` is ignored when set."""
+    tok = (F.explode(F.col(tokens_col)) if tokens_col is not None
+           else F.explode(F.split(normalize_text(text_col), " ")))
     return (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.explode(F.split(normalize_text(text_col), " ")).alias("token"),
-        )
+        df.select(F.col(id_col).cast("long").alias("id"), tok.alias("token"))
         .filter(F.col("token") != "")
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -51,6 +56,7 @@ def unigram_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document perplexity under the corpus's own add-one-smoothed
     unigram LM: p(t) = (cf_t + 1) / (T + V), avg_nll = −(1/n)·Σ ln p over
@@ -77,7 +83,7 @@ def unigram_perplexity(
     # cache: doc_tok feeds BOTH model training and document scoring; the
     # tokenize+explode+agg would otherwise run twice (release with
     # dedup.release_cached on the returned frame)
-    doc_tok = doc_token_counts(df, id_col, text_col).cache()
+    doc_tok = doc_token_counts(df, id_col, text_col, tokens_col).cache()
     freq = unigram_counts(doc_tok)
     totals = freq.agg(
         F.sum("cf").alias("__T"), F.count(F.lit(1)).alias("__V")

@@ -483,3 +483,19 @@ def _per_doc_reassemble(docs, base, word_pieces, id_col, out_col, missing):
              .alias(out_col))
         .withColumn("n_tokens", F.size(out_col))
     )
+
+
+def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Persistable merge-list form: (rank:int 1-based, a, b) — write to
+    parquet once after bpe_train (the materialized-index convention of
+    the ANN tiers) and reload with merges_from_df."""
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string")
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    """Reload an ORDERED merge list from its (rank, a, b) table (one
+    k-row collect — merge lists are model-sized, thousands of rows)."""
+    return [(r["a"], r["b"])
+            for r in df.select("rank", "a", "b").orderBy("rank").collect()]
