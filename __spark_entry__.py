@@ -1158,6 +1158,46 @@ def q_unigram_ppl_wp(spark, sf_dir):
     return lm.unigram_perplexity(pieces, tokens_col="pieces")
 
 
+def q_encode_ids(spark, sf_dir):
+    # piece → id: frequency-ranked vocab ids over the WordPiece stream
+    # (the numeric face a training shard consumes). expr impl = ONE
+    # constant-map projection, zero exchanges past the tokenize; the
+    # pieces frame is cached because the id table's train-step collect
+    # AND the encode both read it.
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    pieces = tok.wordpiece_tokenize(
+        docs, vocab, impl="expr", max_word_chars=8
+    ).select("doc_id", "pieces").cache()
+    idt = tok.piece_id_table(pieces)
+    out = (
+        tok.encode_ids(pieces, idt, impl="expr")
+        .select("doc_id", F.posexplode("ids").alias("pos0", "piece_id"))
+        .select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"),
+                "piece_id")
+    )
+    return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
+
+
+def q_pack_wp(spark, sf_dir):
+    # sequence packing in MODEL tokens: the wp piece counts feed the
+    # concat-and-chunk layout through count_col= — budgets, packs and
+    # perplexity now all share the subword unit. seq_len=64 < typical doc
+    # piece count, so multi-pack spans and mid-pack boundaries are live.
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+    from towhee_spark.functions.packing import pack_sequences  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    counts = tok.wordpiece_tokenize(
+        docs, vocab, impl="expr", max_word_chars=8
+    ).select("doc_id", "n_tokens")
+    return pack_sequences(counts, seq_len=64, count_col="n_tokens").select(
+        "doc_id", "pack_id", "tok_begin", "tok_end", "pack_off")
+
+
 def q_ann_recall(spark, sf_dir):
     # recall@3 of single-probe LSH vs exact brute force, per query — the
     # first-class ANN tuning signal (probes=1 keeps recall < 1 so the
@@ -1440,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "bpe_tokenize": q_bpe_tokenize,
         "unigram_ppl_wp": q_unigram_ppl_wp,
+        "encode_ids": q_encode_ids,
+        "pack_wp": q_pack_wp,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1818,6 +1860,8 @@ def _oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_sql(),
         "bpe_tokenize": _bpe_sql(norm, n_merges=24),
         "unigram_ppl_wp": _unigram_ppl_wp_sql(norm),
+        "encode_ids": _encode_ids_sql(norm),
+        "pack_wp": _pack_wp_sql(norm, seq_len=64),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -2747,19 +2791,16 @@ def _sample_by_hash_sql(rates: dict[str, float], strata_col: str = "lang",
             WHERE h < thr"""
 
 
-def _pack_sequences_sql(tok_cnt: str, seq_len: int, salt: str = "pack") -> str:
-    """Oracle for packing.pack_sequences: the spec is a plain exclusive
-    cumsum over the (hash60, doc_id) stream order, so DuckDB states it
-    directly with one window — the distributed two-level prefix sum under
-    test must be indistinguishable from it. Integer `//` division mirrors
-    Spark's DIV; the 60-bit md5 order hash is the shared cross-engine
-    contract (curation.hash60)."""
-    return f"""
-            WITH t AS (
+def _pack_body_sql(src: str, tok_cnt: str, seq_len: int,
+                   salt: str = "pack") -> str:
+    """The pack_sequences mirror body (t/c/e chain + final SELECT) over
+    an arbitrary source relation — shared by the whitespace-token and
+    model-token pack oracles so the layout rules live in ONE place."""
+    return f"""t AS (
                 SELECT doc_id, CAST({tok_cnt} AS BIGINT) AS cnt,
                        ('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),
                                        1, 15))::BIGINT AS h
-                FROM documents
+                FROM {src}
             ),
             c AS (
                 SELECT doc_id, cnt,
@@ -2780,6 +2821,48 @@ def _pack_sequences_sql(tok_cnt: str, seq_len: int, salt: str = "pack") -> str:
                    CAST(LEAST((pack_id + 1) * {seq_len} - st, cnt) AS BIGINT) AS tok_end,
                    CAST(GREATEST(st - pack_id * {seq_len}, 0) AS BIGINT) AS pack_off
             FROM e"""
+
+
+def _pack_sequences_sql(tok_cnt: str, seq_len: int, salt: str = "pack") -> str:
+    """Oracle for packing.pack_sequences: the spec is a plain exclusive
+    cumsum over the (hash60, doc_id) stream order, so DuckDB states it
+    directly with one window — the distributed two-level prefix sum under
+    test must be indistinguishable from it. Integer `//` division mirrors
+    Spark's DIV; the 60-bit md5 order hash is the shared cross-engine
+    contract (curation.hash60)."""
+    return "\n            WITH " + _pack_body_sql(
+        "documents", tok_cnt, seq_len, salt)
+
+
+def _pack_wp_sql(norm: str, seq_len: int, n_words: int = 24,
+                 n_suffix: int = 8, max_word_chars: int = 8) -> str:
+    """Oracle for q_pack_wp: the identical pack body fed by the wp piece
+    counts (len(pieces) from the _wp_cte flat table). Docs with zero
+    words are absent from flat and zero-count docs are filtered on both
+    engines, so the streams agree doc for doc."""
+    return ("\n            WITH RECURSIVE "
+            + _wp_cte(norm, n_words, n_suffix, max_word_chars) + ",\n            "
+            + _pack_body_sql("flat", "len(pieces)", seq_len))
+
+
+def _encode_ids_sql(norm: str, n_words: int = 24, n_suffix: int = 8,
+                    max_word_chars: int = 8) -> str:
+    """Oracle for q_encode_ids: the _wp_cte piece stream, ids assigned by
+    (occurrence count DESC, piece ASC) row_number − 1 — the
+    frequency-sorted vocab layout — then the stream re-emitted as
+    (doc_id, pos, piece_id). Pure integer ranks over exact counts, no
+    floats anywhere."""
+    return f"""
+            WITH RECURSIVE {_wp_cte(norm, n_words, n_suffix, max_word_chars)},
+            occ AS (SELECT unnest(pieces) AS piece FROM flat),
+            cnt AS (SELECT piece, count(*) AS c FROM occ GROUP BY piece),
+            idt AS (SELECT piece,
+                           CAST(row_number() OVER (ORDER BY c DESC, piece ASC)
+                                - 1 AS INT) AS piece_id
+                    FROM cnt),
+            ex AS (SELECT doc_id, CAST(i AS INT) AS pos, pieces[i] AS piece
+                   FROM flat, UNNEST(range(1, len(pieces) + 1)) AS u(i))
+            SELECT doc_id, pos, piece_id FROM ex JOIN idt USING (piece)"""
 
 
 def _neardup_static_sql(norm: str, num_hashes: int = 32, bands: int = 8,

@@ -257,6 +257,8 @@ def main() -> None:
     # _full row is dominated by train latency, the prod row below times
     # the recurring encode scan against a pre-trained merge list
     timed("bpe_tokenize_full", lambda: force(qs["bpe_tokenize"](spark, sf_dir)))
+    timed("encode_ids_full", lambda: force(qs["encode_ids"](spark, sf_dir)))
+    timed("pack_wp_full", lambda: force(qs["pack_wp"](spark, sf_dir)))
 
     # dedup_groups is ITERATIVE (large-star/small-star rounds run at plan
     # build), so the honest number times build + force together — a
@@ -357,6 +359,20 @@ def main() -> None:
         docs, _bpe_merges, impl="arrow"))
     timed_df("prod_bpe_encode_expr", lambda: _tok.bpe_encode(
         docs, _bpe_merges, impl="expr"))
+    # piece→id + model-token packing: recurring-scan cost over the
+    # production Arrow tokenizer (id table trained once outside the timer)
+    _wp_pieces = _tok.wordpiece_tokenize(docs, _wp_vocab, impl="arrow")
+    # materialize the id table once (encode_ids re-collects its id_table
+    # per plan build — keep that to a tiny local frame, not a re-tokenize)
+    _idt = spark.createDataFrame(
+        _tok.piece_id_table(_wp_pieces).collect(),
+        "piece string, piece_id int")
+    timed_df("prod_encode_ids_arrow",
+             lambda: _tok.encode_ids(_wp_pieces, _idt, impl="arrow"))
+    from towhee_spark.functions import packing as _pack
+    timed_df("prod_pack_wp", lambda: _pack.pack_sequences(
+        _wp_pieces.select("doc_id", "n_tokens"),
+        seq_len=64, count_col="n_tokens"))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

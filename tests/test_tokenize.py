@@ -227,3 +227,47 @@ def test_unigram_ppl_tokens_col(spark, docs):
     via_text = {r.doc_id: (r.n_tokens, r.avg_nll)
                 for r in lm.unigram_perplexity(docs).collect()}
     assert via_tokens == via_text
+
+
+def test_piece_id_table_ranking(spark):
+    """Ids are 0-based (count DESC, piece ASC) ranks — the
+    frequency-sorted vocab layout."""
+    df = spark.createDataFrame(
+        [(1, ["b", "a", "b"]), (2, ["c", "b"])], "doc_id long, pieces array<string>")
+    ids = {r.piece: r.piece_id for r in tok.piece_id_table(df).collect()}
+    assert ids == {"b": 0, "a": 1, "c": 2}  # b:3 wins; a/c tie→asc
+
+
+def test_encode_ids_lockstep_and_roundtrip(spark, docs):
+    """expr == arrow on the real corpus; ids decode back to the exact
+    piece stream through the inverse table (lossless)."""
+    v = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    p = tok.wordpiece_tokenize(docs, v, impl="arrow", max_word_chars=8)
+    idt = tok.piece_id_table(p)
+    e = {r.doc_id: (tuple(r.ids), r.n_tokens)
+         for r in tok.encode_ids(p, idt, impl="expr").collect()}
+    a = {r.doc_id: (tuple(r.ids), r.n_tokens)
+         for r in tok.encode_ids(p, idt, impl="arrow").collect()}
+    assert e == a and e
+    inv = {r.piece_id: r.piece for r in idt.collect()}
+    pieces = {r.doc_id: tuple(r.pieces) for r in p.collect()}
+    for d, (ids, n) in e.items():
+        assert len(ids) == n and -1 not in ids  # same-corpus: no misses
+        assert tuple(inv[i] for i in ids) == pieces[d]
+
+
+def test_encode_ids_foreign_vocab_and_empty(spark):
+    """Pieces absent from a FOREIGN id table map to -1; empty/NULL piece
+    arrays yield empty id arrays with n_tokens 0 on both impls."""
+    p = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, []), (3, None)],
+        "doc_id long, pieces array<string>")
+    idt = spark.createDataFrame([("x", 0)], "piece string, piece_id int")
+    for impl in ("expr", "arrow"):
+        out = {r.doc_id: (None if r.ids is None else tuple(r.ids), r.n_tokens)
+               for r in tok.encode_ids(p, idt, impl=impl).collect()}
+        assert out[1] == ((0, -1), 2)
+        assert out[2] == ((), 0)
+        assert out[3] == ((), 0)  # NULL array ≡ empty (the tokenize rule)
+    with pytest.raises(ValueError, match="impl"):
+        tok.encode_ids(p, idt, impl="nope")

@@ -485,6 +485,93 @@ def _per_doc_reassemble(docs, base, word_pieces, id_col, out_col, missing):
     )
 
 
+# ---------------------------------------------------------------------------
+# piece → id: the numeric face of the token stream (embedding tables,
+# packed training shards and loss masks consume ids, not strings)
+
+
+def piece_id_table(
+    pieces: DataFrame,
+    pieces_col: str = "pieces",
+) -> DataFrame:
+    """(piece, piece_id:int) — a deterministic id assignment over the
+    piece stream of :func:`wordpiece_tokenize` / :func:`bpe_encode`
+    output: ids are 0-based ranks by (occurrence count DESC, piece ASC),
+    so the most frequent piece is id 0 — the frequency-sorted vocab
+    layout real tokenizers ship.
+
+    The ranking window runs on the VOCAB table (≤ vocab-size rows, the
+    quality-quantile histogram-window convention), never on the corpus;
+    the only corpus-sized stage is one map-side-combined hash aggregate.
+    Persist to parquet once (the merges_to_df / ANN materialized-index
+    convention) and reload for encode_ids."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    counts = (
+        pieces.select(F.explode(pieces_col).alias("piece"))
+        .groupBy("piece").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy(F.col("__c").desc(), F.col("piece").asc())
+    return counts.select(
+        "piece", (F.row_number().over(w) - 1).cast("int").alias("piece_id"))
+
+
+def encode_ids(
+    pieces: DataFrame,
+    id_table: DataFrame,
+    id_col: str = "doc_id",
+    pieces_col: str = "pieces",
+    impl: str = "expr",
+    out_col: str = "ids",
+) -> DataFrame:
+    """(id_col, out_col: array<int>, n_tokens) — map each document's
+    piece array to vocab ids through ``id_table`` (a piece_id_table
+    result, reloaded from parquet or live). Pieces absent from the table
+    (applying a FOREIGN vocab's ids to a new corpus) map to -1 — filter
+    or remap explicitly; [UNK] itself is a normal vocab entry, so a
+    same-corpus encode never emits -1.
+
+    Scale story (100 TB): the id table is model-sized, so it moves to the
+    executors, not the corpus to a shuffle — ``impl='expr'`` folds the
+    table into a constant map literal and encodes in ONE projection
+    (zero exchanges, no explode/reassemble of the corpus piece stream);
+    ``impl='arrow'`` ships it as a broadcast dict inside a batched
+    kernel (the production path for 100k-piece vocabs, where a literal
+    map would bloat the plan). Collecting the id table is a train-step
+    action (the wordpiece_vocab / kmeans_train convention)."""
+    rows = id_table.select("piece", "piece_id").collect()  # k-row: vocab-sized
+    mapping = {r["piece"]: int(r["piece_id"]) for r in rows}
+    if impl == "arrow":
+        sc = pieces.sparkSession.sparkContext
+        bm = sc.broadcast(mapping)
+
+        @F.pandas_udf("array<int>")
+        def enc(ps: pd.Series) -> pd.Series:
+            m = bm.value
+            return pd.Series([[m.get(p, -1) for p in (arr if arr is not None
+                                                      else [])]
+                              for arr in ps])
+
+        out = pieces.select(F.col(id_col), enc(F.col(pieces_col)).alias(out_col))
+        return out.withColumn("n_tokens", F.size(out_col))
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    src = F.coalesce(F.col(pieces_col),
+                     F.array().cast("array<string>"))  # NULL → empty
+    if mapping:
+        mlit = F.map_from_arrays(
+            F.array(*[F.lit(p) for p in mapping]),
+            F.array(*[F.lit(i) for i in mapping.values()]))
+        ids = F.transform(
+            src, lambda p: F.coalesce(F.element_at(mlit, p), F.lit(-1)))
+    else:
+        ids = F.transform(src, lambda p: F.lit(-1))
+    return (
+        pieces.select(F.col(id_col), ids.cast("array<int>").alias(out_col))
+        .withColumn("n_tokens", F.size(out_col))
+    )
+
+
 def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """Persistable merge-list form: (rank:int 1-based, a, b) — write to
     parquet once after bpe_train (the materialized-index convention of
