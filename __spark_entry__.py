@@ -1198,6 +1198,33 @@ def q_pack_wp(spark, sf_dir):
         "doc_id", "pack_id", "tok_begin", "tok_end", "pack_off")
 
 
+def q_chunk_ids(spark, sf_dir):
+    # RAG chunking in MODEL tokens: wp pieces → vocab ids → fixed-window
+    # id chunks (size=12, overlap=4 — same window rules as chunk_text,
+    # asserted by the shared arithmetic). Chunks emitted as CSV strings
+    # for the cross-engine value hash.
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    pieces = tok.wordpiece_tokenize(
+        docs, vocab, impl="expr", max_word_chars=8
+    ).select("doc_id", "pieces").cache()
+    idt = tok.piece_id_table(pieces)
+    enc = tok.encode_ids(pieces, idt, impl="expr")
+    out = (
+        enc.select("doc_id",
+                   F.explode(tok.chunk_ids("ids", size=12, overlap=4))
+                    .alias("c"))
+        .select(
+            "doc_id", F.col("c.start").alias("start"),
+            F.array_join(
+                F.transform(F.col("c.part"), lambda x: x.cast("string")),
+                ",").alias("ids_csv"))
+    )
+    return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
+
+
 def q_ann_recall(spark, sf_dir):
     # recall@3 of single-probe LSH vs exact brute force, per query — the
     # first-class ANN tuning signal (probes=1 keeps recall < 1 so the
@@ -1482,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl_wp": q_unigram_ppl_wp,
         "encode_ids": q_encode_ids,
         "pack_wp": q_pack_wp,
+        "chunk_ids": q_chunk_ids,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1862,6 +1890,7 @@ def _oracle_sql() -> dict[str, str]:
         "unigram_ppl_wp": _unigram_ppl_wp_sql(norm),
         "encode_ids": _encode_ids_sql(norm),
         "pack_wp": _pack_wp_sql(norm, seq_len=64),
+        "chunk_ids": _chunk_ids_sql(norm, size=12, overlap=4),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -2845,15 +2874,15 @@ def _pack_wp_sql(norm: str, seq_len: int, n_words: int = 24,
             + _pack_body_sql("flat", "len(pieces)", seq_len))
 
 
-def _encode_ids_sql(norm: str, n_words: int = 24, n_suffix: int = 8,
-                    max_word_chars: int = 8) -> str:
-    """Oracle for q_encode_ids: the _wp_cte piece stream, ids assigned by
+def _wp_ids_cte(norm: str, n_words: int = 24, n_suffix: int = 8,
+                max_word_chars: int = 8) -> str:
+    """Shared wp→ids mirror: the _wp_cte piece stream, ids assigned by
     (occurrence count DESC, piece ASC) row_number − 1 — the
-    frequency-sorted vocab layout — then the stream re-emitted as
-    (doc_id, pos, piece_id). Pure integer ranks over exact counts, no
-    floats anywhere."""
-    return f"""
-            WITH RECURSIVE {_wp_cte(norm, n_words, n_suffix, max_word_chars)},
+    frequency-sorted vocab layout (tokenize.piece_id_table). Ends at
+    ``ex(doc_id, pos, piece)`` + ``idt(piece, piece_id)``; pure integer
+    ranks over exact counts, no floats anywhere. The enclosing query
+    MUST open with WITH RECURSIVE."""
+    return f"""{_wp_cte(norm, n_words, n_suffix, max_word_chars)},
             occ AS (SELECT unnest(pieces) AS piece FROM flat),
             cnt AS (SELECT piece, count(*) AS c FROM occ GROUP BY piece),
             idt AS (SELECT piece,
@@ -2861,8 +2890,36 @@ def _encode_ids_sql(norm: str, n_words: int = 24, n_suffix: int = 8,
                                 - 1 AS INT) AS piece_id
                     FROM cnt),
             ex AS (SELECT doc_id, CAST(i AS INT) AS pos, pieces[i] AS piece
-                   FROM flat, UNNEST(range(1, len(pieces) + 1)) AS u(i))
+                   FROM flat, UNNEST(range(1, len(pieces) + 1)) AS u(i))"""
+
+
+def _encode_ids_sql(norm: str, **kw) -> str:
+    """Oracle for q_encode_ids: the shared wp→ids stream re-emitted as
+    (doc_id, pos, piece_id)."""
+    return f"""
+            WITH RECURSIVE {_wp_ids_cte(norm, **kw)}
             SELECT doc_id, pos, piece_id FROM ex JOIN idt USING (piece)"""
+
+
+def _chunk_ids_sql(norm: str, size: int, overlap: int, **kw) -> str:
+    """Oracle for q_chunk_ids: per-doc ordered id lists from the shared
+    wp→ids stream, then chunk_text's exact window arithmetic (starts
+    stop at len − size + step − 1; empty docs emit no rows) over MODEL
+    tokens, chunks rendered as CSV strings for the cross-engine hash."""
+    step = size - overlap
+    return f"""
+            WITH RECURSIVE {_wp_ids_cte(norm, **kw)},
+            idsd AS (
+                SELECT e.doc_id, list(piece_id ORDER BY pos) AS ids
+                FROM ex e JOIN idt USING (piece)
+                GROUP BY e.doc_id
+            )
+            SELECT doc_id, CAST(s AS INT) AS start,
+                   array_to_string(ids[s + 1 : s + {size}], ',') AS ids_csv
+            FROM idsd,
+                 UNNEST(range(0, greatest(len(ids) - {size - step + 1}, 0) + 1,
+                              {step})) AS u(s)
+            WHERE len(ids) > 0"""
 
 
 def _neardup_static_sql(norm: str, num_hashes: int = 32, bands: int = 8,

@@ -271,3 +271,40 @@ def test_encode_ids_foreign_vocab_and_empty(spark):
         assert out[3] == ((), 0)  # NULL array ≡ empty (the tokenize rule)
     with pytest.raises(ValueError, match="impl"):
         tok.encode_ids(p, idt, impl="nope")
+
+
+def test_chunk_ids_window_rules(spark):
+    """chunk_ids shares chunk_text's arithmetic: starts stop at
+    len−size+step−1 (no chunk fully inside its predecessor), short
+    arrays emit ONE chunk, empty/NULL arrays emit ZERO chunks."""
+    df = spark.createDataFrame(
+        [(1, list(range(10))), (2, [7, 8]), (3, []), (4, None)],
+        "doc_id long, ids array<int>")
+    out = df.select(
+        "doc_id", F.explode_outer(tok.chunk_ids("ids", size=4, overlap=2))
+        .alias("c"))
+    rows = {(r.doc_id, None if r.c is None else (r.c.start, tuple(r.c.part)))
+            for r in out.collect()}
+    # len=10, size=4, step=2 → last start ≤ len−size+step−1 = 7 → 0,2,4,6
+    assert {(1, (0, (0, 1, 2, 3))), (1, (2, (2, 3, 4, 5))),
+            (1, (4, (4, 5, 6, 7))), (1, (6, (6, 7, 8, 9))),
+            (2, (0, (7, 8))), (3, None), (4, None)} == rows
+    with pytest.raises(ValueError, match="overlap"):
+        tok.chunk_ids("ids", size=4, overlap=4)
+
+
+def test_chunk_ids_matches_chunk_text_boundaries(spark, docs):
+    """On the real corpus, chunking the WHITESPACE token stream through
+    chunk_ids must reproduce chunk_text's (doc, start) set exactly —
+    the two ops share one window contract."""
+    from towhee_spark.functions import text as txt
+    from towhee_spark.functions.ranking import _toks
+
+    a = {(r.doc_id, r.s) for r in docs.select(
+        "doc_id", F.explode(txt.chunk_text("text", size=12, overlap=4))
+        .alias("c")).select("doc_id", F.col("c.start").alias("s")).collect()}
+    b = {(r.doc_id, r.s) for r in docs.select(
+        "doc_id",
+        F.explode(tok.chunk_ids(_toks(F.col("text")), size=12, overlap=4))
+        .alias("c")).select("doc_id", F.col("c.start").alias("s")).collect()}
+    assert a == b

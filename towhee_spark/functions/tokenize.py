@@ -572,6 +572,42 @@ def encode_ids(
     )
 
 
+def chunk_ids(
+    ids,
+    size: int = 512,
+    overlap: int = 64,
+):
+    """Fixed-window chunks over a token-id (or any) ARRAY column —
+    text.chunk_text's window rules re-expressed in MODEL tokens, the unit
+    a context-window-bound RAG index actually needs:
+    ``array<struct<start:int, part:array<element>>>``.
+
+    Rules kept in LOCKSTEP with chunk_text (same arithmetic, same
+    oracle shape): a start is emitted only while it contributes new
+    elements (starts stop at ``len − size + step − 1`` — no chunk fully
+    contained in its predecessor), empty/NULL arrays yield ZERO chunks.
+    Native sequence/slice/transform only; explode for (doc, chunk)
+    rows. Compose: wordpiece_tokenize → encode_ids → chunk_ids."""
+    if overlap >= size:
+        raise ValueError("chunk_ids: overlap must be < size")
+    arr = F.col(ids) if isinstance(ids, str) else ids
+    arr = F.coalesce(arr, F.array())
+    step = size - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(arr) - size + step - 1, F.lit(0)),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.slice(arr, s + 1, size).alias("part"),
+        ),
+    )
+    return F.when(F.size(arr) == 0, F.slice(chunks, 1, 0)).otherwise(chunks)
+
+
 def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """Persistable merge-list form: (rank:int 1-based, a, b) — write to
     parquet once after bpe_train (the materialized-index convention of
