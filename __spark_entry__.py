@@ -1225,6 +1225,29 @@ def q_chunk_ids(spark, sf_dir):
     return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
 
 
+def q_packed_shards(spark, sf_dir):
+    # END of the training-data pipeline: wp pieces → vocab ids →
+    # materialized fixed-length shards (every pack but the tail exactly
+    # full, global stream order). The oracle derives packs from global
+    # token positions — an independent formulation, not a mirror of the
+    # engine's slice/gather mechanics.
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+    from towhee_spark.functions.packing import materialize_packs  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    pieces = tok.wordpiece_tokenize(
+        docs, vocab, impl="expr", max_word_chars=8
+    ).select("doc_id", "pieces").cache()
+    enc = tok.encode_ids(pieces, tok.piece_id_table(pieces), impl="expr")
+    out = materialize_packs(enc, seq_len=64).select(
+        "pack_id", "n_fill",
+        F.array_join(
+            F.transform(F.col("ids"), lambda x: x.cast("string")),
+            ",").alias("ids_csv"))
+    return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
+
+
 def q_ann_recall(spark, sf_dir):
     # recall@3 of single-probe LSH vs exact brute force, per query — the
     # first-class ANN tuning signal (probes=1 keeps recall < 1 so the
@@ -1510,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_ids": q_encode_ids,
         "pack_wp": q_pack_wp,
         "chunk_ids": q_chunk_ids,
+        "packed_shards": q_packed_shards,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1891,6 +1915,7 @@ def _oracle_sql() -> dict[str, str]:
         "encode_ids": _encode_ids_sql(norm),
         "pack_wp": _pack_wp_sql(norm, seq_len=64),
         "chunk_ids": _chunk_ids_sql(norm, size=12, overlap=4),
+        "packed_shards": _packed_shards_sql(norm, seq_len=64),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -2899,6 +2924,45 @@ def _encode_ids_sql(norm: str, **kw) -> str:
     return f"""
             WITH RECURSIVE {_wp_ids_cte(norm, **kw)}
             SELECT doc_id, pos, piece_id FROM ex JOIN idt USING (piece)"""
+
+
+def _packed_shards_sql(norm: str, seq_len: int, salt: str = "pack",
+                       **kw) -> str:
+    """Oracle for q_packed_shards — an INDEPENDENT formulation: each
+    token's global stream position gpos = doc start + (pos − 1) under
+    the (hash60, doc_id) order, pack = gpos // seq_len, ids listed by
+    gpos. The engine's layout-slice-gather must be indistinguishable
+    from this direct statement of concat-and-chunk."""
+    return f"""
+            WITH RECURSIVE {_wp_ids_cte(norm, **kw)},
+            idsd AS (
+                SELECT e.doc_id, list(piece_id ORDER BY pos) AS ids
+                FROM ex e JOIN idt USING (piece)
+                GROUP BY e.doc_id
+            ),
+            t AS (
+                SELECT doc_id, CAST(len(ids) AS BIGINT) AS cnt,
+                       ('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM idsd
+            ),
+            c AS (
+                SELECT doc_id, cnt,
+                       CAST(COALESCE(SUM(cnt) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS st
+                FROM t WHERE cnt > 0
+            ),
+            ts AS (
+                SELECT c.st + u.i - 1 AS gpos, d.ids[u.i] AS id
+                FROM c JOIN idsd d USING (doc_id),
+                     UNNEST(range(1, c.cnt + 1)) AS u(i)
+            )
+            SELECT CAST(gpos // {seq_len} AS BIGINT) AS pack_id,
+                   CAST(count(*) AS INT) AS n_fill,
+                   array_to_string(list(id ORDER BY gpos), ',') AS ids_csv
+            FROM ts GROUP BY 1"""
 
 
 def _chunk_ids_sql(norm: str, size: int, overlap: int, **kw) -> str:

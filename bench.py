@@ -260,6 +260,8 @@ def main() -> None:
     timed("encode_ids_full", lambda: force(qs["encode_ids"](spark, sf_dir)))
     timed("pack_wp_full", lambda: force(qs["pack_wp"](spark, sf_dir)))
     timed("chunk_ids_full", lambda: force(qs["chunk_ids"](spark, sf_dir)))
+    timed("packed_shards_full",
+          lambda: force(qs["packed_shards"](spark, sf_dir)))
 
     # dedup_groups is ITERATIVE (large-star/small-star rounds run at plan
     # build), so the honest number times build + force together — a

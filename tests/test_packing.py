@@ -130,3 +130,43 @@ def test_single_corpus_scan_via_reused_exchange(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_materialize_packs_reconstructs_stream(spark):
+    """Concatenating packs in pack order must equal concatenating each
+    doc's ids in the deterministic (hash60, id) stream order; every pack
+    except the tail is exactly full; within-doc id order is preserved."""
+    from towhee_spark.functions.packing import materialize_packs
+
+    counts = [(i, c) for i, c in COUNTS if c]  # zero/None drop on both sides
+    enc = spark.createDataFrame(
+        [(i, [i * 1000 + j for j in range(c or 0)]) for i, c in COUNTS],
+        "doc_id long, ids array<int>")
+    seq_len = 64
+    packs = {r.pack_id: (r.n_fill, list(r.ids))
+             for r in materialize_packs(enc, seq_len).collect()}
+    ordered = sorted(counts, key=lambda t: (_h60(t[0]), t[0]))
+    stream = [i * 1000 + j for i, c in ordered for j in range(c)]
+    n_packs = (len(stream) + seq_len - 1) // seq_len
+    assert set(packs) == set(range(n_packs))
+    got = [x for p in range(n_packs) for x in packs[p][1]]
+    assert got == stream
+    for p in range(n_packs - 1):
+        assert packs[p][0] == seq_len and len(packs[p][1]) == seq_len
+    assert packs[n_packs - 1][0] == len(stream) - (n_packs - 1) * seq_len
+
+
+def test_materialize_packs_agrees_with_layout(spark):
+    """The materialized fill of every pack equals pack_stats' fill over
+    the layout — the two views derive from one pack_sequences call."""
+    from towhee_spark.functions.packing import materialize_packs
+
+    enc = spark.createDataFrame(
+        [(i, list(range(c or 0))) for i, c in COUNTS],
+        "doc_id long, ids array<int>")
+    enc2 = enc.withColumn("__n", F.size("ids"))
+    st = {r.pack_id: r.fill for r in pack_stats(
+        pack_sequences(enc2, 100, count_col="__n"), 100).collect()}
+    mt = {r.pack_id: r.n_fill for r in
+          materialize_packs(enc, 100).collect()}
+    assert mt == st

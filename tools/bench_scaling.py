@@ -40,13 +40,24 @@ def run():
     j = locf(j, ['tool']); j = sessionize(j, gap=1800.0, seq_out='session_seq')
     j = j.withColumn('emb', embed_text_udf(dim=32)(F.col('text')))
     j.write.format('noop').mode('overwrite').save()
+def probe():
+    # single-core canary (bench.py convention): ~0.4-0.6 s healthy on this
+    # host, >1.1 s = degradation window — stamps each level's leg so a
+    # deflated/inflated reading is visible in the artifact
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
 run()  # warmup: python workers + codegen
-ts = []
+ts, probes = [], [probe()]
 for _ in range(2):
     t0 = time.perf_counter(); run(); ts.append(time.perf_counter() - t0)
+    probes.append(probe())
 import json as _j
 print('RESULT ' + _j.dumps({{'cpus': cpus, 'n_turns': n, 'sec': round(min(ts), 2),
-                             'turns_per_sec': round(n / min(ts), 1)}}))
+                             'turns_per_sec': round(n / min(ts), 1),
+                             'host_speed_probe_sec': probes}}))
 """
 
 

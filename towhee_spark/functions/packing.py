@@ -153,6 +153,60 @@ def pack_sequences(
     return out
 
 
+def materialize_packs(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    salt: str = "pack",
+    bucket_bits: int = 10,
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """Materialize the actual training shards: gather each pack's token
+    ids from the :func:`pack_sequences` layout over a pre-encoded corpus
+    (``encode_ids`` output — one row per document with an
+    ``array<int>`` id column). Output one row per pack:
+    ``(pack_id:long, n_fill:int, ids:array<element>)`` — every pack
+    except the stream tail has exactly ``seq_len`` ids, in the
+    deterministic global stream order.
+
+    Scale shape: the layout side moves only (id, count, hash60) — the
+    cumsum never shuffles the payload; the ids cross the wire ONCE, as
+    per-(doc, pack) slices joined on ``id_col`` and hash-aggregated by
+    pack_id (collect_list of ≤ seq_len elements per group, flattened in
+    pack_off order — the order-stable aggregation pattern). No group can
+    exceed seq_len tokens by construction, so there is no hot pack.
+
+    ``df`` is read twice (layout cumsum + payload join) — cache it when
+    it is the output of an expensive encode. Zero/NULL-id documents
+    contribute nothing (the pack_sequences rule)."""
+    d = df.select(
+        F.col(id_col), F.col(ids_col).alias("__ids")
+    ).withColumn("__n", F.size("__ids"))
+    layout = pack_sequences(
+        d, seq_len, id_col=id_col, count_col="__n", salt=salt,
+        bucket_bits=bucket_bits, broadcast_carry=broadcast_carry)
+    parts = layout.join(d, id_col).select(
+        "pack_id", "pack_off",
+        F.slice(
+            F.col("__ids"),
+            (F.col("tok_begin") + 1).cast("int"),
+            (F.col("tok_end") - F.col("tok_begin")).cast("int"),
+        ).alias("__part"),
+    )
+    return (
+        parts.groupBy("pack_id")
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("pack_off", "__part"))),
+            lambda s: s.getField("__part"))).alias(ids_col))
+        .select(
+            "pack_id",
+            F.size(ids_col).cast("int").alias("n_fill"),
+            ids_col,
+        )
+    )
+
+
 def pack_stats(packs: DataFrame, seq_len: int) -> DataFrame:
     """Per-pack audit of a :func:`pack_sequences` result: document count,
     token fill, and utilization. Under concat-and-chunk every pack except
