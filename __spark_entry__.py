@@ -1046,6 +1046,23 @@ def q_sample_by_hash(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+MIXTURE_RATES = {"en": 0.4, "de": 2.25, "fr": 3.0, "zh": 1.6}
+
+
+def q_domain_mixture(spark, sf_dir):
+    # epoch-repeat domain mixture (curation.mixture_sample): downsample
+    # the en bulk to 40%, repeat de 2.25 epochs / fr 3 / zh 1.6, es (the
+    # default) at 50% — the Pile/DoReMi upsampling construction with a
+    # deterministic per-(id, epoch) hash gate. The oracle regenerates the
+    # SAME (n_full, frac_thr, n_max) integer literals from _mixture_plan.
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curation.mixture_sample(
+        docs, rates=MIXTURE_RATES, strata_col="lang", default_rate=0.5)
+    return out.select("doc_id", "lang", "epoch")
+
+
 def q_neardup_static(spark, sf_dir):
     # the streaming near-dup front door (streaming.ops.stream_neardup_static)
     # in its batch face: docs with doc_id%7==3 play the stream, the rest are
@@ -1245,6 +1262,32 @@ def q_packed_shards(spark, sf_dir):
         F.array_join(
             F.transform(F.col("ids"), lambda x: x.cast("string")),
             ",").alias("ids_csv"))
+    return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
+
+
+def q_packed_spans(spark, sf_dir):
+    # the shard METADATA a trainer needs for cross-doc attention / loss
+    # masks: per-pack document spans (doc_id, off, span_len) emitted by
+    # materialize_packs(with_spans=True) from the SAME gather aggregate
+    # as the ids. The oracle is the pack LAYOUT re-keyed — a different
+    # formulation from the engine's sorted-struct gather.
+    from towhee_spark.functions import tokenize as tok  # noqa: PLC0415
+    from towhee_spark.functions.packing import materialize_packs  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    pieces = tok.wordpiece_tokenize(
+        docs, vocab, impl="expr", max_word_chars=8
+    ).select("doc_id", "pieces").cache()
+    enc = tok.encode_ids(pieces, tok.piece_id_table(pieces), impl="expr")
+    out = (
+        materialize_packs(enc, seq_len=64, with_spans=True)
+        .select("pack_id", F.explode("doc_spans").alias("s"))
+        .select(
+            "pack_id", F.col("s.doc_id").alias("doc_id"),
+            F.col("s.off").alias("off"),
+            F.col("s.len").alias("span_len"))
+    )
     return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
 
 
@@ -1534,6 +1577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_wp": q_pack_wp,
         "chunk_ids": q_chunk_ids,
         "packed_shards": q_packed_shards,
+        "packed_spans": q_packed_spans,
+        # --- past the 50-entry driver window: replica-verified this round,
+        # --- rotate into driver coverage in r06 ---
+        "domain_mixture": q_domain_mixture,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1916,6 +1963,8 @@ def _oracle_sql() -> dict[str, str]:
         "pack_wp": _pack_wp_sql(norm, seq_len=64),
         "chunk_ids": _chunk_ids_sql(norm, size=12, overlap=4),
         "packed_shards": _packed_shards_sql(norm, seq_len=64),
+        "packed_spans": _packed_spans_sql(norm, seq_len=64),
+        "domain_mixture": _domain_mixture_sql(MIXTURE_RATES),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -2845,6 +2894,39 @@ def _sample_by_hash_sql(rates: dict[str, float], strata_col: str = "lang",
             WHERE h < thr"""
 
 
+def _domain_mixture_sql(rates: dict[str, float], strata_col: str = "lang",
+                        default_rate: float = 0.5,
+                        salt: str = "mix") -> str:
+    """Oracle for curation.mixture_sample: the SAME per-stratum
+    (n_full, frac_thr, n_max) integer literals (shared _mixture_plan
+    arithmetic — the LSH-plane-constant pattern), a cross join against
+    the static epoch list 0..max(n_max)-1 gated by n_max, and the
+    per-(id, epoch) 60-bit hash against the fractional threshold."""
+    from towhee_spark.functions.curation import _mixture_plan  # noqa: PLC0415
+
+    plan = _mixture_plan(rates)
+    dflt = _mixture_plan({"__d": default_rate})["__d"]
+    def case(i: int) -> str:
+        whens = " ".join(
+            f"WHEN {strata_col} = '{s}' THEN {tup[i]}"
+            for s, tup in plan.items())
+        return f"CASE {whens} ELSE {dflt[i]} END"
+    n_top = max([t[2] for t in plan.values()] + [dflt[2]])
+    h = _hash60_sql(
+        "CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)", salt)
+    return f"""
+            SELECT d.doc_id, d.{strata_col} AS {strata_col},
+                   CAST(e.epoch AS INT) AS epoch
+            FROM (SELECT doc_id, {strata_col},
+                         {case(0)} AS n_full,
+                         {case(1)} AS fthr,
+                         {case(2)} AS n_max
+                  FROM documents) d
+            JOIN (SELECT UNNEST(range({n_top})) AS epoch) e
+              ON e.epoch < d.n_max
+            WHERE e.epoch < d.n_full OR {h} < d.fthr"""
+
+
 def _pack_body_sql(src: str, tok_cnt: str, seq_len: int,
                    salt: str = "pack") -> str:
     """The pack_sequences mirror body (t/c/e chain + final SELECT) over
@@ -2963,6 +3045,21 @@ def _packed_shards_sql(norm: str, seq_len: int, salt: str = "pack",
                    CAST(count(*) AS INT) AS n_fill,
                    array_to_string(list(id ORDER BY gpos), ',') AS ids_csv
             FROM ts GROUP BY 1"""
+
+
+def _packed_spans_sql(norm: str, seq_len: int, n_words: int = 24,
+                      n_suffix: int = 8, max_word_chars: int = 8) -> str:
+    """Oracle for q_packed_spans: the pack LAYOUT (_pack_body_sql over
+    the wp piece counts) re-keyed to per-pack document spans — span off
+    = pack_off, span length = tok_end − tok_begin. The engine derives
+    the same rows from its sorted-struct gather aggregate; the two
+    formulations must agree row for row."""
+    return f"""
+            WITH RECURSIVE {_wp_cte(norm, n_words, n_suffix, max_word_chars)}
+            SELECT pack_id, doc_id,
+                   CAST(pack_off AS INT) AS off,
+                   CAST(tok_end - tok_begin AS INT) AS span_len
+            FROM (WITH {_pack_body_sql("flat", "len(pieces)", seq_len)}) lay"""
 
 
 def _chunk_ids_sql(norm: str, size: int, overlap: int, **kw) -> str:

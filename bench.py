@@ -245,6 +245,7 @@ def main() -> None:
         "quantized_embeddings",
         "ivfsq_topk",
         "ann_recall",
+        "domain_mixture",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -262,6 +263,8 @@ def main() -> None:
     timed("chunk_ids_full", lambda: force(qs["chunk_ids"](spark, sf_dir)))
     timed("packed_shards_full",
           lambda: force(qs["packed_shards"](spark, sf_dir)))
+    timed("packed_spans_full",
+          lambda: force(qs["packed_spans"](spark, sf_dir)))
 
     # dedup_groups is ITERATIVE (large-star/small-star rounds run at plan
     # build), so the honest number times build + force together — a
@@ -376,6 +379,16 @@ def main() -> None:
     timed_df("prod_pack_wp", lambda: _pack.pack_sequences(
         _wp_pieces.select("doc_id", "n_tokens"),
         seq_len=64, count_col="n_tokens"))
+    # full shard materialization with doc spans, over the production
+    # Arrow encode (id table pre-materialized above)
+    _wp_enc = _tok.encode_ids(_wp_pieces, _idt, impl="arrow")
+    timed_df("prod_materialize_spans", lambda: _pack.materialize_packs(
+        _wp_enc, seq_len=64, with_spans=True))
+    # the epoch-repeat mixture production shape: lang mix over documents
+    from towhee_spark.functions import curation as _cur
+    timed_df("prod_domain_mixture", lambda: _cur.mixture_sample(
+        docs, rates={"en": 0.4, "de": 2.25, "fr": 3.0, "zh": 1.6},
+        strata_col="lang", default_rate=0.5))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

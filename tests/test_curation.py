@@ -437,3 +437,74 @@ def test_top_quantile_null_scores_do_not_inflate_k(spark):
     df = spark.createDataFrame(rows, "lang string, doc_id long, s double")
     out = curation.top_quantile_by(df, "s", "lang", q=0.3).collect()
     assert [(r.doc_id, r.s) for r in out] == [(2, 0.9)]
+
+
+# --------------------------------------------------------------------------
+# mixture_sample / mixture_rates (epoch-repeat domain mixture)
+
+
+def test_mixture_sample_epoch_counts_and_determinism(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int")).alias("lang"))
+    out = curation.mixture_sample(
+        df, rates={"en": 0.5, "de": 2.25, "fr": 3.0}, strata_col="lang")
+    per = {(r.lang, r.epoch): r.n for r in
+           out.groupBy("lang", "epoch").agg(F.count("*").alias("n")).collect()}
+    # whole epochs are exact full copies; fractional epochs ≈ frac·n
+    assert per[("de", 0)] == 1000 and per[("de", 1)] == 1000
+    assert 180 < per[("de", 2)] < 320          # 0.25 · 1000
+    assert per[("fr", 0)] == per[("fr", 1)] == per[("fr", 2)] == 1000
+    assert ("fr", 3) not in per
+    assert 400 < per[("en", 0)] < 600 and ("en", 1) not in per
+    # deterministic: a second run produces the identical (id, epoch) set
+    pairs = {(r.doc_id, r.epoch) for r in out.collect()}
+    out2 = curation.mixture_sample(
+        df, rates={"en": 0.5, "de": 2.25, "fr": 3.0}, strata_col="lang")
+    assert {(r.doc_id, r.epoch) for r in out2.collect()} == pairs
+
+
+def test_mixture_sample_monotone_in_rate_and_defaults(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    lo = {(r.doc_id, r.epoch) for r in curation.mixture_sample(
+        df, rates={"en": 1.3}, strata_col="lang").collect()}
+    hi = {(r.doc_id, r.epoch) for r in curation.mixture_sample(
+        df, rates={"en": 2.6}, strata_col="lang").collect()}
+    assert lo < hi  # raising a rate only ADDS (id, epoch) pairs
+    # default_rate=0 drops unlisted strata; epoch col name collision is loud
+    assert curation.mixture_sample(
+        df, rates={"zz": 2.0}, strata_col="lang").count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="epoch"):
+        curation.mixture_sample(
+            df.withColumn("epoch", F.lit(0)), rates={"en": 1.0},
+            strata_col="lang")
+    with _pt.raises(ValueError, match="negative rate"):
+        curation.mixture_sample(df, rates={"en": -0.1}, strata_col="lang")
+
+
+def test_mixture_rates_budget_and_caps(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 7 + 1).alias("n_tok"))
+    # equal weights, budget 1000 rows → en 500/800, de 500/200
+    r = curation.mixture_rates(
+        df, weights={"en": 1.0, "de": 1.0}, strata_col="lang", budget=1000)
+    assert r == {"en": 0.625, "de": 2.5}
+    # max_rate caps the repeat factor
+    r2 = curation.mixture_rates(
+        df, weights={"en": 1.0, "de": 1.0}, strata_col="lang", budget=1000,
+        max_rate=2.0)
+    assert r2["de"] == 2.0
+    # token-unit budget via count_col; absent strata omitted
+    r3 = curation.mixture_rates(
+        df, weights={"en": 1.0, "zz": 1.0}, strata_col="lang",
+        budget=800, count_col="n_tok")
+    assert "zz" not in r3 and 0 < r3["en"] < 1
+    # round-trip: rates feed mixture_sample and land near the budget
+    out = curation.mixture_sample(df, rates=r, strata_col="lang")
+    assert 900 < out.count() < 1100

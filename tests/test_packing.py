@@ -156,6 +156,44 @@ def test_materialize_packs_reconstructs_stream(spark):
     assert packs[n_packs - 1][0] == len(stream) - (n_packs - 1) * seq_len
 
 
+def test_materialize_packs_doc_spans(spark):
+    """with_spans=True: the spans tile each pack exactly (contiguous,
+    summing to n_fill), equal the pack_sequences layout re-keyed, and
+    each span's slice of ids is the corresponding doc slice."""
+    from towhee_spark.functions.packing import materialize_packs
+
+    enc = spark.createDataFrame(
+        [(i, [i * 1000 + j for j in range(c or 0)]) for i, c in COUNTS],
+        "doc_id long, ids array<int>")
+    seq_len = 64
+    rows = sorted(materialize_packs(enc, seq_len, with_spans=True).collect(),
+                  key=lambda r: r.pack_id)
+    assert set(rows[0].asDict()) == {"pack_id", "n_fill", "ids", "doc_spans"}
+    layout = {(r.doc_id, r.pack_id, r.pack_off): r.tok_end - r.tok_begin
+              for r in pack_sequences(
+                  enc.withColumn("__n", F.size("ids")), seq_len,
+                  count_col="__n").collect()}
+    seen = {}
+    for r in rows:
+        off = 0
+        for s in r.doc_spans:
+            assert s.off == off, (r.pack_id, s)
+            assert r.ids[s.off:s.off + s.len] == [
+                s.doc_id * 1000 + j
+                for j in range(*_span_doc_range(seen, s.doc_id, s.len))]
+            seen[s.doc_id] = seen.get(s.doc_id, 0) + s.len
+            off += s.len
+        assert off == r.n_fill
+        for s in r.doc_spans:
+            assert layout[(s.doc_id, r.pack_id, s.off)] == s.len
+    assert seen == {i: c for i, c in COUNTS if c}
+
+
+def _span_doc_range(seen, doc_id, ln):
+    start = seen.get(doc_id, 0)
+    return start, start + ln
+
+
 def test_materialize_packs_agrees_with_layout(spark):
     """The materialized fill of every pack equals pack_stats' fill over
     the layout — the two views derive from one pack_sequences call."""

@@ -597,3 +597,142 @@ def top_quantile_by(
         .filter(si >= F.col("__thr"))
         .drop("__st", "__thr")
     )
+
+
+# --------------------------------------------------------------------------
+# Domain mixture with epoch repeats
+
+
+def _mixture_plan(rates: dict[str, float]) -> dict[str, tuple[int, int, int]]:
+    """Per-stratum (n_full, frac_thr, n_max) from a rate: ``n_full``
+    whole epochs, a fractional epoch kept iff the hash falls under
+    ``frac_thr`` (integer on the 60-bit space), ``n_max = n_full +
+    (frac_thr > 0)``. Rates snap to the exact rational their decimal
+    literal denotes (Fraction(str(r)) — the top_quantile_by rule), so a
+    rate of 2.3 means exactly 23/10 on every engine; a fraction that
+    rounds to the full space folds into one more whole epoch."""
+    from fractions import Fraction  # noqa: PLC0415
+
+    plan: dict[str, tuple[int, int, int]] = {}
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"mixture_sample: negative rate for {s!r}")
+        fr = Fraction(str(r))
+        n_full = int(fr)  # floor for non-negative
+        thr = int(round((fr - n_full) * HASH_SPACE))
+        if thr >= HASH_SPACE:
+            n_full, thr = n_full + 1, 0
+        plan[s] = (n_full, thr, n_full + (1 if thr > 0 else 0))
+    return plan
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Domain-mixture resampling with EPOCH REPEATS — the missing half of
+    :func:`sample_by_hash`: rates may exceed 1. A row in a stratum with
+    rate ``r`` is emitted ``floor(r)`` times (epochs 0..floor(r)-1) plus
+    one more in epoch ``floor(r)`` iff ``hash60(salt || id || ':' ||
+    epoch) < frac(r)·2^60`` — the Pile/DoReMi construction (upweight
+    scarce domains by repeating them whole epochs, fractional tails by a
+    deterministic per-epoch subsample). The output carries ``epoch_col``
+    so downstream shuffling/packing can salt on it (two copies of a doc
+    land in different shards).
+
+    Determinism & stability: membership of (row, epoch) is a pure
+    function of (salt, id, epoch, rate of its OWN stratum) — re-runs,
+    engine swaps and rate changes to other strata never flip it, and
+    RAISING a stratum's rate only ADDS pairs (thresholds grow, epochs
+    append) — monotone mixture growth, the property that lets a mix be
+    tuned without churning shards already written.
+
+    Scale story: one generator (explode of a ≤⌈max rate⌉-element
+    sequence) + one scan-evaluated filter — zero shuffle, zero Python,
+    pushdown-friendly. Strata absent from ``rates`` get
+    ``default_rate`` (0 drops them; the common case for an explicit
+    mix). The reference has no mixture layer (data selection is
+    upstream of its pipelines, data_source.py:24-60)."""
+    if not 0.0 <= default_rate:
+        raise ValueError("mixture_sample: negative default_rate")
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"mixture_sample: input already has column {epoch_col!r}")
+    plan = _mixture_plan(rates)
+    dflt = _mixture_plan({"__d": default_rate})["__d"]
+
+    def _case(i: int) -> Column:
+        expr: Column | None = None
+        for s, tup in plan.items():
+            cond = F.col(strata_col) == s
+            lit = F.lit(tup[i])
+            expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+        d = F.lit(dflt[i])
+        return d if expr is None else expr.otherwise(d)
+
+    n_full, fthr, n_max = _case(0), _case(1), _case(2)
+    epochs = F.when(
+        n_max >= 1, F.sequence(F.lit(0), (n_max - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.withColumn(epoch_col, F.explode(epochs))
+    keep = (F.col(epoch_col) < n_full) | (
+        hash60(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"),
+                F.col(epoch_col).cast("string"),
+            ),
+            salt,
+        ) < fthr
+    )
+    return out.filter(keep)
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str,
+    budget: float,
+    count_col: str | None = None,
+    max_rate: float | None = None,
+    round_to: int = 6,
+) -> dict[str, float]:
+    """Turn target mixture WEIGHTS + a total budget into per-stratum
+    RATES for :func:`mixture_sample`: ``rate_s = (w_s/Σw)·budget /
+    size_s`` where size is the stratum's row count (or ``count_col``
+    sum — budget in tokens). A train-step ACTION (kmeans_train
+    convention): one k-row hash-aggregate collect, never corpus-sized.
+    Rates are rounded to ``round_to`` decimals so the returned dict
+    re-snaps exactly under Fraction(str(r)) in mixture_sample — the
+    collect→literal freeze. Strata absent from the data (or zero-size)
+    are omitted; ``max_rate`` caps repeats (common guard: ≤ 4 epochs of
+    any domain, the data-repetition diminishing-returns rule)."""
+    if budget <= 0:
+        raise ValueError("mixture_rates: budget must be positive")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("mixture_rates: weights must sum to > 0")
+    cnt = (F.sum(F.col(count_col).cast("long")) if count_col is not None
+           else F.count(F.lit(1)))
+    # k-row action: one map-side-combined aggregate, k = |strata| rows
+    sizes = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(strata_col).alias("__s"))
+        .agg(cnt.alias("__n")).collect()
+    }
+    out: dict[str, float] = {}
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"mixture_rates: negative weight for {s!r}")
+        n = sizes.get(s)
+        if not n:
+            continue
+        rate = (w / tot) * budget / float(n)
+        if max_rate is not None:
+            rate = min(rate, max_rate)
+        out[s] = round(rate, round_to)
+    return out

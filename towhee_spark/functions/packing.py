@@ -161,6 +161,7 @@ def materialize_packs(
     salt: str = "pack",
     bucket_bits: int = 10,
     broadcast_carry: bool | None = True,
+    with_spans: bool = False,
 ) -> DataFrame:
     """Materialize the actual training shards: gather each pack's token
     ids from the :func:`pack_sequences` layout over a pre-encoded corpus
@@ -177,6 +178,12 @@ def materialize_packs(
     pack_off order — the order-stable aggregation pattern). No group can
     exceed seq_len tokens by construction, so there is no hot pack.
 
+    ``with_spans=True`` adds ``doc_spans: array<struct<doc_id, off:int,
+    len:int>>`` in pack order — the per-pack document boundaries a
+    trainer needs for cross-document attention masks / per-doc loss
+    masks. The spans are the pack_sequences layout re-keyed, gathered in
+    the SAME aggregate (no extra shuffle).
+
     ``df`` is read twice (layout cumsum + payload join) — cache it when
     it is the output of an expensive encode. Zero/NULL-id documents
     contribute nothing (the pack_sequences rule)."""
@@ -187,6 +194,7 @@ def materialize_packs(
         d, seq_len, id_col=id_col, count_col="__n", salt=salt,
         bucket_bits=bucket_bits, broadcast_carry=broadcast_carry)
     parts = layout.join(d, id_col).select(
+        F.col(id_col).alias("__doc"),
         "pack_id", "pack_off",
         F.slice(
             F.col("__ids"),
@@ -194,17 +202,21 @@ def materialize_packs(
             (F.col("tok_end") - F.col("tok_begin")).cast("int"),
         ).alias("__part"),
     )
-    return (
-        parts.groupBy("pack_id")
-        .agg(F.flatten(F.transform(
-            F.array_sort(F.collect_list(F.struct("pack_off", "__part"))),
-            lambda s: s.getField("__part"))).alias(ids_col))
-        .select(
-            "pack_id",
-            F.size(ids_col).cast("int").alias("n_fill"),
-            ids_col,
-        )
-    )
+    sorted_parts = F.array_sort(
+        F.collect_list(F.struct("pack_off", "__part", "__doc")))
+    aggs = [F.flatten(F.transform(
+        sorted_parts, lambda s: s.getField("__part"))).alias(ids_col)]
+    if with_spans:
+        aggs.append(F.transform(
+            sorted_parts,
+            lambda s: F.struct(
+                s.getField("__doc").alias(id_col),
+                s.getField("pack_off").cast("int").alias("off"),
+                F.size(s.getField("__part")).cast("int").alias("len"),
+            )).alias("doc_spans"))
+    out_cols = ["pack_id", F.size(ids_col).cast("int").alias("n_fill"),
+                ids_col] + (["doc_spans"] if with_spans else [])
+    return parts.groupBy("pack_id").agg(*aggs).select(*out_cols)
 
 
 def pack_stats(packs: DataFrame, seq_len: int) -> DataFrame:
