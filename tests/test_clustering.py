@@ -234,3 +234,43 @@ def test_ann_recall_op(spark, embs):
     agg = similarity.ann_recall(crippled, exact, per_query=False).collect()
     assert len(agg) == 1 and agg[0].n_exact == 30
     assert agg[0].n_hits == sum(v.n_hits for v in rr.values())
+
+
+def test_pool_embeddings_ragged_guard(spark):
+    """ADVICE r04: ragged/short vectors silently deflate mean components
+    (F.sum skips NULL/absent) — validate=True (default) must fail loudly
+    at execution; validate=False keeps the documented raw semantics."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0])], "g int, embedding array<double>")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    with pytest.raises(
+            (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException),
+            match="ragged input"):
+        clustering.pool_embeddings(df, "g", dim=2, mode="mean").collect()
+    # NULL components inside a RIGHT-SIZED array pass the size guard and
+    # deflate that component's mean — the documented raw semantics
+    df2 = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, None])], "g int, embedding array<double>")
+    raw = clustering.pool_embeddings(df2, "g", dim=2, mode="mean").collect()
+    assert raw[0].pooled == [2.0, 1.0]  # component 2: sum 2.0 / n_vecs 2
+
+
+def test_ivfsq_all_zero_index_vector_dropped(spark):
+    """ADVICE r04: all-zero index vectors quantize to NULL codes → NULL
+    reconstruction; they must be FILTERED (matching the oracle's mx > 0
+    rule), never emitted at cosine-fallback score 0.0 — even when a
+    probed cell has fewer than k positive-scoring candidates."""
+    from towhee_spark.functions import similarity
+
+    idx = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.05])], "vec_id long, embedding array<double>")
+    out = similarity.ivfsq_topk(
+        qs, idx, k=3, nlist=1, nprobe=1, impl="expr",
+        exclude_self=False).collect()
+    assert sorted(r.match_id for r in out) == [1, 2]
+    assert all(r.match_id != 3 for r in out)

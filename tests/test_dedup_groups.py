@@ -137,3 +137,16 @@ def test_dedup_best_survivors_quality_rule(spark):
            dedup.dedup_best_survivors(df, pairs, "q").collect()}
     assert out[1].doc_id == 2 and out[1].group_size == 3 and out[1].q == 0.9
     assert out[4].doc_id == 4 and out[4].group_size == 1
+
+
+def test_dedup_best_survivors_rejects_non_integral_id(spark):
+    """ADVICE r04: a string id would silently cast('long') to NULL and
+    drop every row — the loud-guard convention must fire instead."""
+    from towhee_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9)], "doc_id string, q double")
+    pairs = spark.createDataFrame(
+        [("a", "b")], "id_a string, id_b string")
+    with pytest.raises(ValueError, match="must be integral"):
+        dedup.dedup_best_survivors(df, pairs, "q")
