@@ -1063,6 +1063,19 @@ def q_domain_mixture(spark, sf_dir):
     return out.select("doc_id", "lang", "epoch")
 
 
+def q_hard_negatives(spark, sf_dir):
+    # contrastive hard-negative mining (similarity.hard_negatives): per
+    # query the top-3 index vectors with cosine in [0.2, 0.9) — similar
+    # enough to be hard, capped below near-dup territory. method="exact"
+    # is the gate path; the oracle is the brute-force scan + band filter.
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    out = similarity.hard_negatives(
+        qs, embs, k=3, band=(0.2, 0.9), method="exact")
+    return out.select("query_id", "match_id",
+                      F.round("score", 4).alias("score4"))
+
+
 def q_neardup_static(spark, sf_dir):
     # the streaming near-dup front door (streaming.ops.stream_neardup_static)
     # in its batch face: docs with doc_id%7==3 play the stream, the rest are
@@ -1581,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-entry driver window: replica-verified this round,
         # --- rotate into driver coverage in r06 ---
         "domain_mixture": q_domain_mixture,
+        "hard_negatives": q_hard_negatives,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1965,6 +1979,7 @@ def _oracle_sql() -> dict[str, str]:
         "packed_shards": _packed_shards_sql(norm, seq_len=64),
         "packed_spans": _packed_spans_sql(norm, seq_len=64),
         "domain_mixture": _domain_mixture_sql(MIXTURE_RATES),
+        "hard_negatives": _hard_negatives_sql(lo=0.2, hi=0.9, k=3),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -2016,6 +2031,33 @@ def _topk_sql() -> str:
                 FROM scored
             )
             SELECT query_id, match_id, score4 FROM ranked WHERE rank <= 3"""
+
+
+def _hard_negatives_sql(lo: float = 0.2, hi: float = 0.9, k: int = 3) -> str:
+    """Oracle for q_hard_negatives: the exact-scan mirror with the band
+    filter applied to the ROUND(·, 6) score BEFORE ranking — the same
+    engine rule (similarity._band_filter). CAST the band literals to
+    DOUBLE so DuckDB compares in IEEE doubles, not exact DECIMAL (the
+    top_quantile_by DECIMAL-literal trap)."""
+    return f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS match_id,
+                       ROUND(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])))), 6) AS s6
+                FROM q, embeddings e WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, match_id, ROUND(s6, 4) AS score4,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s6 DESC, match_id) AS rank
+                FROM scored
+                WHERE s6 >= CAST({lo!r} AS DOUBLE) AND s6 < CAST({hi!r} AS DOUBLE)
+            )
+            SELECT query_id, match_id, score4 FROM ranked WHERE rank <= {k}"""
 
 
 def _lsh_topk_sql(planes: int = 8, probes: int = 4, dim: int = 64, seed: int = 7) -> str:

@@ -246,6 +246,7 @@ def main() -> None:
         "ivfsq_topk",
         "ann_recall",
         "domain_mixture",
+        "hard_negatives",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -343,6 +344,12 @@ def main() -> None:
     timed_df("prod_ivf_topk_arrow", lambda: _sim.ivf_topk(
         embs.filter(F.col("vec_id") < 10), embs, k=3,
         nlist=64, nprobe=8, impl="arrow"))
+    # hard-negative mining production shape: LSH-bucketed candidates
+    # (arrow signatures), band-filtered then ranked — the gate row runs
+    # the exact-scan method over the same band
+    timed_df("prod_hard_negatives_lsh", lambda: _sim.hard_negatives(
+        embs.filter(F.col("vec_id") < 1000), embs, k=8, band=(0.2, 0.9),
+        method="lsh", planes=10, probes=4, dim=64, impl="arrow"))
     # k-means production shape: Arrow assignment kernel, 16 cells (gate
     # pins k=8 expr for the unrolled SQL-mirror oracle). kmeans_train is
     # ITERATIVE (one aggregate job per Lloyd round at plan build), so the

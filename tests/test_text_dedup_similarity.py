@@ -760,3 +760,44 @@ def test_scan_topk_query_cap(spark, embs):
     qs = embs.filter(F.col("vec_id") < 3)
     out = similarity.scan_topk(qs, embs, k=2, max_queries=3)
     assert out.count() == 6
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives (contrastive mining: band-filtered top-k)
+
+
+def test_hard_negatives_band_semantics(spark, embs):
+    """Every emitted row's score lies in [lo, hi); the result equals the
+    brute-force scan band-filtered by hand; rank is dense per query."""
+    qs = embs.filter(F.col("vec_id") < 8)
+    lo, hi = 0.2, 0.9
+    out = similarity.hard_negatives(qs, embs, k=5, band=(lo, hi)).collect()
+    assert out
+    assert all(lo <= r.score < hi for r in out)
+    full = similarity.brute_force_topk(qs, embs, k=10**9, shards=None)
+    expect = {}
+    for r in sorted(full.collect(),
+                    key=lambda r: (r.query_id, -r.score, r.match_id)):
+        if lo <= r.score < hi and len(expect.setdefault(r.query_id, [])) < 5:
+            expect[r.query_id].append(r.match_id)
+    got = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.match_id)
+    assert got == expect
+
+
+def test_hard_negatives_lsh_path_and_validation(spark, embs):
+    """method='lsh' emits a subset of the exact in-band set (bucketed
+    candidates), never an out-of-band row; bad args fail loudly."""
+    qs = embs.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.match_id) for r in similarity.hard_negatives(
+        qs, embs, k=10**9, band=(0.2, 0.9), shards=None).collect()}
+    lsh = similarity.hard_negatives(
+        qs, embs, k=10**9, band=(0.2, 0.9), method="lsh",
+        planes=6, probes=4, dim=64, impl="expr").collect()
+    assert lsh and {(r.query_id, r.match_id) for r in lsh} <= exact
+    assert all(0.2 <= r.score < 0.9 for r in lsh)
+    with pytest.raises(ValueError, match="lo < hi"):
+        similarity.hard_negatives(qs, embs, band=(0.9, 0.2)).collect()
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity.hard_negatives(qs, embs, method="ivf")

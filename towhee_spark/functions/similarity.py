@@ -33,8 +33,14 @@ def brute_force_topk(
     broadcast_queries: bool = True,
     exclude_self: bool = True,
     shards: int | None = 32,
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, match_id, score, rank).
+
+    ``band=(lo, hi)`` keeps only matches with lo <= score < hi BEFORE the
+    ranking — the hard-negative-mining filter (see :func:`hard_negatives`).
+    The compare is on the ROUND(·, 6) score, so band membership is
+    engine-stable.
 
     The smaller side must be broadcast — default assumes the query set is
     small (the common batch-lookup shape); the scan side streams through
@@ -59,7 +65,20 @@ def brute_force_topk(
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    scored = _band_filter(scored, band)
     return _global_topk(scored, k, shards)
+
+
+def _band_filter(scored: DataFrame,
+                 band: tuple[float, float] | None) -> DataFrame:
+    """lo <= ROUND(score, 6) < hi keep-filter, validated loudly."""
+    if band is None:
+        return scored
+    lo, hi = band
+    if not lo < hi:
+        raise ValueError(f"band: need lo < hi, got {band!r}")
+    return scored.filter(
+        (F.col("score") >= F.lit(float(lo))) & (F.col("score") < F.lit(float(hi))))
 
 
 def _global_topk(scored: DataFrame, k: int, shards: int | None) -> DataFrame:
@@ -234,8 +253,13 @@ def lsh_topk(
     shards: int | None = None,
     exclude_fn=None,
     impl: str = "arrow",
+    band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact rerank.
+
+    ``band=(lo, hi)`` keeps only candidates with lo <= score < hi before
+    the ranking (hard-negative mining over the bucketed candidate set —
+    see :func:`hard_negatives`).
 
     Queries probe their own bucket plus the ``probes-1`` nearest neighbor
     buckets (1-bit flips) — recall/scan-cost dial. Index side is bucketed
@@ -301,7 +325,42 @@ def lsh_topk(
         scored = scored.filter(exclude_fn(F.col("query_id"), F.col("match_id")))
     elif exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
+    scored = _band_filter(scored, band)
     return _global_topk(scored, k, shards)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    band: tuple[float, float] = (0.3, 0.9),
+    method: str = "exact",
+    **kw,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per query, the top-``k``
+    index vectors whose cosine falls in ``band=(lo, hi)`` — similar enough
+    to be hard, below ``hi`` so near-duplicates / positives are excluded
+    (pair with :func:`embedding_neardup_pairs`' threshold for ``hi``).
+    Returns (query_id, match_id, score, rank), score rounded to 6 so band
+    membership is engine-stable.
+
+    ``method``: "exact" = full brute-force scan then band + top-k (the
+    gate path; one broadcast join, index-linear); "lsh" = hyperplane-LSH
+    candidates then band + top-k (the 100-TB path — pass planes/probes/
+    dim/impl through ``kw``; candidates outside the probed buckets are
+    missed, which is acceptable for negative MINING — any in-band
+    candidate is a valid hard negative, coverage is a recall dial, and
+    probes can be raised until ann_recall on the band says enough).
+
+    The band compares AFTER exclude_self/exclude_fn and BEFORE ranking,
+    so k is the number of in-band survivors per query. No reference
+    counterpart (towhee has no mining ops); the construction is the DPR /
+    sentence-transformers hard-negative recipe."""
+    if method == "exact":
+        return brute_force_topk(queries, index, k=k, band=band, **kw)
+    if method == "lsh":
+        return lsh_topk(queries, index, k=k, band=band, **kw)
+    raise ValueError(f"hard_negatives: unknown method {method!r}")
 
 
 def _md5_id_hash(c):
