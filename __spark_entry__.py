@@ -1076,6 +1076,23 @@ def q_hard_negatives(spark, sf_dir):
                       F.round("score", 4).alias("score4"))
 
 
+def q_hll_registers(spark, sf_dir):
+    # HyperLogLog distinct-token sketch per lang (sketches.hll_build):
+    # 64 registers (p=6) of max leading-zero rank over the cross-engine
+    # md5 hash60 of each token. The register table is exact integers —
+    # the oracle rebuilds it bit for bit (reg = h & 63, rank = 55 −
+    # bitlen(h >> 6)); the float estimate layer (hll_estimate) stays
+    # engine-side (pytest accuracy-gated), the kmeans freeze split.
+    from towhee_spark.functions import sketches  # noqa: PLC0415
+    from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "lang", F.explode(_toks(F.col("text"))).alias("term"))
+    return sketches.hll_build(
+        toks, "term", by=["lang"], p=6).select("lang", "reg", "mx")
+
+
 def q_neardup_static(spark, sf_dir):
     # the streaming near-dup front door (streaming.ops.stream_neardup_static)
     # in its batch face: docs with doc_id%7==3 play the stream, the rest are
@@ -1595,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotate into driver coverage in r06 ---
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
+        "hll_registers": q_hll_registers,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1980,6 +1998,7 @@ def _oracle_sql() -> dict[str, str]:
         "packed_spans": _packed_spans_sql(norm, seq_len=64),
         "domain_mixture": _domain_mixture_sql(MIXTURE_RATES),
         "hard_negatives": _hard_negatives_sql(lo=0.2, hi=0.9, k=3),
+        "hll_registers": _hll_registers_sql(norm, p=6),
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score
@@ -2769,6 +2788,29 @@ def _heavy_hitters_sql(norm: str, depth: int = 4, width: int = 256,
                     FROM pr LEFT JOIN cells USING (r, c)
                     GROUP BY pr.term)
             SELECT term, est FROM est WHERE est >= {threshold}"""
+
+
+def _hll_registers_sql(norm: str, p: int = 6, salt: str = "hll") -> str:
+    """Oracle for q_hll_registers: the identical HLL register table in
+    SQL — reg = low p bits of hash60(salt||token), rank = (60−p) + 1 −
+    bitlen of the remaining bits, bitlen = length(bin(x)) with the
+    rem = 0 → rank W+1 special case (bin() is unpadded and bin(0)='0'
+    in both engines — sketches._hll_rank)."""
+    m, w = 1 << p, 60 - p
+    h = _hash60_sql("term", salt)
+    return f"""
+            WITH d AS (SELECT lang, list_filter(string_split({norm}, ' '),
+                                  t -> t <> '') AS toks
+                       FROM documents),
+            tok AS (SELECT lang, unnest(toks) AS term FROM d),
+            hh AS (SELECT lang, {h} AS h FROM tok),
+            rr AS (SELECT lang, CAST(h & {m - 1} AS INT) AS reg,
+                          h >> {p} AS rem
+                   FROM hh)
+            SELECT lang, reg,
+                   CAST(MAX(CASE WHEN rem = 0 THEN {w + 1}
+                            ELSE {w + 1} - length(bin(rem)) END) AS INT) AS mx
+            FROM rr GROUP BY lang, reg"""
 
 
 def _curated_sql(norm: str, bench_max: int = 25, min_words: int = 50,

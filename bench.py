@@ -247,6 +247,7 @@ def main() -> None:
         "ann_recall",
         "domain_mixture",
         "hard_negatives",
+        "hll_registers",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

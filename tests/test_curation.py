@@ -508,3 +508,52 @@ def test_mixture_rates_budget_and_caps(spark):
     # round-trip: rates feed mixture_sample and land near the budget
     out = curation.mixture_sample(df, rates=r, strata_col="lang")
     assert 900 < out.count() < 1100
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (hll_build / hll_merge / hll_estimate)
+
+
+def test_hll_estimate_accuracy_and_grouping(spark):
+    """Estimates land within ~3 standard errors (3·1.04/√m) of the true
+    distinct count, per group and globally; duplicates don't move the
+    sketch (count-DISTINCT semantics); NULLs are ignored."""
+    from towhee_spark.functions import sketches
+
+    rows = ([("a", f"v{i}") for i in range(5000)]
+            + [("a", f"v{i}") for i in range(5000)]      # exact duplicates
+            + [("b", f"w{i}") for i in range(700)]
+            + [("b", None)])
+    df = spark.createDataFrame(rows, "g string, v string")
+    p = 8
+    sk = sketches.hll_build(df, "v", by=["g"], p=p)
+    assert sk.groupBy().max("mx").collect()[0][0] <= 60 - p + 1
+    est = {r.g: r.n_distinct for r in
+           sketches.hll_estimate(sk, by=["g"], p=p).collect()}
+    for g, true in (("a", 5000), ("b", 700)):
+        assert abs(est[g] - true) / true < 3 * 1.04 / (1 << p) ** 0.5, (g, est)
+    # dup-free rebuild produces the identical register table
+    sk2 = sketches.hll_build(df.dropDuplicates(), "v", by=["g"], p=p)
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, sk2.collect()))
+    with pytest.raises(ValueError, match="p must be"):
+        sketches.hll_build(df, "v", p=2)
+
+
+def test_hll_merge_equals_union_build(spark):
+    """Sketch of A ∪ B == merge(sketch(A), sketch(B)) — register max
+    commutes with set union; estimating the merge counts the union's
+    distincts (overlap NOT double-counted, unlike CMS sums)."""
+    from towhee_spark.functions import sketches
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(1500)], "v string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(1000, 3000)], "v string")
+    p = 7
+    merged = sketches.hll_merge(
+        [sketches.hll_build(a, "v", p=p), sketches.hll_build(b, "v", p=p)])
+    direct = sketches.hll_build(a.union(b), "v", p=p)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect()))
+    est = sketches.hll_estimate(merged, p=p).collect()[0].n_distinct
+    assert abs(est - 3000) / 3000 < 3 * 1.04 / (1 << p) ** 0.5
+    with pytest.raises(ValueError, match="at least one"):
+        sketches.hll_merge([])

@@ -121,3 +121,102 @@ def cms_estimate(
         .groupBy(*cols)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) over the cross-engine md5 hash
+
+
+def _hll_rank(h, p: int):
+    """Register + rank split of a 60-bit hash: low ``p`` bits pick the
+    register, the remaining W = 60 − p bits give rank = leading zeros + 1
+    = W + 1 − bitlen(rem). bitlen via length(bin(x)) — bin() emits no
+    leading zeros and bin(0) = '0' in BOTH Spark and DuckDB, so the
+    formula is engine-identical (rem = 0 → rank W + 1)."""
+    w = 60 - p
+    rem = F.shiftright(h, p)
+    rank = F.when(rem == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem)))
+    return (
+        h.bitwiseAND(F.lit((1 << p) - 1)).cast("int").alias("reg"),
+        rank.cast("int"),
+    )
+
+
+def hll_build(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """HyperLogLog sketch of ``count(DISTINCT value_col)`` per ``by``
+    group, as (*by, reg:int, mx:int) rows — max leading-zero rank per
+    register, ≤ 2^p rows per group, built by ONE map-side-combined hash
+    aggregate (max is the ideal partial-agg: register rows collapse on
+    the map side, so the shuffle moves ≤ 2^p rows per group per task
+    regardless of corpus size).
+
+    Mergeable like cms_build: sketches of two corpora (or two days)
+    merge by :func:`hll_merge` — union + re-max — the property that lets
+    profiling run incrementally at 100 TB without rescans. Unlike
+    Spark's built-in approx_count_distinct / hll_sketch_agg (binary,
+    engine-private), these registers are exact INTEGERS derived from the
+    cross-engine md5 hash60 contract, so a SQL engine reproduces the
+    sketch bit for bit (the gate) and any engine can merge or estimate
+    it. NULL values are ignored (count(DISTINCT) semantics). Standard
+    error of the estimate ≈ 1.04/√(2^p)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_build: p must be in [4, 16], got {p}")
+    from towhee_spark.functions.curation import hash60  # noqa: PLC0415
+
+    keys = list(by)
+    reg, rank = _hll_rank(hash60(F.col(value_col), salt), p)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, reg, rank.alias("__rk"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("__rk").alias("mx"))
+    )
+
+
+def hll_merge(sketches: Sequence[DataFrame], by: Sequence[str] = ()) -> DataFrame:
+    """Union HLL sketches built with the SAME (p, salt): max per
+    (*by, reg). Estimating the merge == estimating the unioned corpora —
+    HLL's defining property (register max commutes with set union)."""
+    if not sketches:
+        raise ValueError("hll_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*list(by), "reg").agg(F.max("mx").alias("mx"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    by: Sequence[str] = (),
+    p: int = 8,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Distinct-count estimate from a :func:`hll_build` sketch: the
+    bias-corrected harmonic mean α_m·m²/Σ2^(−M_j) with the small-range
+    linear-counting correction (m·ln(m/V) when the raw estimate ≤ 2.5m
+    and V empty registers remain). Registers absent from the frame are
+    empty (contribute 2^0 each). One k-register aggregate per group; the
+    float harmonic sum is order-dependent at the 1e-16 level, so the
+    estimate column is engine-side only — the gated artifact is the
+    integer register table (the kmeans freeze-discipline split)."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    keys = list(by)
+    g = sketch.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("__s"),
+        F.count(F.lit(1)).alias("__nz"),
+    )
+    v = F.lit(m) - F.col("__nz")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + v.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return g.select(*keys, F.round(est).cast("long").alias(out_col))
