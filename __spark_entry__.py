@@ -1076,6 +1076,27 @@ def q_hard_negatives(spark, sf_dir):
                       F.round("score", 4).alias("score4"))
 
 
+def q_conv_features(spark, sf_dir):
+    # whole-conversation feature vectors (functions/transcripts.py):
+    # turn/session/tool counts, exact epoch-µs span, per-role counts,
+    # text volume, assistant response latency — integer aggregates plus
+    # ROUND(exact_sum/count, 6) one-division means. The oracle reuses
+    # the PROVEN sess_seq fragment + a lag CTE.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.conv_features(t)
+
+
+def q_role_transitions(spark, sf_dir):
+    # consecutive-turn role bigrams: the conversation-dynamics
+    # fingerprint (user→assistant dominance, tool-loop density).
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.role_transitions(t)
+
+
 def q_hll_registers(spark, sf_dir):
     # HyperLogLog distinct-token sketch per lang (sketches.hll_build):
     # 64 registers (p=6) of max leading-zero rank over the cross-engine
@@ -1613,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
         "hll_registers": q_hll_registers,
+        "conv_features": q_conv_features,
+        "role_transitions": q_role_transitions,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1999,6 +2022,44 @@ def _oracle_sql() -> dict[str, str]:
         "domain_mixture": _domain_mixture_sql(MIXTURE_RATES),
         "hard_negatives": _hard_negatives_sql(lo=0.2, hi=0.9, k=3),
         "hll_registers": _hll_registers_sql(norm, p=6),
+        "conv_features": f"""{_CTE},
+            s AS ({sess_seq}),
+            l AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (
+                      PARTITION BY conv_id ORDER BY ts, turn_idx)) AS lat
+                  FROM s)
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   MAX(session_seq) AS n_sessions,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+                   COUNT(tool) AS n_tool_calls,
+                   COUNT(DISTINCT tool) AS n_tools,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_turns_user,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_turns_assistant,
+                   CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_turns_system,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_turns_tool,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_turn_chars,
+                   CAST(SUM(CASE WHEN role = 'assistant' AND lat IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_responses,
+                   ROUND(CAST(SUM(CASE WHEN role = 'assistant' THEN lat END)
+                              AS DOUBLE)
+                         / SUM(CASE WHEN role = 'assistant' AND lat IS NOT NULL
+                               THEN 1 ELSE 0 END), 6)
+                       AS avg_response_latency_us
+            FROM l GROUP BY conv_id""",
+        "role_transitions": f"""{_CTE}
+            SELECT from_role, to_role, COUNT(*) AS n
+            FROM (SELECT lag(role) OVER (PARTITION BY conv_id
+                                         ORDER BY ts, turn_idx) AS from_role,
+                         role AS to_role
+                  FROM transcripts)
+            WHERE from_role IS NOT NULL
+            GROUP BY from_role, to_role""",
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score

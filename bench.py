@@ -248,6 +248,8 @@ def main() -> None:
         "domain_mixture",
         "hard_negatives",
         "hll_registers",
+        "conv_features",
+        "role_transitions",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
