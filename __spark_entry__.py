@@ -1097,6 +1097,19 @@ def q_role_transitions(spark, sf_dir):
     return tr.role_transitions(t)
 
 
+def q_sft_examples(spark, sf_dir):
+    # transcripts → SFT pairs (transcripts.sft_examples): each assistant
+    # turn becomes (prompt = previous ≤4 turns as "role: text" lines,
+    # completion = its own text). Frame membership AND in-frame order
+    # derive from the one (ts, turn_idx) sort — windowed collect_list /
+    # list() emit frame order in both engines, so the rendered strings
+    # hash-match exactly.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.sft_examples(t, max_context_turns=4)
+
+
 def q_hll_registers(spark, sf_dir):
     # HyperLogLog distinct-token sketch per lang (sketches.hll_build):
     # 64 registers (p=6) of max leading-zero rank over the cross-engine
@@ -1636,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "conv_features": q_conv_features,
         "role_transitions": q_role_transitions,
+        "sft_examples": q_sft_examples,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -2060,6 +2074,17 @@ def _oracle_sql() -> dict[str, str]:
                   FROM transcripts)
             WHERE from_role IS NOT NULL
             GROUP BY from_role, to_role""",
+        "sft_examples": f"""{_CTE}
+            SELECT conv_id, turn_idx,
+                   array_to_string(ctx, chr(10)) AS prompt,
+                   COALESCE(text, '') AS completion,
+                   CAST(len(ctx) AS INT) AS n_context_turns
+            FROM (SELECT conv_id, turn_idx, role, text,
+                         list(role || ': ' || COALESCE(text, '')) OVER (
+                            PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
+                  FROM transcripts)
+            WHERE role = 'assistant' AND len(ctx) > 0""",
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score

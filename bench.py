@@ -250,6 +250,7 @@ def main() -> None:
         "hll_registers",
         "conv_features",
         "role_transitions",
+        "sft_examples",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -78,3 +78,36 @@ def test_conv_features_ordering_uses_turn_idx_tiebreak(spark):
               "tool string, ts timestamp")
     r = tr.conv_features(df).collect()[0]
     assert r.n_responses == 1 and r.avg_response_latency_us == 0.0
+
+
+def test_sft_examples_hand_computed(conv):
+    out = {(r.conv_id, r.turn_idx): r
+           for r in tr.sft_examples(conv, max_context_turns=8).collect()}
+    a1 = out[("a", 1)]
+    assert a1.prompt == "user: hi!" and a1.completion == "hello"
+    assert a1.n_context_turns == 1
+    a3 = out[("a", 3)]
+    assert a3.prompt == "user: hi!\nassistant: hello\nuser: ??"
+    assert a3.completion == "done" and a3.n_context_turns == 3
+    assert len(out) == 2  # conv b has no assistant turn
+
+
+def test_sft_examples_context_cap_and_empty(spark):
+    rows = [("c", i, "user" if i % 2 == 0 else "assistant", f"t{i}",
+             None, _ts(i)) for i in range(6)]
+    rows.insert(0, ("d", 0, "assistant", "opener", None, _ts(0)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = {(r.conv_id, r.turn_idx): r
+           for r in tr.sft_examples(df, max_context_turns=2).collect()}
+    # turn 5 sees only turns 3 and 4 — the cap truncates the front
+    assert out[("c", 5)].prompt == "assistant: t3\nuser: t4"
+    assert out[("c", 5)].n_context_turns == 2
+    # zero-context opener dropped by default, kept with include_empty
+    assert ("d", 0) not in out
+    kept = {(r.conv_id, r.turn_idx): r for r in tr.sft_examples(
+        df, max_context_turns=2, include_empty=True).collect()}
+    assert kept[("d", 0)].prompt == "" and kept[("d", 0)].n_context_turns == 0
+    with pytest.raises(ValueError, match="max_context_turns"):
+        tr.sft_examples(df, max_context_turns=0)

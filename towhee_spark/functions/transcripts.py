@@ -111,3 +111,58 @@ def role_transitions(
     ).where(F.col("from_role").isNotNull())
     keys = ([key] if per_key else []) + ["from_role", "to_role"]
     return base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def sft_examples(
+    df: DataFrame,
+    max_context_turns: int = 8,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    response_role: str = "assistant",
+    sep: str = "\n",
+    include_empty: bool = False,
+) -> DataFrame:
+    """Turn transcripts into supervised fine-tuning pairs: every
+    ``response_role`` turn becomes one example whose ``prompt`` is the
+    previous ≤ ``max_context_turns`` turns rendered as ``role: text``
+    lines (joined by ``sep``) and whose ``completion`` is the turn's own
+    text. Output: (key, *order_extra, prompt, completion,
+    n_context_turns) — the conversation→example exploder every
+    chat-model data pipeline needs (the OpenAI/ShareGPT layout, one row
+    per assistant message with a sliding context window).
+
+    The context is a bounded window frame (ROWS BETWEEN k PRECEDING AND
+    1 PRECEDING) over the deterministic (ts, *order_extra) total order —
+    frame membership and in-frame order both derive from that one sort,
+    so the rendered prompt is engine-stable (DuckDB's windowed list()
+    and Spark's windowed collect_list both emit frame order; verified in
+    the gate). NULL texts render as '' rather than nulling the whole
+    line. ``include_empty=False`` (default) drops zero-context examples
+    (a conversation-opening assistant turn has nothing to condition on).
+
+    One window + one projection — no shuffle beyond the conv
+    partitioning, no Python; the per-conv bounded-key argument from
+    :func:`conv_features` applies. Pair with curation.hash_split for
+    train/val and packing for the token stream."""
+    if max_context_turns < 1:
+        raise ValueError("sft_examples: max_context_turns must be >= 1")
+    line = F.concat(F.col(role_col), F.lit(": "),
+                    F.coalesce(F.col(text_col), F.lit("")))
+    w = (Window.partitionBy(key).orderBy(ts, *order_extra)
+         .rowsBetween(-max_context_turns, -1))
+    out = (
+        df.withColumn("__ctx", F.collect_list(line).over(w))
+        .where(F.col(role_col) == response_role)
+        .select(
+            key, *order_extra,
+            F.array_join("__ctx", sep).alias("prompt"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("completion"),
+            F.size("__ctx").alias("n_context_turns"),
+        )
+    )
+    if not include_empty:
+        out = out.where(F.col("n_context_turns") > 0)
+    return out
