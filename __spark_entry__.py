@@ -1110,6 +1110,23 @@ def q_sft_examples(spark, sf_dir):
     return tr.sft_examples(t, max_context_turns=4)
 
 
+def q_curriculum(spark, sf_dir):
+    # curriculum data ordering (layout.curriculum_boundaries/_order):
+    # equal-frequency difficulty buckets over the quality score (exact
+    # integer histogram ranks — cum·B >= i·n, no float quantile) + the
+    # deterministic within-bucket hash shuffle. boundaries is a B−1-row
+    # train action at plan build (ivf_train convention); the oracle
+    # re-derives the SAME boundaries from the mirrored histogram.
+    from towhee_spark import layout  # noqa: PLC0415
+    from towhee_spark.functions.text import quality_score  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", quality_score("text").alias("q"))
+    bnd = layout.curriculum_boundaries(docs, "q", n_buckets=4)
+    out = layout.curriculum_order(docs, "q", bnd)
+    return out.select("doc_id", "bucket", "order_key")
+
+
 def q_hll_registers(spark, sf_dir):
     # HyperLogLog distinct-token sketch per lang (sketches.hll_build):
     # 64 registers (p=6) of max leading-zero rank over the cross-engine
@@ -1650,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_features": q_conv_features,
         "role_transitions": q_role_transitions,
         "sft_examples": q_sft_examples,
+        "curriculum": q_curriculum,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -2036,6 +2054,7 @@ def _oracle_sql() -> dict[str, str]:
         "domain_mixture": _domain_mixture_sql(MIXTURE_RATES),
         "hard_negatives": _hard_negatives_sql(lo=0.2, hi=0.9, k=3),
         "hll_registers": _hll_registers_sql(norm, p=6),
+        "curriculum": _curriculum_sql(n_buckets=4),
         "conv_features": f"""{_CTE},
             s AS ({sess_seq}),
             l AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -2874,6 +2893,35 @@ def _heavy_hitters_sql(norm: str, depth: int = 4, width: int = 256,
                     FROM pr LEFT JOIN cells USING (r, c)
                     GROUP BY pr.term)
             SELECT term, est FROM est WHERE est >= {threshold}"""
+
+
+def _curriculum_sql(n_buckets: int = 4, scale: int = 1_000_000,
+                    salt: str = "curr") -> str:
+    """Oracle for q_curriculum: re-derives the equal-frequency boundaries
+    from the mirrored quality histogram (the SAME integer rank rule
+    cum·B >= i·n — layout.curriculum_boundaries), then bucket = count of
+    boundaries reached and order_key = hash60(salt||doc_id)."""
+    b = n_buckets
+    return f"""
+            WITH d AS (SELECT doc_id,
+                              CAST(ROUND(qscore * {scale}, 0) AS BIGINT) AS s
+                       FROM ({_quality_sql()})),
+            hist AS (SELECT s, COUNT(*) AS c FROM d
+                     WHERE s IS NOT NULL GROUP BY s),
+            cum AS (SELECT s, SUM(c) OVER (ORDER BY s) AS cum,
+                           SUM(c) OVER () AS n
+                    FROM hist),
+            bnd AS (SELECT i, MIN(s) AS t
+                    FROM (SELECT unnest(range(1, {b})) AS i) ii
+                    CROSS JOIN cum
+                    WHERE cum * {b} >= i * n
+                    GROUP BY i)
+            SELECT d.doc_id,
+                   CAST(SUM(CASE WHEN d.s >= bnd.t THEN 1 ELSE 0 END) AS INT)
+                       AS bucket,
+                   {_hash60_sql('d.doc_id', salt)} AS order_key
+            FROM d CROSS JOIN bnd
+            GROUP BY d.doc_id, d.s"""
 
 
 def _hll_registers_sql(norm: str, p: int = 6, salt: str = "hll") -> str:

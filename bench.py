@@ -251,6 +251,9 @@ def main() -> None:
         "conv_features",
         "role_transitions",
         "sft_examples",
+        # curriculum's B−1-row boundary action runs once at plan build
+        # (the ivf_topk train-at-build treatment); the row times the scan
+        "curriculum",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

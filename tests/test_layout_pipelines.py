@@ -304,3 +304,46 @@ def test_shard_by_hash_layout(spark):
         shard_by_hash(out, n_shards=4)
     with pytest.raises(ValueError, match="n_shards"):
         shard_by_hash(df, n_shards=0)
+
+
+# --------------------------------------------------------------------------
+# curriculum ordering (curriculum_boundaries / curriculum_order)
+
+
+def test_curriculum_equal_frequency_and_determinism(spark):
+    from towhee_spark import layout
+
+    df = spark.createDataFrame(
+        [(i, (i * 37 % 1000) / 1000.0) for i in range(4000)],
+        "doc_id long, q double")
+    bnd = layout.curriculum_boundaries(df, "q", n_buckets=4)
+    assert bnd == sorted(bnd) and len(bnd) == 3
+    out = layout.curriculum_order(df, "q", bnd)
+    sizes = {r.bucket: r.n for r in
+             out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    for b, n in sizes.items():
+        assert abs(n - 1000) <= 40, (b, sizes)   # score ties drift slightly
+    # bucket is monotone in score; order_key is a pure hash (re-run equal)
+    rows = out.orderBy("q").collect()
+    assert all(a.bucket <= b.bucket for a, b in zip(rows, rows[1:]))
+    again = layout.curriculum_order(df, "q", bnd).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_curriculum_guards_and_nulls(spark):
+    from towhee_spark import layout
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, None), (3, 0.9)], "doc_id long, q double")
+    out = {r.doc_id: r for r in
+           layout.curriculum_order(df, "q", [500000]).collect()}
+    assert out[2].bucket is None            # NULL score → NULL bucket, loud
+    assert out[1].bucket == 0 and out[3].bucket == 1
+    with pytest.raises(ValueError, match="ascending"):
+        layout.curriculum_order(df, "q", [3, 1])
+    with pytest.raises(ValueError, match="already has column"):
+        layout.curriculum_order(
+            df.withColumn("bucket", F.lit(1)), "q", [1])
+    with pytest.raises(ValueError, match="n_buckets"):
+        layout.curriculum_boundaries(df, "q", n_buckets=1)

@@ -227,3 +227,95 @@ def shard_by_hash(
         .withColumn("shard_pos", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def curriculum_boundaries(
+    df: DataFrame,
+    score_col,
+    n_buckets: int,
+    scale: int = 1_000_000,
+) -> list[int]:
+    """Equal-frequency curriculum bucket boundaries — a train-step ACTION
+    (the kmeans/mixture_rates convention: one tiny collect, then the
+    values ride the plan as literals). Returns ``n_buckets − 1`` ascending
+    FROZEN thresholds t_i = the smallest ROUND(score·scale) int64 whose
+    ascending cumulative count reaches ⌈i·n/B⌉ — exact integer arithmetic
+    end to end, so an engine mirroring the histogram derives the identical
+    boundaries (no float quantile anywhere).
+
+    Scale story (the top_quantile_by argument): the histogram is one
+    map-side-combined hash aggregate over frozen scores (cells = distinct
+    scores, thousands not corpus-sized); the cumulative window runs over
+    that tiny frame; the collect is B−1 rows. Never a percentile/ntile
+    window over the data. NULL scores are excluded from the histogram and
+    from n."""
+    if n_buckets < 2:
+        raise ValueError("curriculum_boundaries: n_buckets must be >= 2")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    si = F.round(sc * F.lit(float(scale)), 0).cast("long")
+    hist = (
+        df.select(si.alias("__s")).where(F.col("__s").isNotNull())
+        .groupBy("__s").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (Window.orderBy("__s")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist.withColumn("__cum", F.sum("__c").over(w_cum))
+           .withColumn("__n", F.sum("__c").over(Window.partitionBy())))
+    b = n_buckets
+    idx = cum.sparkSession.range(1, b).select(F.col("id").alias("__i"))
+    rows = (  # B-1-row action: boundary per rank ⌈i·n/B⌉ (kmeans convention)
+        # cum >= ceil(i·n/B)  ⟺  cum·B >= i·n — integer-only, no division
+        cum.crossJoin(F.broadcast(idx))
+        .where(F.col("__cum") * b >= F.col("__i") * F.col("__n"))
+        .groupBy("__i").agg(F.min("__s").alias("__t"))
+        .orderBy("__i").collect()
+    )
+    return [r["__t"] for r in rows]
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col,
+    boundaries: list[int],
+    scale: int = 1_000_000,
+    id_col: str = "doc_id",
+    salt: str = "curr",
+    bucket_col: str = "bucket",
+    order_col: str = "order_key",
+) -> DataFrame:
+    """Curriculum data ordering: every row gets (``bucket_col`` = how
+    many frozen ``boundaries`` its ROUND(score·scale) reaches — ascending
+    difficulty 0..len(boundaries), ``order_col`` = hash60(salt||id) — the
+    deterministic within-bucket shuffle). Feed a trainer in (bucket,
+    order_key) order for easy→hard curriculum; change ``salt`` for an
+    independent epoch order (the shard_by_hash trick); pass
+    ``boundaries`` from :func:`curriculum_boundaries` for equal-frequency
+    buckets or hand-pick them for fixed difficulty cuts.
+
+    Pure scan math: the boundary compares are literal CASE sums and the
+    order key is one hash projection — zero shuffle, zero Python, and a
+    pure function of (score, salt, id) so retries/AQE re-plans/engine
+    swaps reproduce the order exactly (the anti-``rand()`` posture). A
+    NULL score yields a NULL bucket (loud downstream) rather than
+    silently landing in bucket 0. Within-bucket hash order intentionally
+    decorrelates difficulty from source order; compose with shard_by_hash
+    per bucket to cut files."""
+    from towhee_spark.functions.curation import hash60  # noqa: PLC0415
+
+    if list(boundaries) != sorted(boundaries):
+        raise ValueError("curriculum_order: boundaries must be ascending")
+    for c in (bucket_col, order_col):
+        if c in df.columns:
+            raise ValueError(
+                f"curriculum_order: input already has column {c!r}")
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    si = F.round(sc * F.lit(float(scale)), 0).cast("long")
+    bucket = sum(
+        [(si >= F.lit(int(t))).cast("int") for t in boundaries], F.lit(0))
+    return (
+        df.withColumn(bucket_col,
+                      F.when(si.isNotNull(), bucket).cast("int"))
+        .withColumn(order_col, hash60(id_col, salt))
+    )
