@@ -1127,6 +1127,17 @@ def q_curriculum(spark, sf_dir):
     return out.select("doc_id", "bucket", "order_key")
 
 
+def q_data_card(spark, sf_dir):
+    # per-lang data card (curation.data_card): doc/dup/token/char counts
+    # + one-division ROUND means — the reproducible dataset report. The
+    # oracle chains the proven quality/fingerprint/token-count mirrors
+    # into the same single aggregate.
+    from towhee_spark.functions import curation  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation.data_card(docs)
+
+
 def q_hll_registers(spark, sf_dir):
     # HyperLogLog distinct-token sketch per lang (sketches.hll_build):
     # 64 registers (p=6) of max leading-zero rank over the cross-engine
@@ -1668,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "sft_examples": q_sft_examples,
         "curriculum": q_curriculum,
+        "data_card": q_data_card,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -2055,6 +2067,7 @@ def _oracle_sql() -> dict[str, str]:
         "hard_negatives": _hard_negatives_sql(lo=0.2, hi=0.9, k=3),
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
+        "data_card": _data_card_sql(),
         "conv_features": f"""{_CTE},
             s AS ({sess_seq}),
             l AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -2893,6 +2906,33 @@ def _heavy_hitters_sql(norm: str, depth: int = 4, width: int = 256,
                     FROM pr LEFT JOIN cells USING (r, c)
                     GROUP BY pr.term)
             SELECT term, est FROM est WHERE est >= {threshold}"""
+
+
+def _data_card_sql(scale: int = 1_000_000) -> str:
+    """Oracle for q_data_card: the same one-aggregate card from the
+    proven quality / fingerprint / token-count mirrors. Means divide the
+    exact integer sums once and ROUND 6 (curation.data_card). SUM(int)
+    → HUGEINT in DuckDB — cast back to BIGINT."""
+    tok_cnt = ("CASE WHEN trim(coalesce(text,'')) = '' THEN 0 ELSE "
+               "len(string_split_regex(trim(text), '\\s+')) END")
+    norm = "trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))"
+    return f"""
+            WITH d AS (SELECT lang AS strata,
+                              {tok_cnt} AS tc,
+                              length(coalesce(text, '')) AS ch,
+                              md5({norm}) AS fp,
+                              CAST(ROUND(qscore * {scale}, 0) AS BIGINT) AS qi
+                       FROM documents JOIN ({_quality_sql()}) USING (doc_id))
+            SELECT strata,
+                   COUNT(*) AS n_docs,
+                   COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+                   CAST(SUM(tc) AS BIGINT) AS n_tokens,
+                   CAST(SUM(ch) AS BIGINT) AS total_chars,
+                   ROUND(CAST(SUM(tc) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+                   ROUND(CAST(SUM(qi) AS DOUBLE)
+                         / (COUNT(*) * CAST({scale} AS DOUBLE)), 6)
+                       AS avg_quality
+            FROM d GROUP BY strata"""
 
 
 def _curriculum_sql(n_buckets: int = 4, scale: int = 1_000_000,

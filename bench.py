@@ -254,6 +254,7 @@ def main() -> None:
         # curriculum's B−1-row boundary action runs once at plan build
         # (the ivf_topk train-at-build treatment); the row times the scan
         "curriculum",
+        "data_card",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

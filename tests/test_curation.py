@@ -557,3 +557,25 @@ def test_hll_merge_equals_union_build(spark):
     assert abs(est - 3000) / 3000 < 3 * 1.04 / (1 << p) ** 0.5
     with pytest.raises(ValueError, match="at least one"):
         sketches.hll_merge([])
+
+
+def test_data_card_hand_computed(spark):
+    """Counts, exact-dup detection and one-division means on a tiny
+    corpus with a known duplicate and an empty doc."""
+    df = spark.createDataFrame(
+        [(1, "en", "the cat sat"), (2, "en", "THE  cat   sat"),  # dup of 1
+         (3, "en", ""), (4, "de", "hallo welt")],
+        "doc_id long, lang string, text string")
+    card = {r.strata: r for r in curation.data_card(df).collect()}
+    en = card["en"]
+    assert (en.n_docs, en.n_dup_docs) == (3, 1)   # normalize → same print
+    assert en.n_tokens == 6 and en.total_chars == 11 + 14 + 0
+    assert en.avg_tokens == 2.0
+    de = card["de"]
+    assert (de.n_docs, de.n_dup_docs, de.n_tokens) == (1, 0, 2)
+    assert 0.0 <= en.avg_quality <= 1.0
+    # single hash aggregate — no joins, no windows, no Python in the plan
+    plan = curation.data_card(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert "pythonUDF" not in plan

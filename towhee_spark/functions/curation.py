@@ -736,3 +736,59 @@ def mixture_rates(
             rate = min(rate, max_rate)
         out[s] = round(rate, round_to)
     return out
+
+
+# --------------------------------------------------------------------------
+# Per-stratum data card
+
+
+def data_card(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality: Column | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum corpus report — the "data card" table that rides along
+    a published dataset: (strata, n_docs, n_dup_docs, n_tokens,
+    total_chars, avg_tokens, avg_quality). One hash aggregate over the
+    corpus; every number is exact-integer or a single ROUND(int_sum/n, 6)
+    IEEE division (the conv_features posture), so the card is
+    reproducible bit for bit across engines and re-runs.
+
+    n_dup_docs counts EXACT duplicates (rows beyond the first per
+    text.fingerprint) via n − countDistinct(fingerprint) inside the same
+    aggregate — no self-join, no second pass. ``quality`` defaults to
+    text.quality_score; pass any pre-rounded [0,1] column to card a
+    custom scorer. For near-dup rates / distinct-vocabulary columns at
+    100 TB, join this card with dedup_groups output and
+    sketches.hll_estimate respectively — both are separate passes by
+    design (the card itself must stay one cheap aggregate)."""
+    from towhee_spark.functions.text import (  # noqa: PLC0415
+        fingerprint, quality_score, token_count)
+
+    q = quality if quality is not None else quality_score(text_col)
+    qi = F.round(q * F.lit(float(scale)), 0).cast("long")
+    n = F.count(F.lit(1))
+    toks = F.sum(token_count(text_col)).cast("long")
+    return (
+        df.select(
+            F.col(strata_col).alias("strata"),
+            F.col(id_col),
+            token_count(text_col).alias("__tc"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__ch"),
+            fingerprint(text_col).alias("__fp"),
+            qi.alias("__qi"),
+        )
+        .groupBy("strata")
+        .agg(
+            n.alias("n_docs"),
+            (n - F.countDistinct("__fp")).alias("n_dup_docs"),
+            F.sum("__tc").cast("long").alias("n_tokens"),
+            F.sum("__ch").cast("long").alias("total_chars"),
+            F.round(F.sum("__tc").cast("double") / n, 6).alias("avg_tokens"),
+            F.round(F.sum("__qi").cast("double")
+                    / (n * F.lit(float(scale))), 6).alias("avg_quality"),
+        )
+    )
