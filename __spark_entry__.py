@@ -1670,8 +1670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_ids": q_chunk_ids,
         "packed_shards": q_packed_shards,
         "packed_spans": q_packed_spans,
-        # --- past the 50-entry driver window: replica-verified this round,
-        # --- rotate into driver coverage in r06 ---
+        # --- past the 50-entry driver window: replica-verified this round
+        # --- (see CORRECTNESS replica runs), rotate into driver coverage
+        # --- in r06 (9 keys: domain_mixture .. data_card) ---
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
         "hll_registers": q_hll_registers,
