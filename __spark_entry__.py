@@ -1138,6 +1138,85 @@ def q_data_card(spark, sf_dir):
     return curation.data_card(docs)
 
 
+def q_preference_pairs(spark, sf_dir):
+    # DPO pair construction (transcripts.preference_pairs): assistant
+    # turns answering an identical user prompt anywhere in the corpus are
+    # ranked by an exact-integer score (text length), best-vs-worst with
+    # a strict margin. Two reversed row_number windows share the prompt
+    # exchange with the final MAX(CASE WHEN rn=1) argmax aggregate.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("sc", F.length("text").cast("int"))
+    return tr.preference_pairs(t, "sc")
+
+
+def q_truncate_context(spark, sf_dir):
+    # context-window fitting (transcripts.truncate_context): longest
+    # turn suffix whose whitespace-token total fits the budget — one
+    # reverse running-sum window per conversation, integer-only.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    out = tr.truncate_context(t, budget=32)
+    return out.select("conv_id", "turn_idx", "n_tokens",
+                      "cum_from_end", "kept")
+
+
+def q_tool_chains(spark, sf_dir):
+    # tool-loop islands (transcripts.tool_chains): maximal consecutive
+    # tool-turn runs via rn − rn_tool gaps-and-islands; first/last tool
+    # by the MAX(CASE WHEN rank=1) argmax convention.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.tool_chains(t)
+
+
+def q_canned_responses(spark, sf_dir):
+    # boilerplate inventory (transcripts.canned_responses): normalized
+    # assistant texts recurring in ≥2 distinct conversations — one hash
+    # aggregate with countDistinct, output bounded by the canned set.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.canned_responses(t, min_keys=2)
+
+
+def q_self_repetition(spark, sf_dir):
+    # degenerate-loop profile (transcripts.self_repetition): per-conv
+    # repeated-turn counts from two stacked hash aggregates (no window,
+    # no sort); ratio is ROUND(exact_int/exact_int, 6), one division.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.self_repetition(t)
+
+
+def q_conv_dedup(spark, sf_dir):
+    # exact conversation dedup (transcripts.conv_dedup_exact): order-
+    # sensitive md5 fingerprint of the (role: normalized-text) turn
+    # sequence, lowest-conv representative per group. The fp strings
+    # themselves are the gated payload — the oracle rebuilds the exact
+    # same byte string (string_agg ORDER BY ts, turn_idx, line) and md5.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.conv_dedup_exact(t)
+
+
+def q_conv_neardup(spark, sf_dir):
+    # near-duplicate conversations (transcripts.conv_neardup_pairs):
+    # Jaccard over each conversation's SET of distinct normalized turn
+    # texts, exact inverted-index path (the LSH tier is pytest-gated
+    # equal to this set and benched separately). Threshold 0.14 sits
+    # just under the sf0.01 corpus maximum (0.19) so real pairs flow.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.conv_neardup_pairs(t, threshold=0.14, method="exact")
+
+
 def q_hll_registers(spark, sf_dir):
     # HyperLogLog distinct-token sketch per lang (sketches.hll_build):
     # 64 registers (p=6) of max leading-zero rank over the cross-engine
@@ -1672,7 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_spans": q_packed_spans,
         # --- past the 50-entry driver window: replica-verified this round
         # --- (see CORRECTNESS replica runs), rotate into driver coverage
-        # --- in r06 (9 keys: domain_mixture .. data_card) ---
+        # --- in r06 (16 keys: domain_mixture .. conv_neardup) ---
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
         "hll_registers": q_hll_registers,
@@ -1681,6 +1760,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_examples": q_sft_examples,
         "curriculum": q_curriculum,
         "data_card": q_data_card,
+        "preference_pairs": q_preference_pairs,
+        "truncate_context": q_truncate_context,
+        "tool_chains": q_tool_chains,
+        "canned_responses": q_canned_responses,
+        "self_repetition": q_self_repetition,
+        "conv_dedup": q_conv_dedup,
+        "conv_neardup": q_conv_neardup,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -2118,6 +2204,124 @@ def _oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
                   FROM transcripts)
             WHERE role = 'assistant' AND len(ctx) > 0""",
+        "preference_pairs": f"""{_CTE},
+            cand AS (
+                SELECT conv_id, turn_idx, text,
+                       CAST(length(text) AS INT) AS sc, role,
+                       lag(role) OVER w AS prev_role,
+                       lag(text) OVER w AS prompt
+                FROM transcripts
+                WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY sc DESC, conv_id ASC, turn_idx ASC) AS rd,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY sc ASC, conv_id DESC, turn_idx DESC) AS ra
+                FROM cand
+                WHERE role = 'assistant' AND prev_role = 'user'
+                  AND prompt IS NOT NULL
+            )
+            SELECT prompt,
+                   MAX(CASE WHEN rd = 1 THEN COALESCE(text, '') END) AS chosen,
+                   MAX(CASE WHEN rd = 1 THEN sc END) AS chosen_score,
+                   MAX(CASE WHEN rd = 1 THEN conv_id END) AS chosen_conv_id,
+                   MAX(CASE WHEN rd = 1 THEN turn_idx END) AS chosen_turn_idx,
+                   MAX(CASE WHEN ra = 1 THEN COALESCE(text, '') END) AS rejected,
+                   MAX(CASE WHEN ra = 1 THEN sc END) AS rejected_score,
+                   MAX(CASE WHEN ra = 1 THEN conv_id END) AS rejected_conv_id,
+                   MAX(CASE WHEN ra = 1 THEN turn_idx END) AS rejected_turn_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates
+            FROM r GROUP BY prompt
+            HAVING MAX(CASE WHEN rd = 1 THEN sc END)
+                 > MAX(CASE WHEN ra = 1 THEN sc END)""",
+        "truncate_context": f"""{_CTE}
+            SELECT conv_id, turn_idx, n_tokens,
+                   cum_from_end, cum_from_end <= 32 AS kept
+            FROM (
+                SELECT conv_id, turn_idx, CAST(tc AS INT) AS n_tokens,
+                       CAST(SUM(tc) OVER (PARTITION BY conv_id
+                            ORDER BY ts DESC, turn_idx DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS cum_from_end
+                FROM (SELECT *, CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+'))
+                                END AS tc
+                      FROM transcripts)
+            )""",
+        "tool_chains": f"""{_CTE},
+            rn AS (SELECT *, row_number() OVER (PARTITION BY conv_id
+                       ORDER BY ts, turn_idx) AS rn FROM transcripts),
+            tl AS (SELECT *, rn - row_number() OVER (PARTITION BY conv_id
+                       ORDER BY rn) AS island
+                   FROM rn WHERE role = 'tool'),
+            rk AS (SELECT *,
+                       row_number() OVER (PARTITION BY conv_id, island
+                           ORDER BY rn) AS rk,
+                       row_number() OVER (PARTITION BY conv_id, island
+                           ORDER BY rn DESC) AS rkd
+                   FROM tl)
+            SELECT conv_id,
+                   MIN(turn_idx) AS first_turn_idx,
+                   MAX(turn_idx) AS last_turn_idx,
+                   CAST(COUNT(*) AS BIGINT) AS chain_len,
+                   CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
+                   MAX(CASE WHEN rk = 1 THEN tool END) AS first_tool,
+                   MAX(CASE WHEN rkd = 1 THEN tool END) AS last_tool
+            FROM rk GROUP BY conv_id, island""",
+        "canned_responses": f"""{_CTE}
+            SELECT trim(regexp_replace(lower(coalesce(text,'')),
+                                       '\\s+', ' ', 'g')) AS response,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(COUNT(*) AS BIGINT) AS n_uses
+            FROM transcripts WHERE role = 'assistant'
+            GROUP BY 1 HAVING COUNT(DISTINCT conv_id) >= 2""",
+        "self_repetition": f"""{_CTE},
+            pt AS (SELECT conv_id,
+                          trim(regexp_replace(lower(coalesce(text,'')),
+                                              '\\s+', ' ', 'g')) AS t,
+                          COUNT(*) AS n
+                   FROM transcripts GROUP BY 1, 2)
+            SELECT conv_id,
+                   CAST(SUM(n) AS BIGINT) AS n_turns,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+                   CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_repeats,
+                   ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 6)
+                       AS repeat_ratio
+            FROM pt GROUP BY conv_id""",
+        "conv_dedup": f"""{_CTE},
+            fps AS (
+                SELECT conv_id,
+                       md5(string_agg(line, chr(31)
+                           ORDER BY ts, turn_idx, line)) AS fp
+                FROM (SELECT conv_id, ts, turn_idx,
+                             role || ': ' ||
+                             trim(regexp_replace(lower(coalesce(text,'')),
+                                                 '\\s+', ' ', 'g')) AS line
+                      FROM transcripts)
+                GROUP BY conv_id
+            )
+            SELECT MIN(conv_id) AS conv_id, fp,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count
+            FROM fps GROUP BY fp""",
+        "conv_neardup": f"""{_CTE},
+            sh AS (SELECT DISTINCT conv_id AS id,
+                          trim(regexp_replace(lower(coalesce(text,'')),
+                                              '\\s+', ' ', 'g')) AS shingle
+                   FROM transcripts),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON id_a = sa.id
+                       JOIN sizes sb ON id_b = sb.id
+            WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6)
+                  >= CAST(0.14 AS DOUBLE)""",
         "flagship": f"""{_CTE},
             asof_j AS (
                 SELECT t.*, c.ctx_score

@@ -255,6 +255,13 @@ def main() -> None:
         # (the ivf_topk train-at-build treatment); the row times the scan
         "curriculum",
         "data_card",
+        "preference_pairs",
+        "truncate_context",
+        "tool_chains",
+        "canned_responses",
+        "self_repetition",
+        "conv_dedup",
+        "conv_neardup",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 
@@ -305,6 +312,14 @@ def main() -> None:
     # dedup._simhash_candidates for the per-corpus segment-width rule
     timed_df("prod_simhash_xxhash64", lambda: _dedup.simhash_jaccard_pairs(
         docs, threshold=0.5, hash="xxhash64"))
+    # conversation near-dup, LSH tier (gate pins the exact inverted-index
+    # path; 1-row bands because conversation Jaccard sits low — see
+    # transcripts.conv_neardup_pairs)
+    from towhee_spark.functions import transcripts as _tr
+    from towhee_spark.sources.tables import (
+        load_events as _lev, transcripts_from_events as _tfe)
+    timed_df("prod_conv_neardup_lsh", lambda: _tr.conv_neardup_pairs(
+        _tfe(_lev(spark, sf_dir)), threshold=0.14, method="lsh"))
     timed_df("prod_simhash_weighted_xxhash64", lambda: _dedup.simhash_sketch(
         docs, "doc_id", "text", ngram=3, hash="xxhash64", weight="count"
     ).select(F.col("id").alias("doc_id"), "simhash"))

@@ -111,3 +111,214 @@ def test_sft_examples_context_cap_and_empty(spark):
     assert kept[("d", 0)].prompt == "" and kept[("d", 0)].n_context_turns == 0
     with pytest.raises(ValueError, match="max_context_turns"):
         tr.sft_examples(df, max_context_turns=0)
+
+
+# --------------------------------------------------------------------------
+# round-5 curation ops: preference_pairs / truncate_context / tool_chains /
+# canned_responses / self_repetition
+
+
+@pytest.fixture(scope="module")
+def pref(spark):
+    rows = [
+        # three convs answer the same prompt with different-length texts
+        ("c1", 0, "user", "How do I X?", _ts(0)),
+        ("c1", 1, "assistant", "long detailed answer", _ts(1)),
+        ("c2", 0, "user", "How do I X?", _ts(2)),
+        ("c2", 1, "assistant", "short", _ts(3)),
+        ("c3", 0, "user", "How do I X?", _ts(4)),
+        ("c3", 1, "assistant", "mid answer", _ts(5)),
+        # singleton prompt group — no pair
+        ("c4", 0, "user", "unique q", _ts(6)),
+        ("c4", 1, "assistant", "resp", _ts(7)),
+        # tie group (equal scores) — zero margin, dropped
+        ("c5", 0, "user", "tie q", _ts(8)),
+        ("c5", 1, "assistant", "aaaa", _ts(9)),
+        ("c6", 0, "user", "tie q", _ts(10)),
+        ("c6", 1, "assistant", "bbbb", _ts(11)),
+        # assistant turn NOT preceded by user — never a candidate
+        ("c7", 0, "system", "sys", _ts(12)),
+        ("c7", 1, "assistant", "ignored", _ts(13)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+    return df.withColumn("sc", F.length("text").cast("int"))
+
+
+def test_preference_pairs_hand_computed(pref):
+    out = tr.preference_pairs(pref, "sc").collect()
+    assert len(out) == 1
+    p = out[0]
+    assert p.prompt == "How do I X?"
+    assert (p.chosen, p.chosen_score) == ("long detailed answer", 20)
+    assert (p.rejected, p.rejected_score) == ("short", 5)
+    assert (p.chosen_conv_id, p.chosen_turn_idx) == ("c1", 1)
+    assert (p.rejected_conv_id, p.rejected_turn_idx) == ("c2", 1)
+    assert p.n_candidates == 3
+
+
+def test_preference_pairs_requires_score_col(pref):
+    with pytest.raises(ValueError, match="score column"):
+        tr.preference_pairs(pref.drop("sc"), "sc")
+
+
+def test_truncate_context_hand_computed(conv):
+    out = {(r.conv_id, r.turn_idx): r
+           for r in tr.truncate_context(conv, budget=2).collect()}
+    # conv a: each turn is 1 whitespace token; suffix of 2 fits
+    assert [out[("a", i)].kept for i in range(4)] == [
+        False, False, True, True]
+    assert [out[("a", i)].cum_from_end for i in range(4)] == [4, 3, 2, 1]
+    assert out[("b", 0)].kept is True
+    kept = tr.truncate_context(conv, budget=2, keep_only=True)
+    assert kept.count() == 3  # a2, a3, b0
+
+
+def test_truncate_context_oversize_turn_drops_suffix(spark):
+    rows = [("x", 0, "one two", _ts(0)), ("x", 1, "a b c d e", _ts(1))]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp")
+    out = {r.turn_idx: r.kept
+           for r in tr.truncate_context(df, budget=4).collect()}
+    # newest turn alone exceeds the budget → nothing survives
+    assert out == {0: False, 1: False}
+    with pytest.raises(ValueError, match="budget"):
+        tr.truncate_context(df, budget=-1)
+
+
+def test_tool_chains_hand_computed(spark):
+    rows = [
+        ("t", 0, "user", None, _ts(0)),
+        ("t", 1, "tool", "search", _ts(1)),
+        ("t", 2, "tool", "fetch", _ts(2)),
+        ("t", 3, "assistant", None, _ts(3)),
+        ("t", 4, "tool", "search", _ts(4)),
+        ("u", 0, "user", None, _ts(5)),  # conv with no tools → no rows
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, "
+              "ts timestamp")
+    out = {(r.conv_id, r.first_turn_idx): r
+           for r in tr.tool_chains(df).collect()}
+    assert set(out) == {("t", 1), ("t", 4)}
+    c = out[("t", 1)]
+    assert (c.last_turn_idx, c.chain_len, c.n_tools) == (2, 2, 2)
+    assert (c.first_tool, c.last_tool) == ("search", "fetch")
+    d = out[("t", 4)]
+    assert (d.last_turn_idx, d.chain_len, d.n_tools) == (4, 1, 1)
+    assert (d.first_tool, d.last_tool) == ("search", "search")
+    with pytest.raises(ValueError, match="order_extra"):
+        tr.tool_chains(df, order_extra=())
+
+
+def test_canned_responses_hand_computed(spark):
+    rows = [
+        ("c1", "assistant", "Sorry,  I can't help."),
+        ("c2", "assistant", "sorry, i CAN'T help. "),
+        ("c2", "assistant", "sorry, i can't help."),   # same conv again
+        ("c3", "assistant", "unique reply"),
+        ("c4", "user", "Sorry,  I can't help."),       # wrong role
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, text string")
+    out = tr.canned_responses(df, min_keys=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.response == "sorry, i can't help."
+    assert (r.n_convs, r.n_uses) == (2, 3)
+
+
+def test_self_repetition_hand_computed(spark):
+    rows = [
+        ("c1", "assistant", "a"), ("c1", "assistant", "b"),
+        ("c1", "assistant", "a"), ("c1", "user", " A "),
+        ("c2", "user", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, text string")
+    out = {r.conv_id: r for r in tr.self_repetition(df).collect()}
+    c1 = out["c1"]
+    assert (c1.n_turns, c1.n_distinct_texts, c1.n_repeats) == (4, 2, 2)
+    assert c1.repeat_ratio == 0.5
+    assert (out["c2"].n_repeats, out["c2"].repeat_ratio) == (0, 0.0)
+    # role restriction drops the user turns
+    only = {r.conv_id: r for r in tr.self_repetition(
+        df, role_col="role", roles=["assistant"]).collect()}
+    assert (only["c1"].n_turns, only["c1"].n_repeats) == (3, 1)
+    assert "c2" not in only
+    with pytest.raises(ValueError, match="role_col"):
+        tr.self_repetition(df, roles=["assistant"])
+
+
+# --------------------------------------------------------------------------
+# conversation-granularity dedup: conv_fingerprint / conv_dedup_exact /
+# conv_neardup_pairs
+
+
+@pytest.fixture(scope="module")
+def convdup(spark):
+    rows = [
+        # d1 and d2: identical (role, text) sequences, different timestamps
+        ("d1", 0, "user", "Hi  there", _ts(0)),
+        ("d1", 1, "assistant", "hello", _ts(1)),
+        ("d2", 0, "user", "hi there", _ts(30)),
+        ("d2", 1, "assistant", "HELLO ", _ts(31)),
+        # d3: same turns as d1 but reordered → different fingerprint
+        ("d3", 0, "assistant", "hello", _ts(40)),
+        ("d3", 1, "user", "hi there", _ts(41)),
+        # d4: three turns, shares 'hello'+'hi there' with d1's set
+        ("d4", 0, "user", "hi there", _ts(50)),
+        ("d4", 1, "assistant", "hello", _ts(51)),
+        ("d4", 2, "user", "more stuff", _ts(52)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+
+
+def test_conv_fingerprint_order_sensitive_ts_invariant(convdup):
+    fp = {r.conv_id: r.fp for r in tr.conv_fingerprint(convdup).collect()}
+    assert fp["d1"] == fp["d2"]        # normalization + ts-invariance
+    assert fp["d1"] != fp["d3"]        # order matters
+    assert fp["d1"] != fp["d4"]
+
+
+def test_conv_dedup_exact_hand_computed(convdup):
+    out = {r.fp: r for r in tr.conv_dedup_exact(convdup).collect()}
+    assert len(out) == 3
+    by_count = sorted((r.dup_count, r.conv_id) for r in out.values())
+    assert by_count == [(1, "d3"), (1, "d4"), (2, "d1")]
+
+
+def test_conv_neardup_exact_hand_computed(convdup):
+    # turn SETS: d1=d2={hi there, hello}, d3 same set, d4 adds 'more stuff'
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in tr.conv_neardup_pairs(convdup, threshold=0.5).collect()}
+    # d1,d2,d3 all share the identical 2-element set (J=1.0);
+    # d4 vs each: 2/(2+3-2) = 2/3
+    assert out[("d1", "d2")] == 1.0
+    assert out[("d1", "d3")] == 1.0
+    assert out[("d2", "d3")] == 1.0
+    assert out[("d1", "d4")] == round(2 / 3, 6)
+    assert len(out) == 6
+    with pytest.raises(ValueError, match="method"):
+        tr.conv_neardup_pairs(convdup, method="bogus")
+
+
+def test_conv_neardup_freq_cap_drops_boilerplate(convdup):
+    # 'hello' and 'hi there' occur in 4 conversations each; cap at 3
+    # removes them from the index → no intersections survive
+    out = tr.conv_neardup_pairs(convdup, threshold=0.1, max_turn_freq=3)
+    assert out.count() == 0
+
+
+def test_conv_neardup_lsh_equals_exact(spark):
+    from towhee_spark import synth
+    from towhee_spark.sources.tables import transcripts_from_events
+
+    t = synth.transcripts_df(spark, n_convs=40)
+    exact = {(r.id_a, r.id_b, r.jaccard) for r in
+             tr.conv_neardup_pairs(t, threshold=0.05).collect()}
+    lsh = {(r.id_a, r.id_b, r.jaccard) for r in
+           tr.conv_neardup_pairs(t, threshold=0.05, method="lsh").collect()}
+    assert exact, "synthetic corpus must produce at least one pair"
+    assert lsh == exact

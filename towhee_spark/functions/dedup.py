@@ -197,6 +197,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     verify: str = "estimate",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate Jaccard near-dup pairs via MinHash + banded LSH:
     signature sliced into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -212,9 +213,14 @@ def minhash_lsh_pairs(
       is candidate-bounded, so LSH still does the O(n²) reduction.
 
     Never materializes O(n²): candidate generation is a groupBy on
-    (band, band_hash) buckets."""
+    (band, band_hash) buckets.
+
+    ``shingles_df`` substitutes a prebuilt (id, shingle) feature frame for
+    the word-n-gram shingling — any set representation dedups through the
+    same machinery (transcripts.conv_neardup_pairs passes distinct turn
+    texts per conversation)."""
     rows_per_band = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None else shingles(df, id_col, text_col, n)
     if verify == "exact":
         sh = sh.cache()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles_df=sh).cache()

@@ -166,3 +166,366 @@ def sft_examples(
     if not include_empty:
         out = out.where(F.col("n_context_turns") > 0)
     return out
+
+
+def preference_pairs(
+    df: DataFrame,
+    score_col: str,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Build preference (DPO/RLHF) pairs from transcripts: every
+    ``response_role`` turn whose immediate predecessor is a
+    ``prompt_role`` turn is a candidate response to that prompt text;
+    for each prompt seen with ≥2 candidates ANYWHERE in the corpus, the
+    highest-``score_col`` candidate becomes ``chosen`` and the lowest
+    becomes ``rejected`` (the best-vs-worst pairing every preference
+    pipeline starts from). Pairs with zero score margin are dropped —
+    DPO needs a strict preference.
+
+    Ranking is two row_number windows over the SAME prompt partition
+    with exactly reversed total orders (score, key, *order_extra), so
+    chosen/rejected are deterministic under ties and chosen ≠ rejected
+    whenever the group has ≥2 rows. Output: (prompt, chosen, rejected,
+    chosen_score, rejected_score, n_candidates, chosen_<key>,
+    chosen_<order_extra[0]>, rejected_<key>, rejected_<order_extra[0]>).
+
+    Plan: one lag window on the conv partitioning, one exchange on
+    prompt shared by both row_number windows AND the final hash
+    aggregate (argmax via MAX(CASE WHEN rn=1 ...)), so the whole pairing
+    costs two exchanges total. Prompt groups are corpus-wide but bounded
+    by prompt-text cardinality; a viral mega-prompt only serializes its
+    own group's sort."""
+    if score_col not in df.columns:
+        raise ValueError(f"preference_pairs: score column {score_col!r} "
+                         "must exist on the input frame")
+    wlag = Window.partitionBy(key).orderBy(ts, *order_extra)
+    cand = (
+        df.select(
+            key, *order_extra, F.col(text_col).alias("__text"),
+            F.col(score_col).alias("__sc"),
+            F.col(role_col).alias("__role"),
+            F.lag(role_col).over(wlag).alias("__prev_role"),
+            F.lag(text_col).over(wlag).alias("prompt"),
+        )
+        .where((F.col("__role") == response_role)
+               & (F.col("__prev_role") == prompt_role)
+               & F.col("prompt").isNotNull())
+    )
+    wp = Window.partitionBy("prompt")
+    fwd = [F.col("__sc").desc(), F.col(key).asc(),
+           *[F.col(c).asc() for c in order_extra]]
+    rev = [F.col("__sc").asc(), F.col(key).desc(),
+           *[F.col(c).desc() for c in order_extra]]
+    r = cand.select(
+        "prompt", "__text", "__sc", key, *order_extra,
+        F.row_number().over(wp.orderBy(*fwd)).alias("__rd"),
+        F.row_number().over(wp.orderBy(*rev)).alias("__ra"),
+    )
+
+    def pick(rn: str, out_prefix: str):
+        flag = F.col(rn) == 1
+        cols = [
+            F.max(F.when(flag, F.coalesce(F.col("__text"), F.lit(""))))
+            .alias("chosen" if out_prefix == "chosen" else "rejected"),
+            F.max(F.when(flag, F.col("__sc"))).alias(f"{out_prefix}_score"),
+            F.max(F.when(flag, F.col(key))).alias(f"{out_prefix}_{key}"),
+        ]
+        if order_extra:
+            cols.append(F.max(F.when(flag, F.col(order_extra[0])))
+                        .alias(f"{out_prefix}_{order_extra[0]}"))
+        return cols
+
+    g = r.groupBy("prompt").agg(
+        *pick("__rd", "chosen"), *pick("__ra", "rejected"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return g.where(F.col("chosen_score") > F.col("rejected_score"))
+
+
+def truncate_context(
+    df: DataFrame,
+    budget: int,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    text_col: str = "text",
+    count_col: str | None = None,
+    keep_only: bool = False,
+) -> DataFrame:
+    """Context-window fitting: mark, per conversation, the longest
+    SUFFIX of turns whose total token count fits ``budget`` — the
+    standard chat truncation rule (drop the oldest turns first). Adds
+    (n_tokens, cum_from_end, kept); ``keep_only=True`` returns just the
+    surviving turns. Counts come from ``count_col`` when given (e.g. a
+    precomputed model-token count from functions.tokenize), else the
+    whitespace token_count of ``text_col``.
+
+    One reverse-ordered running-sum window per conversation (ROWS
+    UNBOUNDED PRECEDING over (ts DESC, *order_extra DESC)) — a single
+    exchange on the conv key, integer arithmetic only. A turn larger
+    than the whole budget drops itself and everything older."""
+    if budget < 0:
+        raise ValueError("truncate_context: budget must be >= 0")
+    from towhee_spark.functions.text import token_count  # noqa: PLC0415
+
+    cnt = (F.col(count_col) if count_col
+           else token_count(text_col)).cast("int")
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).desc(), *[F.col(c).desc() for c in order_extra])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (df.withColumn("n_tokens", cnt)
+             .withColumn("cum_from_end",
+                         F.sum("n_tokens").over(w).cast("long"))
+             .withColumn("kept", F.col("cum_from_end") <= F.lit(int(budget))))
+    return out.where(F.col("kept")) if keep_only else out
+
+
+def tool_chains(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    tool_col: str = "tool",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Tool-loop detection: maximal runs of consecutive ``tool_role``
+    turns (gaps-and-islands on the global turn order — island id =
+    overall row_number − tool-only row_number). One row per chain:
+    (key, first_<o>, last_<o>, chain_len, n_tools, first_tool,
+    last_tool) where <o> = order_extra[0] — the agent-loop density
+    signal (long tool chains flag runaway agents; n_tools counts
+    distinct tools in the run).
+
+    Three row_number windows share the conv partitioning (one
+    exchange), then one hash aggregate on (key, island) — first/last
+    tool are argmin/argmax via MAX(CASE WHEN rank=1), the
+    dedup_best one-aggregate convention."""
+    if not order_extra:
+        raise ValueError("tool_chains: order_extra must name at least one "
+                         "column (the chain id is first_<order_extra[0]>)")
+    o = order_extra[0]
+    w = Window.partitionBy(key).orderBy(ts, *order_extra)
+    rn = df.withColumn("__rn", F.row_number().over(w))
+    tools = rn.where(F.col(role_col) == tool_role)
+    wt = Window.partitionBy(key).orderBy("__rn")
+    tools = tools.withColumn("__island",
+                             F.col("__rn") - F.row_number().over(wt))
+    wc = Window.partitionBy(key, "__island")
+    tools = tools.select(
+        key, "__island", F.col(o), F.col(tool_col).alias("__tool"),
+        F.row_number().over(wc.orderBy("__rn")).alias("__rk"),
+        F.row_number().over(wc.orderBy(F.col("__rn").desc())).alias("__rkd"),
+    )
+    return (
+        tools.groupBy(key, "__island")
+        .agg(
+            F.min(o).alias(f"first_{o}"),
+            F.max(o).alias(f"last_{o}"),
+            F.count(F.lit(1)).alias("chain_len"),
+            F.countDistinct("__tool").alias("n_tools"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__tool")))
+            .alias("first_tool"),
+            F.max(F.when(F.col("__rkd") == 1, F.col("__tool")))
+            .alias("last_tool"),
+        )
+        .drop("__island")
+    )
+
+
+def canned_responses(
+    df: DataFrame,
+    min_keys: int = 2,
+    key: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Boilerplate detection: normalized ``response_role`` texts that
+    recur across ≥ ``min_keys`` distinct conversations — the canned
+    /templated-response inventory a transcript-curation pass reweights
+    or drops (the turn-level cousin of dedup_exact's doc fingerprint).
+    Output: (response, n_convs, n_uses), normalized text as the key.
+
+    One hash aggregate over (normalized text) with countDistinct on the
+    conv key — map-side partial aggregation makes this a near-free scan
+    at 100 TB; output cardinality is bounded by the distinct canned-text
+    inventory, not the corpus."""
+    from towhee_spark.functions.text import normalize_text  # noqa: PLC0415
+
+    resp = df.where(F.col(role_col) == response_role)
+    return (
+        resp.groupBy(normalize_text(text_col).alias("response"))
+        .agg(F.countDistinct(key).alias("n_convs"),
+             F.count(F.lit(1)).alias("n_uses"))
+        .where(F.col("n_convs") >= min_keys)
+    )
+
+
+def self_repetition(
+    df: DataFrame,
+    key: str = "conv_id",
+    text_col: str = "text",
+    role_col: str | None = None,
+    roles: Sequence[str] | None = None,
+) -> DataFrame:
+    """Within-conversation repetition profile: per conversation, how
+    many turns repeat an identical (normalized) earlier turn — the
+    degenerate-loop signal (assistant stuck repeating itself, user
+    spamming retries). Output: (key, n_turns, n_distinct_texts,
+    n_repeats, repeat_ratio) with n_repeats = n_turns −
+    n_distinct_texts and ratio = ROUND(n_repeats / n_turns, 6) (one
+    IEEE division of exact integers, the conv_features posture).
+    ``roles`` restricts the profile to those roles.
+
+    No window at all: two stacked hash aggregates ((key, text) then
+    key), both with map-side combine — strictly cheaper than the
+    row_number formulation and order-free, so no sort anywhere."""
+    if roles is not None:
+        if role_col is None:
+            raise ValueError("self_repetition: roles given without role_col")
+        df = df.where(F.col(role_col).isin(list(roles)))
+    from towhee_spark.functions.text import normalize_text  # noqa: PLC0415
+
+    per_text = (df.groupBy(key, normalize_text(text_col).alias("__t"))
+                  .agg(F.count(F.lit(1)).alias("__n")))
+    n_turns = F.sum("__n").cast("long")
+    n_dist = F.count(F.lit(1)).cast("long")
+    return per_text.groupBy(key).agg(
+        n_turns.alias("n_turns"),
+        n_dist.alias("n_distinct_texts"),
+        (n_turns - n_dist).alias("n_repeats"),
+        F.round((n_turns - n_dist).cast("double") / n_turns, 6)
+        .alias("repeat_ratio"),
+    )
+
+
+def conv_fingerprint(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """(key, fp): order-sensitive md5 fingerprint of a whole conversation
+    — the turns rendered as ``role: normalized-text`` lines in the
+    deterministic (ts, *order_extra, line) order, joined on chr(31) and
+    hashed. Two conversations with identical turn sequences share a
+    fingerprint regardless of absolute timestamps (only ORDER enters);
+    any role flip, text edit, insertion, or reorder changes it. md5 of
+    the same byte string in both engines → exact oracle.
+
+    One hash aggregate: collect_list of (epoch_us, *order_extra, line)
+    structs, array_sort (struct field-order = the total order), project
+    the lines, join, md5 — no window, map-side partial aggregation. The
+    bounded-conversation argument from :func:`conv_features` applies."""
+    from towhee_spark.functions.text import normalize_text  # noqa: PLC0415
+
+    line = F.concat(F.col(role_col), F.lit(": "), normalize_text(text_col))
+    item = F.struct(
+        epoch_us(ts).alias("t"),
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_extra)],
+        line.alias("line"),
+    )
+    return (
+        df.groupBy(key)
+        .agg(F.array_sort(F.collect_list(item)).alias("__items"))
+        .select(
+            key,
+            F.md5(F.array_join(
+                F.transform("__items", lambda x: x.getField("line")),
+                "\x1f")).alias("fp"),
+        )
+    )
+
+
+def conv_dedup_exact(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact conversation dedup: group :func:`conv_fingerprint` values,
+    keep the lowest-``key`` representative — (key, fp, dup_count), the
+    conversation-granularity twin of dedup.dedup_exact (retranscribed
+    sessions, replayed API logs, and forked eval runs all produce
+    byte-identical conversations at corpus scale). Two stacked hash
+    aggregates, no window."""
+    fps = conv_fingerprint(df, key, ts, order_extra, role_col, text_col)
+    return (
+        fps.groupBy("fp")
+        .agg(F.min(key).alias(key), F.count(F.lit(1)).alias("dup_count"))
+        .select(key, "fp", "dup_count")
+    )
+
+
+def conv_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    method: str = "exact",
+    key: str = "conv_id",
+    text_col: str = "text",
+    max_turn_freq: int | None = None,
+    num_hashes: int = 64,
+    bands: int = 64,
+) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs (id_a < id_b, jaccard ≥
+    threshold) over the turn-set representation: each conversation is the
+    SET of its distinct normalized turn texts, so rephrased orderings,
+    dropped tool chatter, and partial replays still match — the
+    conversation-granularity tier of the dedup family.
+
+    * ``method="exact"`` — inverted-index self-join on shared turn texts
+      (the ngram_jaccard_pairs plan with turns as shingles).
+      ``max_turn_freq`` drops boilerplate turns occurring in more than
+      that many conversations — the same frequency cap that bounds the
+      O(freq²) bucket blow-up at corpus scale (canned_responses shows
+      what gets dropped). None keeps exact semantics (the oracle path).
+    * ``method="lsh"`` — MinHash bands over the same turn sets via
+      dedup.minhash_lsh_pairs(shingles_df=...), exact-verified, for
+      corpora where even the capped index join is too wide. Conversation
+      Jaccard sits low (sharing half your turns is already suspicious),
+      so default bands = num_hashes (1-row bands): P(candidate) =
+      1−(1−J)^bands, ≥0.999 at J=0.1 with 64 bands.
+
+    Both paths emit (id_a, id_b, jaccard) with the shared
+    dedup._jaccard_join rounding — comparable across tiers by
+    construction. Feed the pairs to dedup.dedup_groups for survivors."""
+    from towhee_spark.functions import dedup as _dd  # noqa: PLC0415
+    from towhee_spark.functions.text import normalize_text  # noqa: PLC0415
+
+    sh = df.select(
+        F.col(key).alias("id"),
+        normalize_text(text_col).alias("shingle"),
+    ).distinct()
+    if method == "lsh":
+        return _dd.minhash_lsh_pairs(
+            df, key, text_col, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, verify="exact", shingles_df=sh)
+    if method != "exact":
+        raise ValueError(f"conv_neardup_pairs: unknown method {method!r}")
+    sh_cached = sh.cache()
+    sh = sh_cached
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_turn_freq is not None:
+        ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+              .filter(F.col("f") <= max_turn_freq).select("shingle"))
+        sh = sh.join(ok, "shingle")
+    inter = (
+        sh.select("shingle", F.col("id").alias("id_a"))
+        .join(sh.select("shingle", F.col("id").alias("id_b")), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _dd._with_cached_deps(
+        _dd._jaccard_join(inter, sizes, threshold), sh_cached)
