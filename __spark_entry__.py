@@ -1193,6 +1193,38 @@ def q_self_repetition(spark, sf_dir):
     return tr.self_repetition(t)
 
 
+def q_sft_corpus(spark, sf_dir):
+    # the sft_curation preset end-to-end: exact conversation dedup →
+    # SFT explode (≤4 context turns) → canned-completion drop (recurs in
+    # ≥3 surviving convs) → ≥2-token completions →
+    # deterministic 80/10/10 split on example_id. Each stage is gated
+    # individually; this proves the COMPOSITION (curated_corpus twin).
+    from towhee_spark.pipelines import pipeline  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    curate = pipeline(
+        "sft_curation", max_context_turns=4, canned_min_convs=3,
+        min_completion_tokens=2,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return curate(t).select(
+        "conv_id", "turn_idx", "prompt", "completion",
+        "n_context_turns", "example_id", "split")
+
+
+def q_length_bias(spark, sf_dir):
+    # RLHF length-bias diagnostic (transcripts.preference_length_bias)
+    # over pairs ranked by a LENGTH-DECOUPLED score (cross-engine 60-bit
+    # hash mod 1000) so the fractions are non-trivial; one-row report of
+    # exact-int means and fractions, ROUND(·, 6) single divisions.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+    from towhee_spark.functions.curation import hash60  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("sc", (hash60(F.col("text")) % 1000).cast("int"))
+    pairs = tr.preference_pairs(t, "sc")
+    return tr.preference_length_bias(pairs)
+
+
 def q_conv_dedup(spark, sf_dir):
     # exact conversation dedup (transcripts.conv_dedup_exact): order-
     # sensitive md5 fingerprint of the (role: normalized-text) turn
@@ -1751,7 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_spans": q_packed_spans,
         # --- past the 50-entry driver window: replica-verified this round
         # --- (see CORRECTNESS replica runs), rotate into driver coverage
-        # --- in r06 (16 keys: domain_mixture .. conv_neardup) ---
+        # --- in r06 (18 keys: domain_mixture .. length_bias) ---
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
         "hll_registers": q_hll_registers,
@@ -1767,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_repetition": q_self_repetition,
         "conv_dedup": q_conv_dedup,
         "conv_neardup": q_conv_neardup,
+        "sft_corpus": q_sft_corpus,
+        "length_bias": q_length_bias,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -2193,49 +2227,25 @@ def _oracle_sql() -> dict[str, str]:
                   FROM transcripts)
             WHERE from_role IS NOT NULL
             GROUP BY from_role, to_role""",
-        "sft_examples": f"""{_CTE}
-            SELECT conv_id, turn_idx,
-                   array_to_string(ctx, chr(10)) AS prompt,
-                   COALESCE(text, '') AS completion,
-                   CAST(len(ctx) AS INT) AS n_context_turns
-            FROM (SELECT conv_id, turn_idx, role, text,
-                         list(role || ': ' || COALESCE(text, '')) OVER (
-                            PARTITION BY conv_id ORDER BY ts, turn_idx
-                            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
-                  FROM transcripts)
-            WHERE role = 'assistant' AND len(ctx) > 0""",
+        "sft_examples": f"{_CTE}\n{_sft_body_sql('transcripts', k=4)}",
         "preference_pairs": f"""{_CTE},
-            cand AS (
-                SELECT conv_id, turn_idx, text,
-                       CAST(length(text) AS INT) AS sc, role,
-                       lag(role) OVER w AS prev_role,
-                       lag(text) OVER w AS prompt
-                FROM transcripts
-                WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
-            ),
-            r AS (
-                SELECT *,
-                       row_number() OVER (PARTITION BY prompt
-                           ORDER BY sc DESC, conv_id ASC, turn_idx ASC) AS rd,
-                       row_number() OVER (PARTITION BY prompt
-                           ORDER BY sc ASC, conv_id DESC, turn_idx DESC) AS ra
-                FROM cand
-                WHERE role = 'assistant' AND prev_role = 'user'
-                  AND prompt IS NOT NULL
-            )
-            SELECT prompt,
-                   MAX(CASE WHEN rd = 1 THEN COALESCE(text, '') END) AS chosen,
-                   MAX(CASE WHEN rd = 1 THEN sc END) AS chosen_score,
-                   MAX(CASE WHEN rd = 1 THEN conv_id END) AS chosen_conv_id,
-                   MAX(CASE WHEN rd = 1 THEN turn_idx END) AS chosen_turn_idx,
-                   MAX(CASE WHEN ra = 1 THEN COALESCE(text, '') END) AS rejected,
-                   MAX(CASE WHEN ra = 1 THEN sc END) AS rejected_score,
-                   MAX(CASE WHEN ra = 1 THEN conv_id END) AS rejected_conv_id,
-                   MAX(CASE WHEN ra = 1 THEN turn_idx END) AS rejected_turn_idx,
-                   CAST(COUNT(*) AS BIGINT) AS n_candidates
-            FROM r GROUP BY prompt
-            HAVING MAX(CASE WHEN rd = 1 THEN sc END)
-                 > MAX(CASE WHEN ra = 1 THEN sc END)""",
+            {_pref_pairs_sql("CAST(length(text) AS INT)")}
+            SELECT * FROM pairs""",
+        "length_bias": f"""{_CTE},
+            {_pref_pairs_sql(
+                "CAST((" + _hash60_sql("text", "") + ") % 1000 AS INT)")}
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(CAST(SUM(length(chosen)) AS DOUBLE) / COUNT(*), 6)
+                       AS mean_chosen_len,
+                   ROUND(CAST(SUM(length(rejected)) AS DOUBLE) / COUNT(*), 6)
+                       AS mean_rejected_len,
+                   ROUND(CAST(SUM(CASE WHEN length(chosen) > length(rejected)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                       AS frac_chosen_longer,
+                   ROUND(CAST(SUM(CASE WHEN length(chosen) = length(rejected)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                       AS frac_equal_len
+            FROM pairs""",
         "truncate_context": f"""{_CTE}
             SELECT conv_id, turn_idx, n_tokens,
                    cum_from_end, cum_from_end <= 32 AS kept
@@ -2291,20 +2301,13 @@ def _oracle_sql() -> dict[str, str]:
                        AS repeat_ratio
             FROM pt GROUP BY conv_id""",
         "conv_dedup": f"""{_CTE},
-            fps AS (
-                SELECT conv_id,
-                       md5(string_agg(line, chr(31)
-                           ORDER BY ts, turn_idx, line)) AS fp
-                FROM (SELECT conv_id, ts, turn_idx,
-                             role || ': ' ||
-                             trim(regexp_replace(lower(coalesce(text,'')),
-                                                 '\\s+', ' ', 'g')) AS line
-                      FROM transcripts)
-                GROUP BY conv_id
-            )
+            {_conv_fps_sql()}
             SELECT MIN(conv_id) AS conv_id, fp,
                    CAST(COUNT(*) AS BIGINT) AS dup_count
             FROM fps GROUP BY fp""",
+        "sft_corpus": _sft_corpus_sql(
+            k=4, canned_min=3, min_tokens=2,
+            weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="sft"),
         "conv_neardup": f"""{_CTE},
             sh AS (SELECT DISTINCT conv_id AS id,
                           trim(regexp_replace(lower(coalesce(text,'')),
@@ -3318,6 +3321,123 @@ def _hash60_sql(col_sql: str, salt: str) -> str:
     identical to curation.hash60 term for term."""
     return (f"('0x' || substr(md5('{salt}' || CAST({col_sql} AS VARCHAR)),"
             f" 1, 15))::BIGINT")
+
+
+def _pref_pairs_sql(score_sql: str) -> str:
+    """Shared preference_pairs mirror (transcripts.preference_pairs):
+    candidate = assistant turn whose predecessor is a user turn, prompt =
+    that predecessor's text; chosen/rejected via two exactly-reversed
+    row_number orders over the prompt partition, argmax by MAX(CASE WHEN
+    rn=1). Always ends defining ``pairs`` — callers append their own
+    SELECT (the preference_pairs gate reads it verbatim; length_bias
+    aggregates it)."""
+    return f"""cand AS (
+                SELECT conv_id, turn_idx, text, {score_sql} AS sc, role,
+                       lag(role) OVER w AS prev_role,
+                       lag(text) OVER w AS prompt
+                FROM transcripts
+                WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY sc DESC, conv_id ASC, turn_idx ASC) AS rd,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY sc ASC, conv_id DESC, turn_idx DESC) AS ra
+                FROM cand
+                WHERE role = 'assistant' AND prev_role = 'user'
+                  AND prompt IS NOT NULL
+            ),
+            pairs AS (
+            SELECT prompt,
+                   MAX(CASE WHEN rd = 1 THEN COALESCE(text, '') END) AS chosen,
+                   MAX(CASE WHEN rd = 1 THEN sc END) AS chosen_score,
+                   MAX(CASE WHEN rd = 1 THEN conv_id END) AS chosen_conv_id,
+                   MAX(CASE WHEN rd = 1 THEN turn_idx END) AS chosen_turn_idx,
+                   MAX(CASE WHEN ra = 1 THEN COALESCE(text, '') END) AS rejected,
+                   MAX(CASE WHEN ra = 1 THEN sc END) AS rejected_score,
+                   MAX(CASE WHEN ra = 1 THEN conv_id END) AS rejected_conv_id,
+                   MAX(CASE WHEN ra = 1 THEN turn_idx END) AS rejected_turn_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates
+            FROM r GROUP BY prompt
+            HAVING MAX(CASE WHEN rd = 1 THEN sc END)
+                 > MAX(CASE WHEN ra = 1 THEN sc END))"""
+
+
+def _sft_body_sql(src: str, k: int) -> str:
+    """Shared sft_examples mirror body over source CTE ``src`` (the
+    _pack_body_sql convention — sft_examples and sft_corpus must stay in
+    lockstep): windowed list() in frame order, k-preceding context."""
+    return f"""
+            SELECT conv_id, turn_idx,
+                   array_to_string(ctx, chr(10)) AS prompt,
+                   COALESCE(text, '') AS completion,
+                   CAST(len(ctx) AS INT) AS n_context_turns
+            FROM (SELECT conv_id, turn_idx, role, text,
+                         list(role || ': ' || COALESCE(text, '')) OVER (
+                            PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING) AS ctx
+                  FROM {src})
+            WHERE role = 'assistant' AND len(ctx) > 0"""
+
+
+def _conv_fps_sql() -> str:
+    """Shared conversation-fingerprint mirror (transcripts.
+    conv_fingerprint): defines ``fps`` = (conv_id, fp); conv_dedup and
+    sft_corpus both read it."""
+    return """fps AS (
+                SELECT conv_id,
+                       md5(string_agg(line, chr(31)
+                           ORDER BY ts, turn_idx, line)) AS fp
+                FROM (SELECT conv_id, ts, turn_idx,
+                             role || ': ' ||
+                             trim(regexp_replace(lower(coalesce(text,'')),
+                                                 '\\s+', ' ', 'g')) AS line
+                      FROM transcripts)
+                GROUP BY conv_id
+            )"""
+
+
+def _sft_corpus_sql(k: int, canned_min: int, min_tokens: int,
+                    weights: dict[str, float], salt: str) -> str:
+    """Oracle for the sft_curation preset end-to-end: conv-dedup
+    survivors → sft explode → canned-completion drop (canned set from
+    the SURVIVING conversations, matching the preset) → completion
+    token floor → hash_split on example_id. Chains the proven stage
+    mirrors with each stage reading the previous stage's survivors (the
+    _curated_sql convention)."""
+    from towhee_spark.functions.curation import _thresholds  # noqa: PLC0415
+
+    th = _thresholds(weights)
+    cases = " ".join(
+        f"WHEN h < {thr} THEN '{name}'" for name, thr in th[:-1])
+    norm_comp = ("trim(regexp_replace(lower(coalesce(completion,'')),"
+                 " '\\s+', ' ', 'g'))")
+    tok = ("CASE WHEN trim(coalesce(completion,'')) = '' THEN 0 ELSE "
+           "len(string_split_regex(trim(completion), '\\s+')) END")
+    ex_id = "conv_id || ':' || CAST(turn_idx AS VARCHAR)"
+    return f"""{_CTE},
+            {_conv_fps_sql()},
+            surv AS (SELECT MIN(conv_id) AS conv_id FROM fps GROUP BY fp),
+            t2 AS (SELECT t.* FROM transcripts t JOIN surv USING (conv_id)),
+            sft AS ({_sft_body_sql("t2", k)}),
+            canned AS (
+                SELECT trim(regexp_replace(lower(coalesce(text,'')),
+                                           '\\s+', ' ', 'g')) AS response
+                FROM t2 WHERE role = 'assistant'
+                GROUP BY 1 HAVING COUNT(DISTINCT conv_id) >= {canned_min}
+            ),
+            ex AS (
+                SELECT * FROM sft
+                WHERE NOT EXISTS (SELECT 1 FROM canned c
+                                  WHERE c.response = {norm_comp})
+                  AND {tok} >= {min_tokens}
+            )
+            SELECT conv_id, turn_idx, prompt, completion, n_context_turns,
+                   example_id, CASE {cases} ELSE '{th[-1][0]}' END AS split
+            FROM (SELECT *, {ex_id} AS example_id,
+                         {_hash60_sql(ex_id, salt)} AS h
+                  FROM ex)"""
 
 
 def _hash_split_sql(weights: dict[str, float], salt: str = "split") -> str:

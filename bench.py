@@ -262,6 +262,8 @@ def main() -> None:
         "self_repetition",
         "conv_dedup",
         "conv_neardup",
+        "sft_corpus",
+        "length_bias",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

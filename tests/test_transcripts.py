@@ -322,3 +322,57 @@ def test_conv_neardup_lsh_equals_exact(spark):
            tr.conv_neardup_pairs(t, threshold=0.05, method="lsh").collect()}
     assert exact, "synthetic corpus must produce at least one pair"
     assert lsh == exact
+
+
+# --------------------------------------------------------------------------
+# sft_curation preset + preference_length_bias
+
+
+def test_sft_curation_stages_hand_computed(spark):
+    from towhee_spark.pipelines import pipeline
+
+    rows = [
+        # e1 and e2: identical conversations → e2 deduped away
+        ("e1", 0, "user", "q one", None, _ts(0)),
+        ("e1", 1, "assistant", "good answer here", None, _ts(1)),
+        ("e2", 0, "user", "q one", None, _ts(10)),
+        ("e2", 1, "assistant", "good answer here", None, _ts(11)),
+        # e3: completion below the 2-token floor
+        ("e3", 0, "user", "q two", None, _ts(20)),
+        ("e3", 1, "assistant", "ok", None, _ts(21)),
+        # e4/e5: canned completion recurs in 2 distinct convs → dropped
+        ("e4", 0, "user", "q three", None, _ts(30)),
+        ("e4", 1, "assistant", "canned reply", None, _ts(31)),
+        ("e5", 0, "user", "q four", None, _ts(40)),
+        ("e5", 1, "assistant", "canned  REPLY", None, _ts(41)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    curate = pipeline("sft_curation", max_context_turns=4,
+                      canned_min_convs=2, min_completion_tokens=2)
+    out = curate(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.conv_id, r.turn_idx) == ("e1", 1)
+    assert r.prompt == "user: q one"
+    assert r.completion == "good answer here"
+    assert r.example_id == "e1:1"
+    assert r.split in {"train", "val", "test"}
+    # with the canned filter off, e4/e5 examples survive
+    loose = pipeline("sft_curation", min_completion_tokens=2)
+    assert {x.conv_id for x in loose(df).collect()} == {"e1", "e4", "e5"}
+    with pytest.raises(ValueError, match="order_extra"):
+        pipeline("sft_curation", order_extra=())
+
+
+def test_preference_length_bias_hand_computed(spark):
+    rows = [("p1", "aaaa", "bb"), ("p2", "c", "ddd"), ("p3", "ee", "ff")]
+    pairs = spark.createDataFrame(
+        rows, "prompt string, chosen string, rejected string")
+    r = tr.preference_length_bias(pairs).collect()[0]
+    assert r.n_pairs == 3
+    assert r.mean_chosen_len == round(7 / 3, 6)
+    assert r.mean_rejected_len == round(7 / 3, 6)
+    assert r.frac_chosen_longer == round(1 / 3, 6)
+    assert r.frac_equal_len == round(1 / 3, 6)

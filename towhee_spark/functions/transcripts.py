@@ -529,3 +529,29 @@ def conv_neardup_pairs(
     )
     return _dd._with_cached_deps(
         _dd._jaccard_join(inter, sizes, threshold), sh_cached)
+
+
+def preference_length_bias(
+    pairs: DataFrame,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> DataFrame:
+    """Length-bias diagnostic over a preference-pair frame (the standard
+    RLHF sanity check: if 'chosen' is systematically longer, a reward
+    model trained on the pairs learns length, not quality). One row:
+    (n_pairs, mean_chosen_len, mean_rejected_len, frac_chosen_longer,
+    frac_equal_len) — exact integer sums, each mean/fraction ONE
+    ROUND(·, 6) IEEE division (the conv_features posture). One hash
+    aggregate, no shuffle beyond the final 1-row reduce."""
+    cl = F.length(F.coalesce(F.col(chosen_col), F.lit("")))
+    rl = F.length(F.coalesce(F.col(rejected_col), F.lit("")))
+    n = F.count(F.lit(1))
+    return pairs.agg(
+        n.cast("long").alias("n_pairs"),
+        F.round(F.sum(cl).cast("double") / n, 6).alias("mean_chosen_len"),
+        F.round(F.sum(rl).cast("double") / n, 6).alias("mean_rejected_len"),
+        F.round(F.sum((cl > rl).cast("int")).cast("double") / n, 6)
+        .alias("frac_chosen_longer"),
+        F.round(F.sum((cl == rl).cast("int")).cast("double") / n, 6)
+        .alias("frac_equal_len"),
+    )

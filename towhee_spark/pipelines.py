@@ -277,3 +277,70 @@ def _pretraining_curation(benchmark: DataFrame | None = None,
         return _with_cached_deps(out, *deps) if deps else out
 
     return apply
+
+
+@register_pipeline("sft_curation")
+def _sft_curation(max_context_turns: int = 4,
+                  canned_min_convs: int | None = None,
+                  min_completion_tokens: int = 1,
+                  split_weights: dict | None = None,
+                  split_salt: str = "sft",
+                  key: str = "conv_id", ts: str = "ts",
+                  order_extra=("turn_idx",),
+                  role_col: str = "role", text_col: str = "text",
+                  response_role: str = "assistant"):
+    """End-to-end transcripts → SFT corpus — the chat-data twin of
+    pretraining_curation, each stage an individually-gated operator:
+
+    1. exact CONVERSATION dedup (conv_dedup_exact: lowest-conv survivor
+       per order-sensitive fingerprint — replayed/forked sessions drop)
+    2. explode to (prompt, completion) pairs (sft_examples, ≤
+       ``max_context_turns`` context turns)
+    3. canned-completion drop (``canned_min_convs`` set → completions
+       whose normalized text recurs in that many distinct SURVIVING
+       conversations are removed — detection runs post-dedup so a
+       replayed conversation doesn't flag its own unique completions
+       as boilerplate)
+    4. completion length floor (whitespace tokens ≥
+       ``min_completion_tokens``)
+    5. deterministic hash_split on example_id = key:order_extra[0]
+
+    Stages apply sequentially (dedup before explode keeps the window
+    pass off duplicate conversations). Output: sft_examples columns +
+    example_id + split."""
+    from towhee_spark.functions import curation, transcripts as tr  # noqa: PLC0415
+    from towhee_spark.functions.text import normalize_text, token_count  # noqa: PLC0415
+
+    if not order_extra:
+        raise ValueError("sft_curation: order_extra must be non-empty "
+                         "(example_id needs a turn coordinate)")
+
+    def apply(df: DataFrame) -> DataFrame:
+        surv = tr.conv_dedup_exact(
+            df, key, ts, order_extra, role_col, text_col).select(key)
+        kept = df.join(surv, key)
+        ex = tr.sft_examples(
+            kept, max_context_turns=max_context_turns, key=key, ts=ts,
+            order_extra=order_extra, role_col=role_col, text_col=text_col,
+            response_role=response_role)
+        if canned_min_convs is not None:
+            canned = tr.canned_responses(
+                kept, min_keys=canned_min_convs, key=key, role_col=role_col,
+                text_col=text_col, response_role=response_role
+            ).select("response")
+            ex = ex.join(
+                F.broadcast(canned),
+                normalize_text(ex["completion"]) == canned["response"],
+                "left_anti")
+        if min_completion_tokens > 0:
+            ex = ex.filter(
+                token_count("completion") >= min_completion_tokens)
+        ex = ex.withColumn(
+            "example_id",
+            F.concat_ws(":", F.col(key),
+                        F.col(order_extra[0]).cast("string")))
+        return curation.hash_split(
+            ex, id_col="example_id", weights=split_weights,
+            salt=split_salt)
+
+    return apply
