@@ -120,6 +120,12 @@ def test_native_gate_queries_have_zero_python_stages(spark):
         "pii_scrub", "chunk_text", "conv_prompt", "rerank", "json_extract",
         "tpch_q1", "tpch_q3ish", "tpch_q5ish", "cube_agg", "monthly_orders",
         "topk_orders", "window_analytics", "anti_semi_join", "flagship",
+        # round-5 transcript/curation family — all pure Column plans
+        "conv_features", "role_transitions", "sft_examples", "curriculum",
+        "data_card", "domain_mixture", "hard_negatives", "hll_registers",
+        "preference_pairs", "truncate_context", "tool_chains",
+        "canned_responses", "self_repetition", "conv_dedup", "conv_neardup",
+        "sft_corpus", "length_bias",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
@@ -208,3 +214,29 @@ def test_exact_time_window_native_plan(spark):
     out = p.apply(ev, by="user_id")
     st = plan_stats(out)
     assert st["python_evals"] == 0, st
+
+
+def test_transcript_curation_shuffle_budgets(spark):
+    """The new transcript family must hold its exchange budgets: the
+    (conv, island) windows and aggregate in tool_chains reuse the conv
+    exchange (ClusteredDistribution is satisfied by a partitioning on a
+    SUBSET of its keys), truncate_context is one window pass, and
+    self_repetition needs NO window at all (two stacked hash aggs)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        # events→user_id window for turn_idx + one conv-keyed stage
+        "truncate_context": 2,
+        "tool_chains": 2,
+        "self_repetition": 2,
+        "canned_responses": 2,
+        "conv_dedup": 3,
+        # lag window (conv) + prompt partition shared by both row_numbers
+        # AND the final argmax aggregate
+        "preference_pairs": 3,
+    }
+    for name, budget in budgets.items():
+        assert_max_exchanges(qs[name](spark, SF), budget)
+        st = plan_stats(qs[name](spark, SF))
+        assert st["python_evals"] == 0, (name, st)
