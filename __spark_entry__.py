@@ -1225,6 +1225,23 @@ def q_length_bias(spark, sf_dir):
     return tr.preference_length_bias(pairs)
 
 
+def q_refusals(spark, sf_dir):
+    # refusal-boilerplate profile (transcripts.refusal_stats over
+    # text.REFUSAL_MARKERS). The synthetic corpus contains no refusal
+    # phrases, so the gate input plants one deterministically on every
+    # 7th turn (mirrored in SQL) — the hash match then covers the regex
+    # alternation + counting + ratio, not a table of zeros.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" I cannot help with that")))
+        .otherwise(F.col("text")))
+    return tr.refusal_stats(t)
+
+
 def q_conv_dedup(spark, sf_dir):
     # exact conversation dedup (transcripts.conv_dedup_exact): order-
     # sensitive md5 fingerprint of the (role: normalized-text) turn
@@ -1783,7 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_spans": q_packed_spans,
         # --- past the 50-entry driver window: replica-verified this round
         # --- (see CORRECTNESS replica runs), rotate into driver coverage
-        # --- in r06 (18 keys: domain_mixture .. length_bias) ---
+        # --- in r06 (19 keys: domain_mixture .. refusals) ---
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
         "hll_registers": q_hll_registers,
@@ -1801,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_neardup": q_conv_neardup,
         "sft_corpus": q_sft_corpus,
         "length_bias": q_length_bias,
+        "refusals": q_refusals,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -2308,6 +2326,7 @@ def _oracle_sql() -> dict[str, str]:
         "sft_corpus": _sft_corpus_sql(
             k=4, canned_min=3, min_tokens=2,
             weights={"train": 0.8, "val": 0.1, "test": 0.1}, salt="sft"),
+        "refusals": _refusals_sql(),
         "conv_neardup": f"""{_CTE},
             sh AS (SELECT DISTINCT conv_id AS id,
                           trim(regexp_replace(lower(coalesce(text,'')),
@@ -3438,6 +3457,33 @@ def _sft_corpus_sql(k: int, canned_min: int, min_tokens: int,
             FROM (SELECT *, {ex_id} AS example_id,
                          {_hash60_sql(ex_id, salt)} AS h
                   FROM ex)"""
+
+
+def _refusals_sql() -> str:
+    """Oracle for transcripts.refusal_stats with the gate's planted
+    marker (every 7th turn): the SAME raw-phrase alternation from
+    text.REFUSAL_MARKERS (shared-constant pattern; apostrophes doubled
+    for the SQL literal), counted per assistant turn, aggregated per
+    conversation."""
+    from towhee_spark.functions.text import REFUSAL_MARKERS  # noqa: PLC0415
+
+    pat = "|".join(REFUSAL_MARKERS).replace("'", "''")
+    hit = (f"CASE WHEN len(regexp_extract_all(lower(coalesce(text,'')), "
+           f"'{pat}')) > 0 THEN 1 ELSE 0 END")
+    return f"""{_CTE},
+            planted AS (
+                SELECT conv_id, role,
+                       CASE WHEN turn_idx % 7 = 0
+                            THEN text || ' I cannot help with that'
+                            ELSE text END AS text
+                FROM transcripts)
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_responses,
+                   CAST(SUM({hit}) AS BIGINT) AS n_refusals,
+                   ROUND(CAST(SUM({hit}) AS DOUBLE) / COUNT(*), 6)
+                       AS refusal_ratio
+            FROM planted WHERE role = 'assistant'
+            GROUP BY conv_id"""
 
 
 def _hash_split_sql(weights: dict[str, float], salt: str = "split") -> str:

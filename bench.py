@@ -264,6 +264,7 @@ def main() -> None:
         "conv_neardup",
         "sft_corpus",
         "length_bias",
+        "refusals",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

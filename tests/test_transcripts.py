@@ -376,3 +376,29 @@ def test_preference_length_bias_hand_computed(spark):
     assert r.mean_rejected_len == round(7 / 3, 6)
     assert r.frac_chosen_longer == round(1 / 3, 6)
     assert r.frac_equal_len == round(1 / 3, 6)
+
+
+def test_refusal_stats_hand_computed(spark):
+    from towhee_spark.functions.text import is_refusal, refusal_hits
+
+    rows = [
+        ("r1", "assistant", "Sure, here you go"),
+        ("r1", "assistant", "I'm sorry, I can't do that"),   # 2 markers
+        ("r1", "assistant", "As an AI, I cannot comply"),
+        ("r1", "user", "i cannot believe it"),               # wrong role
+        ("r2", "assistant", "fine"),
+        ("r3", "user", "no assistant turns here"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, role string, text string")
+    out = {r.conv_id: r for r in tr.refusal_stats(df).collect()}
+    r1 = out["r1"]
+    assert (r1.n_responses, r1.n_refusals) == (3, 2)
+    assert r1.refusal_ratio == round(2 / 3, 6)
+    assert (out["r2"].n_refusals, out["r2"].refusal_ratio) == (0, 0.0)
+    assert "r3" not in out   # zero response_role turns → no row
+    # column fns: hit count and null safety
+    probe = spark.createDataFrame(
+        [("I'm Sorry... i can't",), (None,)], "t string").select(
+        refusal_hits("t").alias("h"), is_refusal("t").alias("b")).collect()
+    assert (probe[0].h, probe[0].b) == (2, True)
+    assert (probe[1].h, probe[1].b) == (0, False)

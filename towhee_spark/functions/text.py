@@ -9,6 +9,8 @@ the DuckDB oracle can verify each one exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -216,3 +218,29 @@ def chunk_text(text: Column | str, size: int = 64, overlap: int = 16) -> Column:
     )
     # slice-to-zero keeps the struct element type without a cast literal
     return F.when(norm == "", F.slice(chunks, 1, 0)).otherwise(chunks)
+
+
+REFUSAL_MARKERS = [
+    "i can't", "i cannot", "i'm sorry", "i am sorry", "as an ai",
+    "i'm unable", "i am unable", "i won't", "i will not",
+    "i'm not able", "i am not able",
+]
+
+
+def refusal_hits(text: Column | str) -> Column:
+    """Count of refusal-boilerplate markers in the lowercased text (the
+    distillation-cleanup heuristic: assistant turns that decline produce
+    degenerate SFT targets). Pure regexp_count — one codegen projection;
+    the marker list is deliberately literal-phrase-only so the identical
+    alternation runs in DuckDB (oracle) and any downstream engine."""
+    c = F.col(text) if isinstance(text, str) else text
+    # markers are [a-z '] only — regex-safe verbatim in Java AND RE2
+    # (re.escape would backslash the spaces, which RE2 rejects)
+    assert all(re.fullmatch(r"[a-z' ]+", m) for m in REFUSAL_MARKERS)
+    pat = "|".join(REFUSAL_MARKERS)
+    return F.regexp_count(F.lower(F.coalesce(c, F.lit(""))), F.lit(pat)).cast("int")
+
+
+def is_refusal(text: Column | str) -> Column:
+    """True when any refusal marker occurs (see :func:`refusal_hits`)."""
+    return refusal_hits(text) > 0

@@ -555,3 +555,31 @@ def preference_length_bias(
         F.round(F.sum((cl == rl).cast("int")).cast("double") / n, 6)
         .alias("frac_equal_len"),
     )
+
+
+def refusal_stats(
+    df: DataFrame,
+    key: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation refusal profile over ``response_role`` turns:
+    (key, n_responses, n_refusals, refusal_ratio) — the
+    distillation-cleanup signal (conversations where the assistant
+    mostly declines make degenerate SFT sources; filter or down-weight
+    them before sft_curation). Refusal = any text.REFUSAL_MARKERS phrase
+    (see text.is_refusal). Ratio is ROUND(exact_int/exact_int, 6), one
+    division; conversations with zero ``response_role`` turns emit no
+    row. One hash aggregate with map-side combine — a scan-speed pass at
+    100 TB."""
+    from towhee_spark.functions.text import is_refusal  # noqa: PLC0415
+
+    resp = df.where(F.col(role_col) == response_role)
+    n = F.count(F.lit(1))
+    nr = F.sum(is_refusal(text_col).cast("int"))
+    return resp.groupBy(key).agg(
+        n.cast("long").alias("n_responses"),
+        nr.cast("long").alias("n_refusals"),
+        F.round(nr.cast("double") / n, 6).alias("refusal_ratio"),
+    )
