@@ -578,14 +578,17 @@ def ivfsq_topk(
     if quantized is None:
         assigned = ivf_assign(index, cents, i_id, i_vec, impl=impl)
         quantized = quantize_embeddings(assigned, i_vec=i_vec)
-    recon = quantized.withColumn(
-        "__recon", dequantize_expr(F.col("q_codes"), F.col("q_scale")))
-    # All-zero index vectors quantize to NULL codes/scale → NULL __recon;
+    # All-zero index vectors quantize to NULL codes → NULL __recon;
     # cosine_expr's NULL→0.0 fallback would emit them at score 0.0 while the
     # _ivfsq_topk_sql oracle drops them (its r CTE keeps mx > 0 only). Filter
-    # them out so engine and oracle agree even when a probed cell has fewer
-    # than k positive-scoring candidates.
-    recon = recon.where(F.col("__recon").isNotNull())
+    # on q_codes — NULL exactly when __recon would be (quantize_embeddings
+    # nulls codes for NULL/all-zero vectors) — BEFORE the dequantize
+    # projection: a filter on __recon itself makes collapsed projections
+    # re-run the interpreted transform per consumer (the CLAUDE.md
+    # interpreted-HOF re-evaluation trap; plan A/B shows 4 duplicated
+    # dequantize subtrees with the __recon filter, 0 with this form).
+    recon = quantized.where(F.col("q_codes").isNotNull()).withColumn(
+        "__recon", dequantize_expr(F.col("q_codes"), F.col("q_scale")))
     return ivf_topk(
         queries, recon, k=k, q_id=q_id, q_vec=q_vec, i_id=i_id,
         i_vec="__recon", nlist=nlist, nprobe=nprobe,
