@@ -1196,9 +1196,11 @@ def q_self_repetition(spark, sf_dir):
 def q_sft_corpus(spark, sf_dir):
     # the sft_curation preset end-to-end: exact conversation dedup →
     # SFT explode (≤4 context turns) → canned-completion drop (recurs in
-    # ≥3 surviving convs) → ≥2-token completions →
-    # deterministic 80/10/10 split on example_id. Each stage is gated
-    # individually; this proves the COMPOSITION (curated_corpus twin).
+    # ≥3 surviving convs) → ≥2-token completions → deterministic 80/10/10
+    # CONVERSATION-level split (all of a conv's examples share a split —
+    # example-level splitting would leak train completions into val
+    # prompts). Each stage is gated individually; this proves the
+    # COMPOSITION (curated_corpus twin).
     from towhee_spark.pipelines import pipeline  # noqa: PLC0415
 
     t, _ = _t_c(spark, sf_dir)
@@ -3418,7 +3420,8 @@ def _conv_fps_sql() -> str:
 
 
 def _sft_corpus_sql(k: int, canned_min: int, min_tokens: int,
-                    weights: dict[str, float], salt: str) -> str:
+                    weights: dict[str, float], salt: str,
+                    split_on: str = "conversation") -> str:
     """Oracle for the sft_curation preset end-to-end: conv-dedup
     survivors → sft explode → canned-completion drop (canned set from
     the SURVIVING conversations, matching the preset) → completion
@@ -3435,6 +3438,7 @@ def _sft_corpus_sql(k: int, canned_min: int, min_tokens: int,
     tok = ("CASE WHEN trim(coalesce(completion,'')) = '' THEN 0 ELSE "
            "len(string_split_regex(trim(completion), '\\s+')) END")
     ex_id = "conv_id || ':' || CAST(turn_idx AS VARCHAR)"
+    split_col = "conv_id" if split_on == "conversation" else ex_id
     return f"""{_CTE},
             {_conv_fps_sql()},
             surv AS (SELECT MIN(conv_id) AS conv_id FROM fps GROUP BY fp),
@@ -3455,7 +3459,7 @@ def _sft_corpus_sql(k: int, canned_min: int, min_tokens: int,
             SELECT conv_id, turn_idx, prompt, completion, n_context_turns,
                    example_id, CASE {cases} ELSE '{th[-1][0]}' END AS split
             FROM (SELECT *, {ex_id} AS example_id,
-                         {_hash60_sql(ex_id, salt)} AS h
+                         {_hash60_sql(split_col, salt)} AS h
                   FROM ex)"""
 
 

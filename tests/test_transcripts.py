@@ -364,6 +364,30 @@ def test_sft_curation_stages_hand_computed(spark):
     assert {x.conv_id for x in loose(df).collect()} == {"e1", "e4", "e5"}
     with pytest.raises(ValueError, match="order_extra"):
         pipeline("sft_curation", order_extra=())
+    with pytest.raises(ValueError, match="split_on"):
+        pipeline("sft_curation", split_on="rows")
+
+
+def test_sft_curation_split_is_conversation_level(spark):
+    from towhee_spark.pipelines import pipeline
+
+    # one conv, many assistant turns → every example must share a split
+    rows = []
+    for i in range(12):
+        rows.append(("g1", 2 * i, "user", f"q {i} {i}", None, _ts(i, 0)))
+        rows.append(("g1", 2 * i + 1, "assistant", f"ans {i} {i}", None,
+                     _ts(i, 30)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out = pipeline("sft_curation", min_completion_tokens=1,
+                   split_weights={"train": 0.5, "val": 0.5})(df).collect()
+    assert len(out) == 12
+    assert len({r.split for r in out}) == 1
+    # example-level mode on the same conv draws independent splits
+    ex = pipeline("sft_curation", min_completion_tokens=1, split_on="example",
+                  split_weights={"train": 0.5, "val": 0.5})(df).collect()
+    assert len({r.split for r in ex}) == 2
 
 
 def test_preference_length_bias_hand_computed(spark):

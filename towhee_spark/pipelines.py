@@ -285,6 +285,7 @@ def _sft_curation(max_context_turns: int = 4,
                   min_completion_tokens: int = 1,
                   split_weights: dict | None = None,
                   split_salt: str = "sft",
+                  split_on: str = "conversation",
                   key: str = "conv_id", ts: str = "ts",
                   order_extra=("turn_idx",),
                   role_col: str = "role", text_col: str = "text",
@@ -303,7 +304,13 @@ def _sft_curation(max_context_turns: int = 4,
        as boilerplate)
     4. completion length floor (whitespace tokens ≥
        ``min_completion_tokens``)
-    5. deterministic hash_split on example_id = key:order_extra[0]
+    5. deterministic hash_split — ``split_on="conversation"`` (default)
+       hashes the conv key so every example of a conversation lands in
+       the SAME split (an example's prompt contains its neighbours'
+       completions; splitting per example would leak train completions
+       into val prompts). ``split_on="example"`` hashes example_id =
+       key:order_extra[0] for iid example-level splits (pretraining-style
+       corpora where examples don't share text).
 
     Stages apply sequentially (dedup before explode keeps the window
     pass off duplicate conversations). Output: sft_examples columns +
@@ -314,6 +321,9 @@ def _sft_curation(max_context_turns: int = 4,
     if not order_extra:
         raise ValueError("sft_curation: order_extra must be non-empty "
                          "(example_id needs a turn coordinate)")
+    if split_on not in ("conversation", "example"):
+        raise ValueError("sft_curation: split_on must be 'conversation' "
+                         f"or 'example', got {split_on!r}")
 
     def apply(df: DataFrame) -> DataFrame:
         surv = tr.conv_dedup_exact(
@@ -340,7 +350,7 @@ def _sft_curation(max_context_turns: int = 4,
             F.concat_ws(":", F.col(key),
                         F.col(order_extra[0]).cast("string")))
         return curation.hash_split(
-            ex, id_col="example_id", weights=split_weights,
-            salt=split_salt)
+            ex, id_col=key if split_on == "conversation" else "example_id",
+            weights=split_weights, salt=split_salt)
 
     return apply
