@@ -1163,6 +1163,19 @@ def q_truncate_context(spark, sf_dir):
                       "cum_from_end", "kept")
 
 
+def q_truncate_context_chunked(spark, sf_dir):
+    # the hot-key path of truncate_context (chunk_seconds=900): local
+    # reverse running sum per (conv, 15-min chunk) + later-chunk
+    # suffix-sum carry — gated against the SAME oracle as the unchunked
+    # path (the chunked-family convention: chunking must be invisible).
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    out = tr.truncate_context(t, budget=32, chunk_seconds=900.0)
+    return out.select("conv_id", "turn_idx", "n_tokens",
+                      "cum_from_end", "kept")
+
+
 def q_tool_chains(spark, sf_dir):
     # tool-loop islands (transcripts.tool_chains): maximal consecutive
     # tool-turn runs via rn − rn_tool gaps-and-islands; first/last tool
@@ -1802,7 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_spans": q_packed_spans,
         # --- past the 50-entry driver window: replica-verified this round
         # --- (see CORRECTNESS replica runs), rotate into driver coverage
-        # --- in r06 (19 keys: domain_mixture .. refusals) ---
+        # --- in r06 (20 keys: domain_mixture .. truncate_context_chunked) ---
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
         "hll_registers": q_hll_registers,
@@ -1821,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_corpus": q_sft_corpus,
         "length_bias": q_length_bias,
         "refusals": q_refusals,
+        "truncate_context_chunked": q_truncate_context_chunked,
         # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
@@ -1884,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
     d["sessionize_chunked"] = d["sessionize"]
     d["lag_lead_chunked"] = d["lag_lead"]
     d["bfill_chunked"] = d["bfill"]
+    d["truncate_context_chunked"] = d["truncate_context"]
     # the snapshot-broadcast asof must be indistinguishable from asof_join
     d["asof_static"] = d["asof_backward"]
     return d

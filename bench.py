@@ -265,6 +265,7 @@ def main() -> None:
         "sft_corpus",
         "length_bias",
         "refusals",
+        "truncate_context_chunked",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -426,3 +426,21 @@ def test_refusal_stats_hand_computed(spark):
         refusal_hits("t").alias("h"), is_refusal("t").alias("b")).collect()
     assert (probe[0].h, probe[0].b) == (2, True)
     assert (probe[1].h, probe[1].b) == (0, False)
+
+
+def test_truncate_context_chunked_equals_plain(spark):
+    from towhee_spark import synth
+
+    t = synth.transcripts_df(spark, n_convs=25)
+    plain = {(r.conv_id, r.turn_idx): (r.n_tokens, r.cum_from_end, r.kept)
+             for r in tr.truncate_context(t, budget=40).collect()}
+    for chunk in (60.0, 900.0):
+        ch = {(r.conv_id, r.turn_idx): (r.n_tokens, r.cum_from_end, r.kept)
+              for r in tr.truncate_context(
+                  t, budget=40, chunk_seconds=chunk).collect()}
+        assert ch == plain
+    # the chunked plan must window on (key, chunk), never the bare key
+    import re as _re
+    plan = (tr.truncate_context(t, budget=40, chunk_seconds=60.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert _re.search(r"hashpartitioning\(conv_id#\d+, __tc_ck", plan)

@@ -257,6 +257,8 @@ def truncate_context(
     text_col: str = "text",
     count_col: str | None = None,
     keep_only: bool = False,
+    chunk_seconds: float | None = None,
+    broadcast_carry: bool | None = True,
 ) -> DataFrame:
     """Context-window fitting: mark, per conversation, the longest
     SUFFIX of turns whose total token count fits ``budget`` — the
@@ -269,20 +271,48 @@ def truncate_context(
     One reverse-ordered running-sum window per conversation (ROWS
     UNBOUNDED PRECEDING over (ts DESC, *order_extra DESC)) — a single
     exchange on the conv key, integer arithmetic only. A turn larger
-    than the whole budget drops itself and everything older."""
+    than the whole budget drops itself and everything older.
+
+    ``chunk_seconds`` switches to the hot-key path (the temporal chunked
+    family): local reverse running sum per (key, time-chunk) + a
+    later-chunk suffix-sum carry joined back via temporal.carry_join —
+    a mega-conversation fans out across chunks instead of serializing
+    one task, same results (gated). ``broadcast_carry`` follows the
+    carry_join contract (True/False/None = broadcast / shuffled / AQE)."""
     if budget < 0:
         raise ValueError("truncate_context: budget must be >= 0")
     from towhee_spark.functions.text import token_count  # noqa: PLC0415
 
     cnt = (F.col(count_col) if count_col
            else token_count(text_col)).cast("int")
-    w = (Window.partitionBy(key)
-         .orderBy(F.col(ts).desc(), *[F.col(c).desc() for c in order_extra])
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = (df.withColumn("n_tokens", cnt)
-             .withColumn("cum_from_end",
-                         F.sum("n_tokens").over(w).cast("long"))
-             .withColumn("kept", F.col("cum_from_end") <= F.lit(int(budget))))
+    rev = [F.col(ts).desc(), *[F.col(c).desc() for c in order_extra]]
+    if chunk_seconds is None:
+        w = (Window.partitionBy(key).orderBy(*rev)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (df.withColumn("n_tokens", cnt)
+                 .withColumn("cum_from_end",
+                             F.sum("n_tokens").over(w).cast("long")))
+    else:
+        from towhee_spark.temporal import _chunk_id, carry_join  # noqa: PLC0415
+
+        d = df.withColumn("n_tokens", cnt).withColumn(
+            "__tc_ck", _chunk_id(ts, df.schema[ts].dataType, chunk_seconds))
+        w_local = (Window.partitionBy(key, "__tc_ck").orderBy(*rev)
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        local = d.withColumn("__lc", F.sum("n_tokens").over(w_local))
+        # ONE row per (key, chunk); suffix sum of LATER chunks' totals
+        tot = d.groupBy(key, "__tc_ck").agg(F.sum("n_tokens").alias("__t"))
+        w_suf = (Window.partitionBy(key).orderBy(F.col("__tc_ck").desc())
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        carry = tot.select(
+            key, "__tc_ck",
+            F.coalesce(F.sum("__t").over(w_suf), F.lit(0)).alias("__carry"))
+        out = (carry_join(local, carry, [key, "__tc_ck"],
+                          broadcast=broadcast_carry)
+               .withColumn("cum_from_end",
+                           (F.col("__lc") + F.col("__carry")).cast("long"))
+               .drop("__tc_ck", "__lc", "__carry"))
+    out = out.withColumn("kept", F.col("cum_from_end") <= F.lit(int(budget)))
     return out.where(F.col("kept")) if keep_only else out
 
 
