@@ -1751,17 +1751,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round correctness run covers the FIRST
-    # 50 entries. CORRECTNESS_r04.json covered exactly the old positions
-    # 1-50 (ivfsq_topk .. lag_lead_chunked, all green), so this round the
-    # 40 keys r04 did NOT reach (old positions 51-90, bfill_chunked ..
-    # quality_score) are rotated to the front, followed by this round's new
-    # keys — the r04+r05 artifact pair then gives EVERY key driver-side
-    # green evidence. The r04-covered 50 sit beyond position 50 and are
-    # re-verified locally each round via tools/check_correctness.py.
-    # NEXT ROUND: rotate whatever r05's artifact did not reach to the
-    # front before adding new keys.
+    # 50 entries. Rotation policy: keys that have NEVER appeared in a driver
+    # CORRECTNESS artifact go first, then the stalest previously-covered
+    # keys fill the remainder of the window. For r05 that is the 29
+    # round-5 keys (tokenize .. truncate_context_chunked) + 21 keys last
+    # driver-covered in r03. Everything past position 50 has a green
+    # driver artifact (r03/r04) and is replica-re-verified each round via
+    # tools/check_correctness.py.
+    # NEXT ROUND: re-run the staleness computation (last-covered round per
+    # key over all CORRECTNESS_r*.json) and rotate again before adding
+    # new keys.
     return {
-        # --- r04-uncovered keys (driver coverage target for r05) ---
+        # --- never-driver-covered keys (driver coverage target for r05):
+        # --- the 10 tokenizer-batch keys + the 19 transcript-curation keys
+        # --- added this round. After r05's artifact these are the only
+        # --- keys whose ONLY prior evidence was the local gate replica. ---
+        "tokenize": q_tokenize,
+        "token_budget_wp": q_token_budget_wp,
+        "ann_recall": q_ann_recall,
+        "bpe_tokenize": q_bpe_tokenize,
+        "unigram_ppl_wp": q_unigram_ppl_wp,
+        "encode_ids": q_encode_ids,
+        "pack_wp": q_pack_wp,
+        "chunk_ids": q_chunk_ids,
+        "packed_shards": q_packed_shards,
+        "packed_spans": q_packed_spans,
+        "domain_mixture": q_domain_mixture,
+        "hard_negatives": q_hard_negatives,
+        "hll_registers": q_hll_registers,
+        "conv_features": q_conv_features,
+        "role_transitions": q_role_transitions,
+        "sft_examples": q_sft_examples,
+        "curriculum": q_curriculum,
+        "data_card": q_data_card,
+        "preference_pairs": q_preference_pairs,
+        "truncate_context": q_truncate_context,
+        "tool_chains": q_tool_chains,
+        "canned_responses": q_canned_responses,
+        "self_repetition": q_self_repetition,
+        "conv_dedup": q_conv_dedup,
+        "conv_neardup": q_conv_neardup,
+        "sft_corpus": q_sft_corpus,
+        "length_bias": q_length_bias,
+        "refusals": q_refusals,
+        "truncate_context_chunked": q_truncate_context_chunked,
+        # --- 21 stalest keys (last driver-covered r03) fill the window ---
         "bfill_chunked": q_bfill_chunked,
         "sessionize": q_sessionize,
         "sessionize_chunked": q_sessionize_chunked,
@@ -1783,6 +1817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "rag_search": q_rag_search,
         "rag_search_lsh": q_rag_search_lsh,
+        # --- past the 50-entry driver window; every key below has a green
+        # --- driver artifact (r03 or r04) and is replica-re-verified each
+        # --- round via tools/check_correctness.py ---
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
         "pii_scrub": q_pii_scrub,
@@ -1802,40 +1839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "conv_prompt": q_conv_prompt,
         "quality_score": q_quality,
-        # --- round-5 new keys (positions 41-50: driver-covered in r05) ---
-        "tokenize": q_tokenize,
-        "token_budget_wp": q_token_budget_wp,
-        "ann_recall": q_ann_recall,
-        "bpe_tokenize": q_bpe_tokenize,
-        "unigram_ppl_wp": q_unigram_ppl_wp,
-        "encode_ids": q_encode_ids,
-        "pack_wp": q_pack_wp,
-        "chunk_ids": q_chunk_ids,
-        "packed_shards": q_packed_shards,
-        "packed_spans": q_packed_spans,
-        # --- past the 50-entry driver window: replica-verified this round
-        # --- (see CORRECTNESS replica runs), rotate into driver coverage
-        # --- in r06 (20 keys: domain_mixture .. truncate_context_chunked) ---
-        "domain_mixture": q_domain_mixture,
-        "hard_negatives": q_hard_negatives,
-        "hll_registers": q_hll_registers,
-        "conv_features": q_conv_features,
-        "role_transitions": q_role_transitions,
-        "sft_examples": q_sft_examples,
-        "curriculum": q_curriculum,
-        "data_card": q_data_card,
-        "preference_pairs": q_preference_pairs,
-        "truncate_context": q_truncate_context,
-        "tool_chains": q_tool_chains,
-        "canned_responses": q_canned_responses,
-        "self_repetition": q_self_repetition,
-        "conv_dedup": q_conv_dedup,
-        "conv_neardup": q_conv_neardup,
-        "sft_corpus": q_sft_corpus,
-        "length_bias": q_length_bias,
-        "refusals": q_refusals,
-        "truncate_context_chunked": q_truncate_context_chunked,
-        # --- r04-covered keys (driver-green in CORRECTNESS_r04.json) ---
         "ivfsq_topk": q_ivfsq_topk,
         "quantized_embeddings": q_quantized_embeddings,
         "shard_layout": q_shard_layout,
