@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from towhee_spark import asof_join, lag_lead, locf, sessionize
 from towhee_spark.pipeline import Pipeline
+from towhee_spark import temporal
 from towhee_spark.temporal import epoch_us
 from towhee_spark.functions import clustering, dedup, similarity, text
 from towhee_spark.sources.tables import (
@@ -1176,6 +1177,39 @@ def q_truncate_context_chunked(spark, sf_dir):
                       "cum_from_end", "kept")
 
 
+def _range_features(spark, sf_dir, impl):
+    # trailing range-window feature aggregates (temporal.range_agg): for
+    # every assistant turn, COUNT + SUM(length(text)) over the turns in
+    # the strictly-preceding 10 minutes of the same conversation — the
+    # point-in-time "context volume" feature, leakage-free by the open
+    # upper bound. The oracle is the INDEPENDENT LEFT JOIN range-scan
+    # formulation (epoch_us band predicate + GROUP BY), not a mirror of
+    # either physical strategy; integer aggregates only (float-parity
+    # rule). Both impls (value-range window frame / prefix-sum sweep with
+    # probe rows) gate against the SAME SQL — the chunked-family
+    # convention: the physical strategy must be invisible.
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("tlen", F.length("text").cast("long"))
+    spine = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    kw = {}
+    if impl == "prefix":
+        kw = {"spine_id": ("conv_id", "turn_idx")}
+    out = temporal.range_agg(
+        spine, t, on="conv_id", ts="ts", window_seconds=600.0,
+        aggs={"n_ctx": ("count", "*"), "chars_ctx": ("sum", "tlen")},
+        impl=impl, **kw)
+    return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
+
+
+def q_range_features(spark, sf_dir):
+    return _range_features(spark, sf_dir, "window")
+
+
+def q_range_features_prefix(spark, sf_dir):
+    return _range_features(spark, sf_dir, "prefix")
+
+
 def q_tool_chains(spark, sf_dir):
     # tool-loop islands (transcripts.tool_chains): maximal consecutive
     # tool-turn runs via rn − rn_tool gaps-and-islands; first/last tool
@@ -1817,9 +1851,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "rag_search": q_rag_search,
         "rag_search_lsh": q_rag_search_lsh,
-        # --- past the 50-entry driver window; every key below has a green
-        # --- driver artifact (r03 or r04) and is replica-re-verified each
-        # --- round via tools/check_correctness.py ---
+        # --- past the 50-entry driver window. range_features* are NEW
+        # --- this session (replica-verified; rotate into the window in
+        # --- r06); every other key below has a green driver artifact
+        # --- (r03 or r04) and is replica-re-verified each round via
+        # --- tools/check_correctness.py ---
+        "range_features": q_range_features,
+        "range_features_prefix": q_range_features_prefix,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
         "pii_scrub": q_pii_scrub,
@@ -1902,6 +1940,8 @@ def oracle_sql() -> dict[str, str]:
     d["lag_lead_chunked"] = d["lag_lead"]
     d["bfill_chunked"] = d["bfill"]
     d["truncate_context_chunked"] = d["truncate_context"]
+    # both range_agg physical strategies answer the same question
+    d["range_features_prefix"] = d["range_features"]
     # the snapshot-broadcast asof must be indistinguishable from asof_join
     d["asof_static"] = d["asof_backward"]
     return d
@@ -2227,6 +2267,18 @@ def _oracle_sql() -> dict[str, str]:
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
         "data_card": _data_card_sql(),
+        "range_features": f"""{_CTE}
+            SELECT s.conv_id, s.turn_idx,
+                   CAST(COUNT(e.ts) AS BIGINT)          AS n_ctx,
+                   CAST(SUM(length(e.text)) AS BIGINT)  AS chars_ctx
+            FROM (SELECT conv_id, turn_idx, ts FROM transcripts
+                  WHERE role = 'assistant') s
+            LEFT JOIN transcripts e
+              ON e.conv_id = s.conv_id
+             AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
+             AND epoch_us(e.ts) <  epoch_us(s.ts)
+            GROUP BY s.conv_id, s.turn_idx
+        """,
         "conv_features": f"""{_CTE},
             s AS ({sess_seq}),
             l AS (SELECT *, epoch_us(ts) - epoch_us(lag(ts) OVER (

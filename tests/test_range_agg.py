@@ -1,0 +1,209 @@
+"""range_agg: trailing range-window feature aggregates.
+
+Parity strategy: the window impl is checked against a brute-force pandas
+range-join oracle on the synthetic corpus; the prefix impl is pinned to
+the window impl (both bound variants), plus hand-built boundary frames
+that exercise the exact [ts-w, ts) edge semantics, NULL exclusion rules,
+and the loud-guard validation surface.
+"""
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from towhee_spark.schema import TRANSCRIPT_SCHEMA
+from towhee_spark.synth import transcripts_pdf
+from towhee_spark.temporal import range_agg
+
+W = 600.0  # seconds
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    t = transcripts_pdf(n_convs=30, seed=7)
+    t["tlen"] = t["text"].str.len().astype("int64")
+    sdf = spark.createDataFrame(
+        t[[f.name for f in TRANSCRIPT_SCHEMA.fields]],
+        schema=TRANSCRIPT_SCHEMA,
+    ).withColumn("tlen", F.length("text").cast("long"))
+    return t, sdf
+
+
+def pandas_oracle(t, include_current=False):
+    """Brute-force per-spine-row range scan (spine = assistant turns)."""
+    rows = []
+    for conv, g in t.groupby("conv_id"):
+        ev_ts = g["ts"].astype("datetime64[us]")
+        for _, r in g[g["role"] == "assistant"].iterrows():
+            hi = pd.Timestamp(r["ts"])
+            lo = hi - pd.Timedelta(seconds=W)
+            if include_current:
+                m = (ev_ts >= lo) & (ev_ts <= hi)
+            else:
+                m = (ev_ts >= lo) & (ev_ts < hi)
+            sel = g.loc[m.values]
+            rows.append({
+                "conv_id": conv,
+                "turn_idx": r["turn_idx"],
+                "n": len(sel),
+                "chars": int(sel["tlen"].sum()) if len(sel) else None,
+                "mx": int(sel["tlen"].max()) if len(sel) else None,
+                "mean": float(sel["tlen"].mean()) if len(sel) else None,
+            })
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+AGGS = {
+    "n": ("count", "*"),
+    "chars": ("sum", "tlen"),
+    "mx": ("max", "tlen"),
+    "mean": ("avg", "tlen"),
+}
+
+
+def spine_of(sdf):
+    return sdf.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+
+
+@pytest.mark.parametrize("include_current", [False, True])
+def test_window_impl_vs_pandas_oracle(spark, corpus, include_current):
+    t, sdf = corpus
+    got = (
+        range_agg(spine_of(sdf), sdf, window_seconds=W, aggs=AGGS,
+                  include_current=include_current)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = pandas_oracle(t, include_current)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["chars"].astype("float64").equals(exp["chars"].astype("float64"))
+    assert got["mx"].astype("float64").equals(exp["mx"].astype("float64"))
+    pd.testing.assert_series_equal(
+        got["mean"].astype("float64"), exp["mean"].astype("float64"),
+        check_names=False)
+
+
+@pytest.mark.parametrize("include_current", [False, True])
+def test_prefix_impl_matches_window(spark, corpus, include_current):
+    _, sdf = corpus
+    aggs = {"n": ("count", "*"), "chars": ("sum", "tlen"),
+            "mean": ("avg", "tlen")}
+    kw = dict(window_seconds=W, aggs=aggs, include_current=include_current)
+    w = (
+        range_agg(spine_of(sdf), sdf, **kw)
+        .select("conv_id", "turn_idx", "n", "chars", "mean")
+        .orderBy("conv_id", "turn_idx").collect()
+    )
+    p = (
+        range_agg(spine_of(sdf), sdf, impl="prefix",
+                  spine_id=("conv_id", "turn_idx"), **kw)
+        .select("conv_id", "turn_idx", "n", "chars", "mean")
+        .orderBy("conv_id", "turn_idx").collect()
+    )
+    assert [tuple(r) for r in w] == [tuple(r) for r in p]
+
+
+def _toy(spark):
+    """One conversation, events at t=0,300,600,900s; value 1,2,4,8."""
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c", i, base + datetime.timedelta(seconds=s), v)
+        for i, (s, v) in enumerate([(0, 1), (300, 2), (600, 4), (900, 8)])
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, v long")
+
+
+@pytest.mark.parametrize("impl", ["window", "prefix"])
+def test_exact_boundary_semantics(spark, impl):
+    df = _toy(spark)
+    kw = dict(on="conv_id", ts="ts", window_seconds=600.0,
+              aggs={"n": ("count", "*"), "s": ("sum", "v")}, impl=impl)
+    if impl == "prefix":
+        kw["spine_id"] = ("conv_id", "turn_idx")
+    # exclusive upper: row at 600s sees [0s, 600s) -> events at 0 and 300
+    got = {r["turn_idx"]: (r["n"], r["s"])
+           for r in range_agg(df, df, **kw).collect()}
+    assert got[0] == (0, None)       # empty window: count 0, sum NULL
+    assert got[1] == (1, 1)          # [-300, 300) -> event at 0
+    assert got[2] == (2, 3)          # [0, 600) -> 0s and 300s, 600s excluded
+    assert got[3] == (2, 6)          # [300, 900) -> 300s INCLUDED (closed lower)
+    # inclusive upper bound pulls the row's own event in
+    got_i = {r["turn_idx"]: (r["n"], r["s"])
+             for r in range_agg(df, df, include_current=True, **kw).collect()}
+    assert got_i[0] == (1, 1)
+    assert got_i[2] == (3, 7)
+
+
+@pytest.mark.parametrize("impl", ["window", "prefix"])
+def test_null_ts_events_and_null_values_excluded(spark, impl):
+    base = datetime.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            ("c", base, 5),
+            ("c", base + datetime.timedelta(seconds=100), None),  # null value
+            ("c", None, 99),  # null ts: never in any window
+        ],
+        "conv_id string, ts timestamp, v long",
+    )
+    spine = spark.createDataFrame(
+        [("c", 0, base + datetime.timedelta(seconds=200))],
+        "conv_id string, turn_idx int, ts timestamp")
+    kw = dict(window_seconds=600.0,
+              aggs={"rows": ("count", "*"), "vals": ("count", "v"),
+                    "s": ("sum", "v")}, impl=impl)
+    if impl == "prefix":
+        kw["spine_id"] = ("conv_id", "turn_idx")
+    r = range_agg(spine, ev, **kw).collect()[0]
+    assert (r["rows"], r["vals"], r["s"]) == (2, 1, 5)
+
+
+def test_numeric_ts_prefix_only(spark):
+    ev = spark.createDataFrame(
+        [("c", 0.0, 1), ("c", 5.0, 2), ("c", 10.0, 4)],
+        "conv_id string, ts double, v long")
+    spine = spark.createDataFrame(
+        [("c", 0, 10.0)], "conv_id string, turn_idx int, ts double")
+    out = range_agg(
+        spine, ev, window_seconds=10.0, aggs={"s": ("sum", "v")},
+        impl="prefix", spine_id=("conv_id", "turn_idx")).collect()[0]
+    assert out["s"] == 3  # [0, 10): 0.0 and 5.0; 10.0 excluded
+    with pytest.raises(ValueError, match="temporal ts"):
+        range_agg(spine, ev, window_seconds=10.0, aggs={"s": ("sum", "v")})
+
+
+def test_validation_surface(spark, corpus):
+    _, sdf = corpus
+    sp = spine_of(sdf)
+    with pytest.raises(ValueError, match="aggs"):
+        range_agg(sp, sdf)
+    with pytest.raises(ValueError, match="unknown agg fn"):
+        range_agg(sp, sdf, aggs={"x": ("median", "tlen")})
+    with pytest.raises(ValueError, match="needs a column"):
+        range_agg(sp, sdf, aggs={"x": ("sum", None)})
+    with pytest.raises(ValueError, match="spine_id"):
+        range_agg(sp, sdf, aggs={"x": ("sum", "tlen")}, impl="prefix")
+    with pytest.raises(ValueError, match="not invertible"):
+        range_agg(sp, sdf, aggs={"x": ("max", "tlen")}, impl="prefix",
+                  spine_id=("conv_id", "turn_idx"))
+    with pytest.raises(ValueError, match="window_seconds"):
+        range_agg(sp, sdf, window_seconds=0, aggs={"x": ("sum", "tlen")})
+
+
+def test_window_impl_plan_shape(spark, corpus):
+    """ONE exchange (the key partitioning), ONE window, zero Python."""
+    _, sdf = corpus
+    df = range_agg(spine_of(sdf), sdf, window_seconds=W,
+                   aggs={"n": ("count", "*"), "s": ("sum", "tlen")})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan

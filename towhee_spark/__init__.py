@@ -19,7 +19,8 @@ from towhee_spark.pipeline import Pipeline, pipe
 from towhee_spark.pipelines import pipeline, register_pipeline
 from towhee_spark.registry import ops, register
 from towhee_spark.serve import APIService
-from towhee_spark.temporal import asof_join, bfill, lag_lead, locf, sessionize
+from towhee_spark.temporal import (
+    asof_join, bfill, lag_lead, locf, range_agg, sessionize)
 
 __version__ = "0.1.0"
 
@@ -42,6 +43,7 @@ __all__ = [
     "locf",
     "bfill",
     "sessionize",
+    "range_agg",
     "repartition_by_key",
     "APIService",
 ]

@@ -870,3 +870,264 @@ def asof_join_chunked(
         for c in rcols:
             res = res.withColumn(out_names[c], F.when(ok, F.col(out_names[c])))
     return res.select(*lcols, *[out_names[c] for c in rcols])
+
+
+# --------------------------------------------------------------------------
+# trailing range-window aggregates (point-in-time feature aggregates)
+
+_RA_FNS = {"count", "sum", "min", "max", "avg"}
+
+
+def _range_specs(aggs: dict) -> list[tuple[str, str, str | None]]:
+    out = []
+    for name, spec in aggs.items():
+        fn, col = spec
+        if fn not in _RA_FNS:
+            raise ValueError(
+                f"range_agg: unknown agg fn {fn!r} for {name!r} "
+                f"(supported: {sorted(_RA_FNS)})")
+        if fn == "count" and col == "*":
+            col = None
+        elif col is None:
+            raise ValueError(f"range_agg: {name!r} ({fn}) needs a column")
+        out.append((name, fn, col))
+    return out
+
+
+def range_agg(
+    spine: DataFrame,
+    events: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    window_seconds: float = 600.0,
+    aggs: dict | None = None,
+    include_current: bool = False,
+    spine_ts: str | None = None,
+    impl: str = "window",
+    spine_id: str | Sequence[str] | None = None,
+    broadcast_result: bool | None = None,
+) -> DataFrame:
+    """Trailing range-window feature aggregates: for every spine row,
+    aggregate the events whose timestamp falls in ``[spine_ts - w,
+    spine_ts)`` (closed lower, open upper; ``include_current=True`` closes
+    the upper bound) within the same key — the classic point-in-time
+    feature ("events in the last 10 minutes as of this turn") with zero
+    temporal leakage by construction: no event at or after the as-of
+    point can enter the open-upper frame.
+
+    ``aggs`` maps output name → ``(fn, col)`` with fn in count / sum /
+    min / max / avg; ``("count", "*")`` counts event rows. Empty windows
+    yield count 0 and NULL for sum/min/max/avg — identical to the
+    ``LEFT JOIN ... GROUP BY`` formulation both here and in SQL oracles.
+
+    Two physical strategies, identical results (unit-tested):
+
+    * ``impl="window"`` — union-tag spine + events, ONE value-range window
+      ``rangeBetween(-w_us, -1|0)`` over exact epoch-µs integers. One
+      shuffle, zero Python, every agg fn. Spark evaluates a sliding range
+      frame by re-scanning the in-frame buffer per output row, so cost is
+      O(rows · events-per-window) per key — right when windows hold up to
+      a few thousand events. Temporal ``ts`` columns only (the frame
+      bounds are exact µs integers; an open upper bound has no exact
+      encoding for arbitrary numeric ts).
+    * ``impl="prefix"`` — running per-key prefix sums over the union of
+      events and TWO probe rows per spine row (at ``ts-w`` and ``ts``,
+      tie-ranked so probes read the cum strictly before their bound);
+      answer = cum(hi) − cum(lo). O(n log n) regardless of window width
+      — the scale path when windows span 10^4+ events — and works for
+      numeric ts too. count/sum/avg only (min/max are not invertible and
+      need the window impl). Requires ``spine_id`` (columns uniquely
+      identifying spine rows, e.g. ``("conv_id", "turn_idx")``): probes
+      are paired back by VALUE, never by a nondeterministic row id
+      (monotonically_increasing_id is re-evaluated per execution —
+      the spark_partition_id trap).
+
+    Float sums inherit one deterministic accumulation order from the
+    sweep but still differ from other engines' orders at ~1e-13 — gate
+    float sums through integers or ROUND (repo float-parity rule).
+
+    ``broadcast_result``: the prefix impl ends with a (spine ⨝ per-row
+    results) join on ``spine_id``; True broadcasts the aggregated side
+    (right when the spine is small vs events), False forces shuffle
+    merge, None lets AQE pick.
+
+    Skew: both impls partition the sweep by key. For mega-keys the prefix
+    impl composes with value-chunking the same way as
+    :func:`chunked_row_number` (a future chunk_seconds= hook); the window
+    impl serializes a mega-key like any bare-key window.
+
+    Reference parity: Towhee's `time_window` (towhee/runtime/nodes/
+    _window.py) aggregates a stream into fixed windows; `range_agg` is the
+    as-of-anchored generalization the north rule's feature vectors need.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if not aggs:
+        raise ValueError("range_agg: aggs= is required (name -> (fn, col))")
+    specs = _range_specs(aggs)
+    keys = _as_list(on)
+    s_ts = spine_ts or ts
+    w = float(window_seconds)
+    if w <= 0:
+        raise ValueError("range_agg: window_seconds must be > 0")
+    e_dtype = events.schema[ts].dataType
+    s_dtype = spine.schema[s_ts].dataType
+    is_time = isinstance(
+        e_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType))
+
+    if impl == "window":
+        if not is_time or not isinstance(
+                s_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            raise ValueError(
+                "range_agg(impl='window') needs temporal ts columns on both "
+                "sides (exact µs frame bounds); use impl='prefix' for "
+                "numeric ts")
+        return _range_agg_window(
+            spine, events, keys, ts, s_ts, w, specs, include_current)
+    if impl == "prefix":
+        if spine_id is None:
+            raise ValueError(
+                "range_agg(impl='prefix') requires spine_id= — columns that "
+                "uniquely identify spine rows (probes are paired back by "
+                "value, never by a nondeterministic generated row id)")
+        bad = [n for n, fn, _ in specs if fn in ("min", "max")]
+        if bad:
+            raise ValueError(
+                f"range_agg(impl='prefix'): {bad} use min/max, which are "
+                f"not invertible over a prefix sweep — use impl='window'")
+        return _range_agg_prefix(
+            spine, events, keys, ts, s_ts, w, specs, include_current,
+            _as_list(spine_id), broadcast_result)
+    raise ValueError(f"range_agg: unknown impl {impl!r}")
+
+
+def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
+                      include_current):
+    w_us = int(round(w * 1_000_000))
+    vals = []
+    for i, (_, fn, col) in enumerate(specs):
+        src = F.lit(1) if col is None else F.col(col)
+        vals.append(src.alias(f"__ra_v{i}"))
+    ev = events.select(
+        *[F.col(k) for k in keys], epoch_us(ts).alias("__ra_t"),
+        F.lit(0).alias("__ra_s"), *vals)
+    ev_schema = ev.schema
+    sp_cols = [c for c in spine.columns if c not in keys]
+    ev_wide = ev.select(
+        *keys, "__ra_t", "__ra_s",
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
+          for c in sp_cols],
+        *[f"__ra_v{i}" for i in range(len(specs))])
+    sp_wide = spine.select(
+        *keys, epoch_us(s_ts).alias("__ra_t"), F.lit(1).alias("__ra_s"),
+        *sp_cols,
+        *[F.lit(None).cast(ev_schema[f"__ra_v{i}"].dataType)
+          .alias(f"__ra_v{i}") for i in range(len(specs))])
+    u = ev_wide.unionByName(sp_wide)
+    hi = 0 if include_current else -1
+    frame = (
+        Window.partitionBy(*keys).orderBy("__ra_t")
+        .rangeBetween(-w_us, hi))
+    out_cols = []
+    for i, (name, fn, _) in enumerate(specs):
+        f = getattr(F, fn)(F.col(f"__ra_v{i}")).over(frame)
+        if fn == "count":
+            f = f.cast("long")
+        out_cols.append(f.alias(name))
+    return (
+        u.select(*keys, "__ra_s", *sp_cols, *out_cols)
+        .where(F.col("__ra_s") == 1)
+        .drop("__ra_s"))
+
+
+def _range_agg_prefix(spine, events, keys, ts, s_ts, w, specs,
+                      include_current, sid, broadcast_result):
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    e_dtype = events.schema[ts].dataType
+    is_time = isinstance(
+        e_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    w_off = F.lit(int(round(w * 1_000_000))) if is_time else F.lit(float(w))
+
+    # per-event contributions: for every agg a value sum and a non-null
+    # count (the count recovers SQL NULL-on-empty and builds avg)
+    contrib = []
+    for i, (_, fn, col) in enumerate(specs):
+        if col is None:
+            cnt = F.lit(1).cast("long")
+            val = F.lit(0).cast("long")
+        else:
+            cnt = F.when(F.col(col).isNotNull(), F.lit(1).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+            val = F.coalesce(F.col(col).cast("double"), F.lit(0.0)) \
+                if fn == "avg" else F.coalesce(F.col(col), F.lit(0))
+        contrib.append(cnt.alias(f"__ra_c{i}"))
+        contrib.append(val.alias(f"__ra_x{i}"))
+
+    sid_extra = [c for c in sid if c not in keys]
+    tval = _time_value(F.col(ts), e_dtype)
+    ev = events.select(
+        *keys, tval.alias("__ra_t"), F.lit(1).alias("__ra_tie"),
+        F.lit(None).cast("string").alias("__ra_kind"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
+          for c in sid_extra],
+        *contrib)
+    ev_schema = ev.schema
+
+    s_tval = _time_value(F.col(s_ts), spine.schema[s_ts].dataType)
+    hi_tie = 2 if include_current else 0
+    probes = spine.select(
+        *keys, *sid_extra,
+        F.explode(F.array(
+            F.struct(s_tval.alias("t"), F.lit(hi_tie).alias("tie"),
+                     F.lit("hi").alias("kind")),
+            F.struct((s_tval - w_off).alias("t"), F.lit(0).alias("tie"),
+                     F.lit("lo").alias("kind")),
+        )).alias("__p"))
+    null_contrib = []
+    for i in range(len(specs)):
+        for x in ("c", "x"):
+            null_contrib.append(
+                F.lit(None).cast(ev_schema[f"__ra_{x}{i}"].dataType)
+                .alias(f"__ra_{x}{i}"))
+    probes = probes.select(
+        *keys, F.col("__p.t").alias("__ra_t"),
+        F.col("__p.tie").alias("__ra_tie"),
+        F.col("__p.kind").alias("__ra_kind"),
+        *sid_extra, *null_contrib)
+
+    u = ev.unionByName(probes)
+    sweep = (
+        Window.partitionBy(*keys).orderBy("__ra_t", "__ra_tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cums = []
+    for i in range(len(specs)):
+        cums.append(F.sum(f"__ra_c{i}").over(sweep).alias(f"__cum_c{i}"))
+        cums.append(F.sum(f"__ra_x{i}").over(sweep).alias(f"__cum_x{i}"))
+    swept = u.select(*keys, "__ra_kind", *sid_extra, *cums) \
+        .where(F.col("__ra_kind").isNotNull())
+
+    def at(kind, c):
+        return F.max(F.when(F.col("__ra_kind") == kind,
+                            F.coalesce(F.col(c), F.lit(0))))
+
+    aggd = swept.groupBy(*sid).agg(*[
+        x for i in range(len(specs)) for x in (
+            (at("hi", f"__cum_c{i}") - at("lo", f"__cum_c{i}"))
+            .alias(f"__n{i}"),
+            (at("hi", f"__cum_x{i}") - at("lo", f"__cum_x{i}"))
+            .alias(f"__s{i}"),
+        )])
+    out_cols = []
+    for i, (name, fn, col) in enumerate(specs):
+        n = F.col(f"__n{i}")
+        s = F.col(f"__s{i}")
+        if fn == "count":
+            out_cols.append(n.cast("long").alias(name))
+        elif fn == "sum":
+            out_cols.append(F.when(n > 0, s).alias(name))
+        else:  # avg
+            out_cols.append(F.when(n > 0, s / n).alias(name))
+    res = aggd.select(*sid, *out_cols)
+    res = carry_join(spine, res, sid, broadcast=broadcast_result)
+    return res
