@@ -1202,6 +1202,24 @@ def _range_features(spark, sf_dir, impl):
     return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
 
 
+def q_pit_enrich(spark, sf_dir):
+    # feature-store point-in-time enrichment (temporal.point_in_time_
+    # enrich): TWO feature tables attached as-of each transcript turn in
+    # ONE union sweep (1 exchange, 1 window — vs K sequential asof
+    # joins). ctx carries a 1800 s staleness tolerance; aux is the
+    # positive-score subset of context renamed. The oracle is the
+    # INDEPENDENT formulation: two chained DuckDB ASOF LEFT JOINs.
+    t, c = _t_c(spark, sf_dir)
+    aux = c.select(
+        "conv_id", "ts", F.col("ctx_score").alias("aux_score")
+    ).where(F.col("ctx_score") > 0)
+    out = temporal.point_in_time_enrich(
+        t, {"ctx": c, "aux": aux}, on="conv_id", ts="ts",
+        tolerances={"ctx": 1800.0})
+    return out.select("conv_id", "turn_idx",
+                      "ctx_score", "ctx_label", "aux_score")
+
+
 def q_range_features(spark, sf_dir):
     return _range_features(spark, sf_dir, "window")
 
@@ -1858,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tools/check_correctness.py ---
         "range_features": q_range_features,
         "range_features_prefix": q_range_features_prefix,
+        "pit_enrich": q_pit_enrich,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
         "pii_scrub": q_pii_scrub,
@@ -2267,6 +2286,25 @@ def _oracle_sql() -> dict[str, str]:
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
         "data_card": _data_card_sql(),
+        "pit_enrich": f"""{_CTE},
+            aux AS (SELECT conv_id, ts, ctx_score AS aux_score
+                    FROM context WHERE ctx_score > 0)
+            SELECT x.conv_id, x.turn_idx,
+                   CASE WHEN x.cts IS NOT NULL AND
+                             epoch_us(x.ts) - epoch_us(x.cts) <= 1800000000
+                        THEN x.ctx_score END AS ctx_score,
+                   CASE WHEN x.cts IS NOT NULL AND
+                             epoch_us(x.ts) - epoch_us(x.cts) <= 1800000000
+                        THEN x.ctx_label END AS ctx_label,
+                   a.aux_score
+            FROM (
+                SELECT t.conv_id, t.turn_idx, t.ts,
+                       c.ts AS cts, c.ctx_score, c.ctx_label
+                FROM transcripts t ASOF LEFT JOIN context c
+                  ON t.conv_id = c.conv_id AND t.ts >= c.ts
+            ) x ASOF LEFT JOIN aux a
+              ON x.conv_id = a.conv_id AND x.ts >= a.ts
+        """,
         "range_features": f"""{_CTE}
             SELECT s.conv_id, s.turn_idx,
                    CAST(COUNT(e.ts) AS BIGINT)          AS n_ctx,

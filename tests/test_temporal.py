@@ -375,3 +375,88 @@ def test_asof_multi_key(spark):
         direction="backward",
     ).sort_values("turn_idx")
     np.testing.assert_allclose([r.score for r in got], exp.score.to_numpy())
+
+
+# --------------------------------------------------------------------------
+# point_in_time_enrich: K-table as-of enrichment in one sweep
+
+
+@pytest.fixture(scope="module")
+def pte_features(spark, corpus, sdfs):
+    from pyspark.sql import functions as F
+
+    _, c = sdfs
+    aux = c.select(
+        "conv_id", "ts",
+        (F.col("ctx_score") * 2).alias("s2"),
+        F.upper("ctx_label").alias("lab2"),
+    ).where(F.col("ctx_score") > 0)
+    return c, aux
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_pte_matches_sequential_asof(spark, sdfs, pte_features, allow_exact):
+    from towhee_spark.temporal import point_in_time_enrich
+
+    t, _ = sdfs
+    c, aux = pte_features
+    ref = asof_join(t, c, allow_exact_matches=allow_exact, tolerance=900,
+                    matched_ts_col="t1")
+    ref = asof_join(ref, aux, allow_exact_matches=allow_exact,
+                    matched_ts_col="t2")
+    got = point_in_time_enrich(
+        t, {"ctx": c, "aux": aux}, allow_exact_matches=allow_exact,
+        tolerances={"ctx": 900}, matched_ts=True)
+    cols = ["conv_id", "turn_idx", "ctx_score", "ctx_label", "s2", "lab2"]
+    a = sorted(tuple(r) for r in ref.select(*cols, "t1", "t2").collect())
+    b = sorted(tuple(r) for r in
+               got.select(*cols, "ctx_ts", "aux_ts").collect())
+    assert a == b
+
+
+def test_pte_duplicate_ts_max_payload(spark):
+    """Duplicate (key, ts) feature rows resolve to the MAX payload in both
+    the K-table sweep and asof_join (direction-dependent tie rule)."""
+    from towhee_spark.temporal import point_in_time_enrich
+
+    sp = spark.createDataFrame(
+        [("c", 0, 10.0)], "conv_id string, turn_idx int, ts double")
+    f = spark.createDataFrame(
+        [("c", 5.0, 1), ("c", 5.0, 7), ("c", 5.0, 3)],
+        "conv_id string, ts double, v long")
+    got = point_in_time_enrich(sp, {"f": f}).collect()[0]
+    ref = asof_join(sp, f, ts="ts").collect()[0]
+    assert got["v"] == ref["v"] == 7
+
+
+def test_pte_validation(spark, sdfs, pte_features):
+    from towhee_spark.temporal import point_in_time_enrich
+
+    t, _ = sdfs
+    c, aux = pte_features
+    with pytest.raises(ValueError, match="empty"):
+        point_in_time_enrich(t, {})
+    with pytest.raises(ValueError, match="collides"):
+        point_in_time_enrich(t, {"a": c, "b": c})
+    # suffix disambiguation fixes the collision
+    out = point_in_time_enrich(t, {"a": c, "b": c},
+                               suffixes={"b": "_b"})
+    assert "ctx_score" in out.columns and "ctx_score_b" in out.columns
+    with pytest.raises(ValueError, match="not in features"):
+        point_in_time_enrich(t, {"a": c}, tolerances={"zzz": 5})
+    with pytest.raises(ValueError, match="no value columns"):
+        point_in_time_enrich(t, {"a": c.select("conv_id", "ts")})
+
+
+def test_pte_one_exchange_plan(spark, sdfs, pte_features):
+    """K tables, ONE hash exchange + ONE window — the whole point."""
+    from towhee_spark.temporal import point_in_time_enrich
+
+    t, _ = sdfs
+    c, aux = pte_features
+    got = point_in_time_enrich(t, {"ctx": c, "aux": aux},
+                               suffixes={"aux": ""})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") == 1
+    assert "Python" not in plan

@@ -1131,3 +1131,165 @@ def _range_agg_prefix(spine, events, keys, ts, s_ts, w, specs,
     res = aggd.select(*sid, *out_cols)
     res = carry_join(spine, res, sid, broadcast=broadcast_result)
     return res
+
+
+# --------------------------------------------------------------------------
+# multi-table point-in-time enrichment (feature-store style)
+
+
+def point_in_time_enrich(
+    spine: DataFrame,
+    features: dict[str, DataFrame],
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    allow_exact_matches: bool = True,
+    tolerances: dict[str, float] | None = None,
+    suffixes: dict[str, str] | None = None,
+    matched_ts: bool = False,
+) -> DataFrame:
+    """Enrich a spine with the as-of (backward) nearest row from EVERY
+    feature table in ONE shuffle — the feature-store "point-in-time join"
+    (attach each entity's latest profile, latest score, latest context …
+    as of each spine timestamp) without K sequential :func:`asof_join`
+    passes, which would cost K shuffles and K sorts of the spine.
+
+    Mechanics: the union-tag sweep generalized to K right sides. Every
+    feature table contributes its rows with ONE struct payload column
+    (matched ts + value columns, NULL on all other sources); a single
+    window pass partitioned by key and ordered by (ts, side-tag) computes
+    ``last(payload_i, ignorenulls=True)`` for all K payloads in the same
+    WindowExec. One exchange, one sort, zero Python, any K.
+
+    Per-table semantics match :func:`asof_join` backward exactly
+    (unit-pinned): ``allow_exact_matches`` controls whether a feature row
+    AT the spine ts is visible (global, like the leakage rule it
+    enforces); ``tolerances[name]`` (seconds, or ts units for numeric ts)
+    nulls a table's match when too stale; duplicate (key, ts) rows within
+    a table resolve to the MAX payload when orderable. ``matched_ts=True``
+    adds a ``<name>_ts`` column per table.
+
+    Output value columns keep their source names plus
+    ``suffixes.get(name, "")``; collisions across the spine and all
+    tables raise up front with the offending names.
+
+    Scale: the union width is spine + Σ payload structs, but non-spine
+    rows carry NULL structs (a null bit each in Tungsten rows), so the
+    sweep shuffles roughly the sum of the inputs once — vs K sequential
+    asof joins shuffling the (growing) spine K times. Skew: same story
+    as asof_join; hot keys can pre-chunk via asof_join_chunked per table
+    when a single mega-key dominates.
+    """
+    if not features:
+        raise ValueError("point_in_time_enrich: features= is empty")
+    keys = _as_list(on)
+    lcols = spine.columns
+    sfx = suffixes or {}
+    tol = tolerances or {}
+    unknown = [n for n in list(sfx) + list(tol) if n not in features]
+    if unknown:
+        raise ValueError(
+            f"point_in_time_enrich: suffixes/tolerances name(s) {unknown} "
+            f"not in features {sorted(features)}")
+
+    # resolve output names and validate collisions up front
+    out_map: dict[str, list[tuple[str, str]]] = {}
+    seen = {c: "spine" for c in lcols}
+    for name, fdf in features.items():
+        rcols = [c for c in fdf.columns if c not in set(keys) | {ts}]
+        if not rcols:
+            raise ValueError(
+                f"point_in_time_enrich: feature table {name!r} has no "
+                f"value columns beyond {keys}+{ts}")
+        pairs = []
+        for c in rcols:
+            o = c + sfx.get(name, "")
+            if o in seen:
+                raise ValueError(
+                    f"point_in_time_enrich: output column {o!r} from table "
+                    f"{name!r} collides with {seen[o]}; pass "
+                    f"suffixes={{{name!r}: '_{name}'}} (or rename)")
+            seen[o] = f"table {name!r}"
+            pairs.append((c, o))
+        if matched_ts:
+            o = f"{name}_ts"
+            if o in seen:
+                raise ValueError(
+                    f"point_in_time_enrich: matched-ts column {o!r} "
+                    f"collides with {seen[o]}")
+            seen[o] = f"table {name!r} (matched ts)"
+        out_map[name] = pairs
+
+    names = list(features)
+    paycol = {n: f"__pte_pay_{i}" for i, n in enumerate(names)}
+
+    # each source frame projected to the shared union schema
+    frames = []
+    pay_types = {}
+    for name in names:
+        fdf = features[name]
+        pay = F.struct(
+            F.col(ts).alias("__rts"),
+            *[F.col(c).alias(o) for c, o in out_map[name]])
+        proj = fdf.select(
+            *[F.col(k) for k in keys], F.col(ts),
+            F.lit(0).alias(_SRC), pay.alias(paycol[name]))
+        pay_types[name] = proj.schema[paycol[name]].dataType
+        frames.append((name, proj))
+
+    sp_extra = [c for c in lcols if c not in set(keys) | {ts}]
+    wide = []
+    for name, proj in frames:
+        w = proj
+        for c in sp_extra:
+            w = w.withColumn(c, F.lit(None).cast(spine.schema[c].dataType))
+        for other in names:
+            if other != name:
+                w = w.withColumn(
+                    paycol[other], F.lit(None).cast(pay_types[other]))
+        wide.append(w)
+    sp = spine.withColumn(_SRC, F.lit(1))
+    for name in names:
+        sp = sp.withColumn(paycol[name], F.lit(None).cast(pay_types[name]))
+    cols = [*keys, ts, _SRC, *sp_extra, *[paycol[n] for n in names]]
+    u = sp.select(*cols)
+    for w in wide:
+        u = u.unionByName(w.select(*cols))
+
+    tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
+    order: list = [F.col(ts).asc(), tie]
+    for name in names:
+        if _orderable(pay_types[name]):
+            # duplicate (key, ts) rows within one table -> MAX payload,
+            # exactly asof_join backward; other tables' payloads are NULL
+            # on those rows, so nulls_first keeps them neutral in the sort
+            order.append(F.col(paycol[name]).asc_nulls_first())
+    sweep = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.select(
+        *[c for c in u.columns if c not in paycol.values()],
+        *[F.last(paycol[n], ignorenulls=True).over(sweep).alias(paycol[n])
+          for n in names])
+
+    res = filled.filter(F.col(_SRC) == 1)
+    ts_type = spine.schema[ts].dataType
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    is_time = isinstance(
+        ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    keep = list(lcols)
+    for name in names:
+        rts = F.col(paycol[name])["__rts"]
+        ok = rts.isNotNull()
+        if name in tol:
+            dist = _time_value(F.col(ts), ts_type) - _time_value(rts, ts_type)
+            lim = (F.lit(int(tol[name] * 1_000_000)) if is_time
+                   else F.lit(float(tol[name])))
+            ok = ok & (dist <= lim)
+        for c, o in out_map[name]:
+            res = res.withColumn(o, F.when(ok, F.col(paycol[name])[o]))
+            keep.append(o)
+        if matched_ts:
+            res = res.withColumn(f"{name}_ts", F.when(ok, rts))
+            keep.append(f"{name}_ts")
+    return res.select(*keep)
