@@ -1202,6 +1202,27 @@ def _range_features(spark, sf_dir, impl):
     return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
 
 
+def q_tree_flatten(spark, sf_dir):
+    # branching-dialog flattening (transcripts.tree_paths): a
+    # deterministic tree is derived from the transcripts (turn 0 = root;
+    # every 5th turn branches from its grandparent; capped at 64 turns
+    # per conv), then every leaf's root-to-leaf chain is emitted as
+    # (conv_id, path_id, pos, turn_id). Spark side = pointer doubling
+    # (log-depth rounds); the oracle is the INDEPENDENT formulation — a
+    # DuckDB recursive CTE walking leaf → root, re-keyed to 0-based pos.
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    tree = t.where(F.col("turn_idx") < 64).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_id"),
+        F.when(F.col("turn_idx") == 0, F.lit(None).cast("int"))
+        .when(F.col("turn_idx") % 5 == 4,
+              (F.col("turn_idx") - 2).cast("int"))
+        .otherwise((F.col("turn_idx") - 1).cast("int")).alias("parent_id"))
+    return tr.tree_paths(tree, max_depth=64)
+
+
 def q_pit_enrich(spark, sf_dir):
     # feature-store point-in-time enrichment (temporal.point_in_time_
     # enrich): TWO feature tables attached as-of each transcript turn in
@@ -1877,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_features": q_range_features,
         "range_features_prefix": q_range_features_prefix,
         "pit_enrich": q_pit_enrich,
+        "tree_flatten": q_tree_flatten,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
         "pii_scrub": q_pii_scrub,
@@ -2286,6 +2308,36 @@ def _oracle_sql() -> dict[str, str]:
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
         "data_card": _data_card_sql(),
+        "tree_flatten": f"""{_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+            tree AS (
+                SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_id,
+                       CASE WHEN turn_idx = 0 THEN NULL
+                            WHEN turn_idx % 5 = 4
+                                THEN CAST(turn_idx - 2 AS INTEGER)
+                            ELSE CAST(turn_idx - 1 AS INTEGER)
+                       END AS parent_id
+                FROM transcripts WHERE turn_idx < 64),
+            leaves AS (
+                SELECT t.conv_id, t.turn_id FROM tree t
+                LEFT JOIN tree c
+                  ON c.conv_id = t.conv_id AND c.parent_id = t.turn_id
+                WHERE c.turn_id IS NULL),
+            walk AS (
+                SELECT conv_id, turn_id AS path_id, turn_id AS id, 0 AS up
+                FROM leaves
+                UNION ALL
+                SELECT w.conv_id, w.path_id, t.parent_id, w.up + 1
+                FROM walk w JOIN tree t
+                  ON t.conv_id = w.conv_id AND t.turn_id = w.id
+                WHERE t.parent_id IS NOT NULL)
+            SELECT w.conv_id, w.path_id,
+                   CAST(m.mx - w.up AS INTEGER) AS pos,
+                   CAST(w.id AS INTEGER) AS turn_id
+            FROM walk w
+            JOIN (SELECT conv_id, path_id, MAX(up) AS mx
+                  FROM walk GROUP BY conv_id, path_id) m
+              ON m.conv_id = w.conv_id AND m.path_id = w.path_id
+        """,
         "pit_enrich": f"""{_CTE},
             aux AS (SELECT conv_id, ts, ctx_score AS aux_score
                     FROM context WHERE ctx_score > 0)

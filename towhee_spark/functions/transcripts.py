@@ -613,3 +613,120 @@ def refusal_stats(
         nr.cast("long").alias("n_refusals"),
         F.round(nr.cast("double") / n, 6).alias("refusal_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# branching dialog trees
+
+
+def tree_paths(
+    df: DataFrame,
+    conv: str = "conv_id",
+    id_col: str = "turn_id",
+    parent_col: str = "parent_id",
+    max_depth: int = 64,
+    leaves_only: bool = True,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Flatten BRANCHING conversations (regenerations, edits, agent
+    tree-search) into linear paths: every leaf turn becomes one path —
+    rows ``(conv, path_id = leaf id, pos, id_col)`` with ``pos`` 0-based
+    from the root — so the whole linear-transcript toolchain
+    (sft_examples, truncate_context, conv_fingerprint …) runs unchanged
+    on trees after a join back to the turn columns keyed by
+    ``(conv, path_id)`` instead of ``conv``.
+
+    Turns reference their parent via ``parent_col`` (NULL = root; a
+    conversation may hold several roots — each leaf walks to ITS root).
+
+    Scale design: pointer doubling with path accumulation, NOT a per-leaf
+    recursive walk and NOT an ancestor-closure join (a linear 10^4-turn
+    conversation's transitive closure is 5·10^7 pairs; the accumulated
+    path state is just Σ depth ≈ output-sized). Each node carries
+    ``(ptr, path)`` where ``path`` is the contiguous id chain from the
+    node up to (not including) ``ptr``; one self-join per round composes
+    ``path → path_k(x) ++ path_k(ptr_k(x))`` and squares the covered
+    span, so ``ceil(log2(max_depth))+1`` joins reach depth ``max_depth``
+    regardless of tree shape. All JVM-side array ops, no Python, no
+    driver-side iteration on data.
+
+    ``max_depth`` is a hard bound enforced IN the plan: any node still
+    carrying a live pointer after the final round (deeper tree — or a
+    parent cycle, which can never terminate) fails loudly via
+    assert_true at execution, the action-free-build / loud-at-run
+    convention (pool_embeddings' ragged guard).
+
+    ``leaves_only=False`` emits a path row-set for EVERY node (its
+    root-chain), turning the result into an ancestor table:
+    (conv, path_id = node, pos, id) with depth(node) = max(pos).
+
+    Iterative-op caveat (the kmeans/bpe_train family, NOT an action-free
+    plan builder): each doubling round ends in a LAZY
+    ``localCheckpoint`` — without it the self-join doubles the logical
+    plan per round (2^rounds join nodes, and 2^rounds duplicated
+    execution: the Spark twin of the DuckDB materialized-CTE trap) —
+    and under AQE building the checkpoint RDD schedules its stages
+    immediately, so constructing this DataFrame runs jobs. The work is
+    done once; the final action consumes the checkpointed rounds.
+    ``truncate_lineage=False`` keeps the fully declarative exponential
+    plan — only sane for small ``max_depth`` (tests, plan inspection).
+    """
+    import math  # noqa: PLC0415
+
+    if max_depth < 1:
+        raise ValueError("tree_paths: max_depth must be >= 1")
+    rounds = max(1, math.ceil(math.log2(max_depth + 1)))
+
+    st = df.select(
+        F.col(conv).alias("__c"),
+        F.col(id_col).alias("__id"),
+        F.col(parent_col).alias("__ptr"),
+        F.array(F.col(id_col)).alias("__path"),
+    )
+    for _ in range(rounds):
+        # see docstring: truncate per round or the plan (and the
+        # execution) double each round
+        if truncate_lineage:
+            st = st.localCheckpoint(eager=False)
+        nxt = st.select(
+            F.col("__c").alias("__jc"), F.col("__id").alias("__jid"),
+            F.col("__ptr").alias("__jptr"), F.col("__path").alias("__jpath"))
+        st = (
+            st.join(
+                nxt,
+                (F.col("__c") == F.col("__jc"))
+                & (F.col("__ptr") == F.col("__jid")),
+                "left")
+            .select(
+                "__c", "__id",
+                F.when(F.col("__jid").isNotNull(), F.col("__jptr"))
+                .alias("__ptr"),
+                F.when(
+                    F.col("__jid").isNotNull(),
+                    F.concat(F.col("__jpath"), F.col("__path")))
+                .otherwise(F.col("__path")).alias("__path"),
+            ))
+    # assert_true returns NULL when the predicate holds and throws at
+    # execution otherwise; weaving it through when() keeps it in the plan
+    # (the pool_embeddings convention — a free-standing column is pruned)
+    guard = F.assert_true(
+        F.col("__ptr").isNull(),
+        F.concat(
+            F.lit(f"tree_paths: node deeper than max_depth={max_depth} "
+                  f"(or a parent cycle) at id="),
+            F.col("__id").cast("string")))
+    guarded = st.select(
+        "__c", "__id",
+        F.when(guard.isNull(), F.col("__path")).alias("__path"))
+    if leaves_only:
+        parents = df.where(F.col(parent_col).isNotNull()).select(
+            F.col(conv).alias("__pc"), F.col(parent_col).alias("__pid"))
+        guarded = guarded.join(
+            parents,
+            (F.col("__c") == F.col("__pc")) & (F.col("__id") == F.col("__pid")),
+            "left_anti")
+    return guarded.select(
+        F.col("__c").alias(conv),
+        F.col("__id").alias("path_id"),
+        F.posexplode("__path").alias("pos", id_col),
+    ).withColumn("pos", F.col("pos").cast("int"))
