@@ -170,6 +170,22 @@ def main() -> None:
         force(flagship_prefix(i))
         stages_cum[sname] = round(time.perf_counter() - t0, 3)
 
+    # range_agg production shapes on the big synth corpus: spine = every
+    # turn, trailing 1 h window (~hundreds of events per window at synth
+    # cadence). The window impl re-scans its sliding frame per row —
+    # O(rows · window); the prefix sweep is O(n log n) regardless of
+    # window width, so the gap widens with window span (the reason both
+    # exist; see temporal.range_agg docstring).
+    corpus_tl = corpus.withColumn("tl", F.length("text").cast("long"))
+    ra_spine = corpus.select("conv_id", "turn_idx", "ts")
+    ra_aggs = {"n": ("count", "*"), "s": ("sum", "tl")}
+    from towhee_spark.temporal import range_agg as _range_agg
+    timed("prod_range_agg_window_1h", lambda: force(_range_agg(
+        ra_spine, corpus_tl, window_seconds=3600.0, aggs=ra_aggs)))
+    timed("prod_range_agg_prefix_1h", lambda: force(_range_agg(
+        ra_spine, corpus_tl, window_seconds=3600.0, aggs=ra_aggs,
+        impl="prefix", spine_id=("conv_id", "turn_idx"))))
+
     # --- driver-table headline queries ------------------------------------
     # each query's plan is built ONCE (dedup builders cache their shingle/
     # signature frames; repeated builds would re-cache), timed warm, then its
@@ -266,8 +282,17 @@ def main() -> None:
         "length_bias",
         "refusals",
         "truncate_context_chunked",
+        "range_features",
+        "range_features_prefix",
+        "pit_enrich",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
+
+    # tree_flatten's doubling rounds materialize at plan build (lazy
+    # localCheckpoints are scheduled under AQE), so the honest number
+    # times build + force together (the dedup_groups treatment)
+    timed("tree_flatten_full",
+          lambda: force(qs["tree_flatten"](spark, sf_dir)))
 
     # tokenize/token_budget_wp TRAIN their vocab at plan build (one action,
     # like ivf_topk's centroid train) — the _full rows time train + scan

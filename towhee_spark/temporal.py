@@ -933,14 +933,18 @@ def range_agg(
     * ``impl="prefix"`` — running per-key prefix sums over the union of
       events and TWO probe rows per spine row (at ``ts-w`` and ``ts``,
       tie-ranked so probes read the cum strictly before their bound);
-      answer = cum(hi) − cum(lo). O(n log n) regardless of window width
-      — the scale path when windows span 10^4+ events — and works for
-      numeric ts too. count/sum/avg only (min/max are not invertible and
-      need the window impl). Requires ``spine_id`` (columns uniquely
-      identifying spine rows, e.g. ``("conv_id", "turn_idx")``): probes
-      are paired back by VALUE, never by a nondeterministic row id
-      (monotonically_increasing_id is re-evaluated per execution —
-      the spark_partition_id trap).
+      answer = cum(hi) − cum(lo). O(n log n) regardless of window width,
+      but pays 3 shuffles (sweep, probe-pair groupBy, spine join-back).
+      Measured crossover (1.54M turns, local[32], ~30 s cadence): 1 h
+      window (~120 ev/win) 0.50 s window-impl vs 5.61 s prefix; 6 h
+      (~720 ev/win) 2.85 vs 8.38 — the window impl grows linearly with
+      span, prefix stays flat, so prefix wins only once windows hold
+      thousands of events. Works for numeric ts too. count/sum/avg only
+      (min/max are not invertible and need the window impl). Requires
+      ``spine_id`` (columns uniquely identifying spine rows, e.g.
+      ``("conv_id", "turn_idx")``): probes are paired back by VALUE,
+      never by a nondeterministic row id (monotonically_increasing_id is
+      re-evaluated per execution — the spark_partition_id trap).
 
     Float sums inherit one deterministic accumulation order from the
     sweep but still differ from other engines' orders at ~1e-13 — gate
