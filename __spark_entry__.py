@@ -1202,6 +1202,22 @@ def _range_features(spark, sf_dir, impl):
     return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
 
 
+def q_interval_label(spark, sf_dir):
+    # interval containment join (temporal.interval_join): every turn is
+    # labelled by the context windows [ctx.ts, ctx.ts + 30 min) covering
+    # it — time-bucket decomposition equi-join, never a per-key
+    # cartesian. closed='left' exercises a non-default bound. Oracle =
+    # the INDEPENDENT direct range-predicate join.
+    t, c = _t_c(spark, sf_dir)
+    iv = c.select(
+        "conv_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        F.col("ctx_label").alias("label"))
+    out = temporal.interval_join(t, iv, closed="left", chunk_seconds=900.0)
+    return out.select("conv_id", "turn_idx", "label",
+                      epoch_us("start_ts").alias("s_us"))
+
+
 def q_tree_flatten(spark, sf_dir):
     # branching-dialog flattening (transcripts.tree_paths): a
     # deterministic tree is derived from the transcripts (turn 0 = root;
@@ -1898,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_features": q_range_features,
         "range_features_prefix": q_range_features_prefix,
         "pit_enrich": q_pit_enrich,
+        "interval_label": q_interval_label,
         "tree_flatten": q_tree_flatten,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
@@ -2308,6 +2325,14 @@ def _oracle_sql() -> dict[str, str]:
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
         "data_card": _data_card_sql(),
+        "interval_label": f"""{_CTE}
+            SELECT t.conv_id, t.turn_idx, c.ctx_label AS label,
+                   epoch_us(c.ts) AS s_us
+            FROM transcripts t JOIN context c
+              ON t.conv_id = c.conv_id
+             AND epoch_us(t.ts) >= epoch_us(c.ts)
+             AND epoch_us(t.ts) <  epoch_us(c.ts) + 1800000000
+        """,
         "tree_flatten": f"""{_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
             tree AS (
                 SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_id,

@@ -285,6 +285,7 @@ def main() -> None:
         "range_features",
         "range_features_prefix",
         "pit_enrich",
+        "interval_label",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -460,3 +460,100 @@ def test_pte_one_exchange_plan(spark, sdfs, pte_features):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window ") == 1
     assert "Python" not in plan
+
+
+# --------------------------------------------------------------------------
+# interval_join: event-in-interval containment via time-bucket decomposition
+
+
+@pytest.fixture(scope="module")
+def iv_frames(spark, sdfs):
+    from pyspark.sql import functions as F
+
+    t, c = sdfs
+    iv = c.select(
+        "conv_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        F.col("ctx_label").alias("label"))
+    return t, iv
+
+
+def brute_interval(t, iv, lo_op, hi_op):
+    from pyspark.sql import functions as F
+
+    lo = getattr(F.col("ts"), lo_op)(F.col("start_ts"))
+    hi = getattr(F.col("ts"), hi_op)(F.col("end_ts"))
+    return (
+        t.join(iv.withColumnRenamed("conv_id", "c2"),
+               (F.col("c2") == F.col("conv_id")) & lo & hi)
+        .select("conv_id", "turn_idx", "label", "start_ts"))
+
+
+@pytest.mark.parametrize("chunk_seconds", [120.0, 3600.0, 86400.0])
+def test_interval_join_matches_brute_force(spark, iv_frames, chunk_seconds):
+    """Equality across chunk sizes — the decomposition must be invisible
+    whether intervals span many chunks or share one."""
+    from towhee_spark.temporal import interval_join
+
+    t, iv = iv_frames
+    got = interval_join(t, iv, chunk_seconds=chunk_seconds) \
+        .select("conv_id", "turn_idx", "label", "start_ts")
+    exp = brute_interval(t, iv, "__ge__", "__le__")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+@pytest.mark.parametrize("closed,lo_op,hi_op", [
+    ("both", "__ge__", "__le__"), ("left", "__ge__", "__lt__"),
+    ("right", "__gt__", "__le__"), ("neither", "__gt__", "__lt__")])
+def test_interval_join_closed_variants(spark, iv_frames, closed, lo_op, hi_op):
+    from towhee_spark.temporal import interval_join
+
+    t, iv = iv_frames
+    got = interval_join(t, iv, closed=closed) \
+        .select("conv_id", "turn_idx", "label", "start_ts")
+    exp = brute_interval(t, iv, lo_op, hi_op)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_interval_join_left_and_guards(spark, iv_frames):
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import interval_join
+
+    t, iv = iv_frames
+    inner = interval_join(t, iv)
+    left = interval_join(t, iv, how="left")
+    matched = inner.select("conv_id", "turn_idx").distinct().count()
+    assert left.count() == inner.count() + t.count() - matched
+    assert left.where(F.col("label").isNull()
+                      & F.col("start_ts").isNull()).count() \
+        == t.count() - matched
+    # inverted intervals match nothing (and never explode backwards)
+    flipped = iv.select("conv_id", F.col("end_ts").alias("start_ts"),
+                        F.col("start_ts").alias("end_ts"), "label")
+    assert interval_join(t, flipped).count() == 0
+    # span guard fires loudly
+    wide = iv.withColumn("end_ts",
+                         F.col("start_ts") + F.expr("INTERVAL 2000 HOURS"))
+    with pytest.raises(Exception, match="max_chunks_per_interval"):
+        interval_join(t, wide, chunk_seconds=1.0,
+                      max_chunks_per_interval=100).count()
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(t.withColumn("label", F.lit("x")), iv)
+    with pytest.raises(ValueError, match="how"):
+        interval_join(t, iv, how="outer")
+
+
+def test_interval_join_numeric_ts(spark):
+    from towhee_spark.temporal import interval_join
+
+    ev = spark.createDataFrame(
+        [("c", i, float(i)) for i in range(10)],
+        "conv_id string, turn_idx int, ts double")
+    iv = spark.createDataFrame(
+        [("c", 2.0, 5.0, "a"), ("c", 4.0, 8.5, "b")],
+        "conv_id string, start_ts double, end_ts double, label string")
+    got = sorted((r["turn_idx"], r["label"]) for r in
+                 interval_join(ev, iv, chunk_seconds=2.0).collect())
+    assert got == [(2, "a"), (3, "a"), (4, "a"), (4, "b"), (5, "a"),
+                   (5, "b"), (6, "b"), (7, "b"), (8, "b")]

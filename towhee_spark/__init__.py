@@ -20,8 +20,8 @@ from towhee_spark.pipelines import pipeline, register_pipeline
 from towhee_spark.registry import ops, register
 from towhee_spark.serve import APIService
 from towhee_spark.temporal import (
-    asof_join, bfill, lag_lead, locf, point_in_time_enrich, range_agg,
-    sessionize)
+    asof_join, bfill, interval_join, lag_lead, locf, point_in_time_enrich,
+    range_agg, sessionize)
 
 __version__ = "0.1.0"
 
@@ -46,6 +46,7 @@ __all__ = [
     "sessionize",
     "range_agg",
     "point_in_time_enrich",
+    "interval_join",
     "repartition_by_key",
     "APIService",
 ]

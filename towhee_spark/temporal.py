@@ -1297,3 +1297,116 @@ def point_in_time_enrich(
             res = res.withColumn(f"{name}_ts", F.when(ok, rts))
             keep.append(f"{name}_ts")
     return res.select(*keep)
+
+
+# --------------------------------------------------------------------------
+# interval containment join
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    how: str = "inner",
+    chunk_seconds: float = 3600.0,
+    closed: str = "both",
+    max_chunks_per_interval: int = 100_000,
+    suffix: str = "",
+) -> DataFrame:
+    """Attach every interval containing each event's timestamp: one output
+    row per (event, interval) pair with ``start <= ts <= end`` (``closed``
+    = 'both'|'left'|'right'|'neither' trims the bounds) and matching key —
+    the third canonical temporal join next to :func:`asof_join` (nearest)
+    and :func:`range_agg` (trailing aggregate). Maintenance windows,
+    incident spans, session boundaries, A/B test exposure windows.
+
+    Scale design: a naive key-equi join with the range predicate as a
+    post-filter materializes the per-key cartesian first (10^4 events ×
+    10^3 intervals on one hot key = 10^7 filtered pairs). Instead both
+    sides are decomposed onto value-based time chunks (the
+    locf_chunked/_chunk_id convention): an interval explodes to the
+    chunks it spans, an event maps to exactly one chunk, and the join is
+    a plain equi-join on (key, chunk) with the containment predicate
+    only pruning within-chunk candidates. Pair work collapses from
+    |events_k|·|intervals_k| per key to the pairs that share a chunk.
+
+    ``chunk_seconds`` sizing: ≈ the median interval span. Each interval
+    is duplicated span/chunk_seconds + 1 times; an interval spanning more
+    than ``max_chunks_per_interval`` chunks fails loudly at execution via
+    the in-plan assert (resize chunk_seconds — a 10^6-fold duplication is
+    a config error, not a workload).
+    ``F.sequence`` DESCENDS when lo > hi (repo gotcha), so inverted
+    intervals (end < start) are dropped explicitly on both paths, never
+    exploded backwards.
+
+    ``how='left'`` keeps unmatched events with NULL interval columns via
+    a left-anti union — two extra shuffles; default inner.
+
+    Interval value columns keep their names + ``suffix``; collisions with
+    event columns raise up front.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: how must be inner|left, got {how!r}")
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"interval_join: bad closed {closed!r}")
+    keys = _as_list(on)
+    icols = [c for c in intervals.columns if c not in set(keys)]
+    out_names = {c: c + suffix for c in icols}
+    clash = [out_names[c] for c in icols if out_names[c] in events.columns]
+    if clash:
+        raise ValueError(
+            f"interval_join: interval columns collide with event columns: "
+            f"{clash}; pass suffix='_iv' (or rename)")
+
+    e_dtype = events.schema[ts].dataType
+    ck = "__iv_ck"
+    ev = events.withColumn(ck, _chunk_id(ts, e_dtype, chunk_seconds))
+
+    s_dtype = intervals.schema[start].dataType
+    lo_ck = _chunk_id(start, s_dtype, chunk_seconds)
+    hi_ck = _chunk_id(end, intervals.schema[end].dataType, chunk_seconds)
+    n_ck = hi_ck - lo_ck + 1
+    guard = F.assert_true(
+        n_ck <= F.lit(max_chunks_per_interval),
+        F.concat(
+            F.lit(f"interval_join: an interval spans more than "
+                  f"max_chunks_per_interval={max_chunks_per_interval} "
+                  f"chunks of {chunk_seconds}s — raise chunk_seconds "
+                  f"(span chunks: "), n_ck.cast("string"), F.lit(")")))
+    iv = (
+        intervals
+        # inverted intervals match nothing; F.sequence would DESCEND
+        .where(F.col(start) <= F.col(end))
+        .select(
+            *keys,
+            F.col(start).alias("__iv_s"), F.col(end).alias("__iv_e"),
+            *[F.col(c).alias(out_names[c]) for c in icols],
+            F.explode(
+                F.when(guard.isNull(), F.sequence(lo_ck, hi_ck))
+            ).alias(ck))
+    )
+
+    tv = _time_value(F.col(ts), e_dtype)
+    sv = _time_value(F.col("__iv_s"), s_dtype)
+    ev_ = _time_value(F.col("__iv_e"), intervals.schema[end].dataType)
+    lo_ok = tv >= sv if closed in ("both", "left") else tv > sv
+    hi_ok = tv <= ev_ if closed in ("both", "right") else tv < ev_
+    pairs = (
+        ev.join(iv, on=[*keys, ck], how="inner")
+        .where(lo_ok & hi_ok)
+        .drop(ck, "__iv_s", "__iv_e"))
+    if how == "inner":
+        return pairs
+    matched_keys = pairs.select(*keys, ts).distinct()
+    unmatched = ev.drop(ck).join(
+        matched_keys, on=[*keys, ts], how="left_anti")
+    for c in icols:
+        unmatched = unmatched.withColumn(
+            out_names[c],
+            F.lit(None).cast(intervals.schema[c].dataType))
+    return pairs.unionByName(unmatched)
