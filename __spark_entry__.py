@@ -1193,13 +1193,27 @@ def _range_features(spark, sf_dir, impl):
     spine = t.where(F.col("role") == "assistant").select(
         "conv_id", "turn_idx", "ts")
     kw = {}
-    if impl == "prefix":
+    if impl.startswith("prefix"):
         kw = {"spine_id": ("conv_id", "turn_idx")}
+        if impl == "prefix_chunked":
+            kw["chunk_seconds"] = 300.0
     out = temporal.range_agg(
         spine, t, on="conv_id", ts="ts", window_seconds=600.0,
         aggs={"n_ctx": ("count", "*"), "chars_ctx": ("sum", "tlen")},
-        impl=impl, **kw)
+        impl="prefix" if impl.startswith("prefix") else impl, **kw)
     return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
+
+
+def q_scd_intervals(spark, sf_dir):
+    # SCD-2 validity spans (temporal.validity_intervals): each context
+    # change is valid [its ts, next change) per conversation; last
+    # version open (NULL end). Composes with interval_join closed='left'
+    # — pytest pins that composition ≡ backward asof_join.
+    _, c = _t_c(spark, sf_dir)
+    iv = temporal.validity_intervals(c, on="conv_id", ts="ts")
+    return iv.select("conv_id", "ctx_label",
+                     epoch_us("start_ts").alias("s_us"),
+                     epoch_us("end_ts").alias("e_us"))
 
 
 def q_interval_label(spark, sf_dir):
@@ -1263,6 +1277,13 @@ def q_range_features(spark, sf_dir):
 
 def q_range_features_prefix(spark, sf_dir):
     return _range_features(spark, sf_dir, "prefix")
+
+
+def q_range_features_prefix_chunked(spark, sf_dir):
+    # the prefix impl's hot-key path (chunk_seconds=300): local running
+    # sums per (conv, 5-min chunk) + exclusive chunk-totals carry —
+    # gated against the SAME oracle (chunking must be invisible).
+    return _range_features(spark, sf_dir, "prefix_chunked")
 
 
 def q_tool_chains(spark, sf_dir):
@@ -1913,8 +1934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tools/check_correctness.py ---
         "range_features": q_range_features,
         "range_features_prefix": q_range_features_prefix,
+        "range_features_prefix_chunked": q_range_features_prefix_chunked,
         "pit_enrich": q_pit_enrich,
         "interval_label": q_interval_label,
+        "scd_intervals": q_scd_intervals,
         "tree_flatten": q_tree_flatten,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
@@ -1998,8 +2021,9 @@ def oracle_sql() -> dict[str, str]:
     d["lag_lead_chunked"] = d["lag_lead"]
     d["bfill_chunked"] = d["bfill"]
     d["truncate_context_chunked"] = d["truncate_context"]
-    # both range_agg physical strategies answer the same question
+    # all range_agg physical strategies answer the same question
     d["range_features_prefix"] = d["range_features"]
+    d["range_features_prefix_chunked"] = d["range_features"]
     # the snapshot-broadcast asof must be indistinguishable from asof_join
     d["asof_static"] = d["asof_backward"]
     return d
@@ -2325,6 +2349,12 @@ def _oracle_sql() -> dict[str, str]:
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
         "data_card": _data_card_sql(),
+        "scd_intervals": f"""{_CTE}
+            SELECT conv_id, ctx_label, epoch_us(ts) AS s_us,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY conv_id ORDER BY ts)) AS e_us
+            FROM context
+        """,
         "interval_label": f"""{_CTE}
             SELECT t.conv_id, t.turn_idx, c.ctx_label AS label,
                    epoch_us(c.ts) AS s_us

@@ -284,8 +284,10 @@ def main() -> None:
         "truncate_context_chunked",
         "range_features",
         "range_features_prefix",
+        "range_features_prefix_chunked",
         "pit_enrich",
         "interval_label",
+        "scd_intervals",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -207,3 +207,60 @@ def test_window_impl_plan_shape(spark, corpus):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+@pytest.mark.parametrize("include_current", [False, True])
+def test_prefix_chunked_matches_unchunked(spark, corpus, include_current):
+    """chunk_seconds must be invisible (the chunked-family contract) —
+    and the sweep must actually partition on (key, chunk)."""
+    kw = dict(window_seconds=W,
+              aggs={"n": ("count", "*"), "chars": ("sum", "tlen")},
+              include_current=include_current, impl="prefix",
+              spine_id=("conv_id", "turn_idx"))
+    _, sdf = corpus
+    sp = spine_of(sdf)
+    plain = range_agg(sp, sdf, **kw) \
+        .select("conv_id", "turn_idx", "n", "chars") \
+        .orderBy("conv_id", "turn_idx").collect()
+    chunked = range_agg(sp, sdf, chunk_seconds=120.0, **kw)
+    got = chunked.select("conv_id", "turn_idx", "n", "chars") \
+        .orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in got]
+    plan = chunked._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(conv_id" in plan and "__ra_ck" in plan
+
+
+def test_prefix_chunked_mega_key(spark):
+    """A single hot conversation fans out across chunks with identical
+    results (the locf_chunked mega-conversation treatment)."""
+    import datetime
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [("hot", i, base + datetime.timedelta(seconds=7 * i), i % 13)
+            for i in range(4000)]
+    rows += [("cold", i, base + datetime.timedelta(seconds=60 * i), i)
+             for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, v long")
+    kw = dict(window_seconds=300.0,
+              aggs={"n": ("count", "*"), "s": ("sum", "v")},
+              impl="prefix", spine_id=("conv_id", "turn_idx"))
+    a = range_agg(df, df, **kw).select("conv_id", "turn_idx", "n", "s") \
+        .orderBy("conv_id", "turn_idx").collect()
+    b = range_agg(df, df, chunk_seconds=60.0, **kw) \
+        .select("conv_id", "turn_idx", "n", "s") \
+        .orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # cross-check one window against the window impl too
+    c = range_agg(df, df, window_seconds=300.0,
+                  aggs={"n": ("count", "*"), "s": ("sum", "v")}) \
+        .select("conv_id", "turn_idx", "n", "s") \
+        .orderBy("conv_id", "turn_idx").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in c]
+
+
+def test_chunk_seconds_rejected_on_window_impl(spark, corpus):
+    _, sdf = corpus
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        range_agg(spine_of(sdf), sdf, window_seconds=W,
+                  aggs={"n": ("count", "*")}, chunk_seconds=60.0)

@@ -557,3 +557,47 @@ def test_interval_join_numeric_ts(spark):
                  interval_join(ev, iv, chunk_seconds=2.0).collect())
     assert got == [(2, "a"), (3, "a"), (4, "a"), (4, "b"), (5, "a"),
                    (5, "b"), (6, "b"), (7, "b"), (8, "b")]
+
+
+# --------------------------------------------------------------------------
+# validity_intervals: change events -> SCD-2 validity spans
+
+
+def test_validity_intervals_lead_semantics(spark, sdfs):
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import validity_intervals
+
+    _, c = sdfs
+    iv = validity_intervals(c, on="conv_id", ts="ts")
+    pdf = iv.orderBy("conv_id", "ts").toPandas()
+    for _, g in pdf.groupby("conv_id"):
+        starts = g["start_ts"].tolist()
+        ends = g["end_ts"].tolist()
+        assert starts == g["ts"].tolist()
+        assert ends[:-1] == starts[1:]   # chained: end = next start
+        assert pd.isna(ends[-1])         # last version open
+
+
+def test_validity_plus_interval_join_equals_asof(spark, sdfs):
+    """The SCD composition is the join-side dual of backward as-of:
+    label each turn by the version valid at its ts (open ends coalesced
+    to a far horizon; end exclusive -> closed='left')."""
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import interval_join, validity_intervals
+
+    t, c = sdfs
+    iv = validity_intervals(c, on="conv_id", ts="ts").withColumn(
+        "end_ts", F.coalesce("end_ts", F.lit("2100-01-01").cast("timestamp")))
+    via_iv = interval_join(
+        t.select("conv_id", "turn_idx", "ts"),
+        iv.select("conv_id", "start_ts", "end_ts", "ctx_score"),
+        closed="left", chunk_seconds=86400.0 * 365)
+    via_asof = asof_join(t, c, right_cols=["ctx_score"])
+    a = sorted((r["conv_id"], r["turn_idx"], r["ctx_score"])
+               for r in via_iv.collect())
+    b = sorted((r["conv_id"], r["turn_idx"], r["ctx_score"])
+               for r in via_asof.collect()
+               if r["ctx_score"] is not None)
+    assert a == b

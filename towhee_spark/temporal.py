@@ -906,6 +906,8 @@ def range_agg(
     impl: str = "window",
     spine_id: str | Sequence[str] | None = None,
     broadcast_result: bool | None = None,
+    chunk_seconds: float | None = None,
+    broadcast_carry: bool | None = True,
 ) -> DataFrame:
     """Trailing range-window feature aggregates: for every spine row,
     aggregate the events whose timestamp falls in ``[spine_ts - w,
@@ -955,10 +957,14 @@ def range_agg(
     (right when the spine is small vs events), False forces shuffle
     merge, None lets AQE pick.
 
-    Skew: both impls partition the sweep by key. For mega-keys the prefix
-    impl composes with value-chunking the same way as
-    :func:`chunked_row_number` (a future chunk_seconds= hook); the window
-    impl serializes a mega-key like any bare-key window.
+    Skew: the window impl serializes a mega-key like any bare-key
+    window. The prefix impl takes ``chunk_seconds=`` (the chunked-family
+    convention): running sums become LOCAL per (key, value-chunk of ts)
+    and each chunk adds an exclusive prefix carry of the tiny per-chunk
+    totals frame (joined back via :func:`carry_join`, hinted by
+    ``broadcast_carry``) — a mega-key fans out across its chunks with
+    identical results (unit-pinned; the chunked gate shares the
+    unchunked oracle).
 
     Reference parity: Towhee's `time_window` (towhee/runtime/nodes/
     _window.py) aggregates a stream into fixed windows; `range_agg` is the
@@ -980,6 +986,11 @@ def range_agg(
         e_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType))
 
     if impl == "window":
+        if chunk_seconds is not None:
+            raise ValueError(
+                "range_agg: chunk_seconds= is the prefix impl's hot-key "
+                "path (a value-range window frame cannot chunk); use "
+                "impl='prefix'")
         if not is_time or not isinstance(
                 s_dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             raise ValueError(
@@ -1001,7 +1012,8 @@ def range_agg(
                 f"not invertible over a prefix sweep — use impl='window'")
         return _range_agg_prefix(
             spine, events, keys, ts, s_ts, w, specs, include_current,
-            _as_list(spine_id), broadcast_result)
+            _as_list(spine_id), broadcast_result, chunk_seconds,
+            broadcast_carry)
     raise ValueError(f"range_agg: unknown impl {impl!r}")
 
 
@@ -1045,7 +1057,8 @@ def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
 
 
 def _range_agg_prefix(spine, events, keys, ts, s_ts, w, specs,
-                      include_current, sid, broadcast_result):
+                      include_current, sid, broadcast_result,
+                      chunk_seconds=None, broadcast_carry=True):
     from pyspark.sql import types as T  # noqa: PLC0415
 
     e_dtype = events.schema[ts].dataType
@@ -1101,15 +1114,47 @@ def _range_agg_prefix(spine, events, keys, ts, s_ts, w, specs,
         *sid_extra, *null_contrib)
 
     u = ev.unionByName(probes)
-    sweep = (
-        Window.partitionBy(*keys).orderBy("__ra_t", "__ra_tie")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cums = []
-    for i in range(len(specs)):
-        cums.append(F.sum(f"__ra_c{i}").over(sweep).alias(f"__cum_c{i}"))
-        cums.append(F.sum(f"__ra_x{i}").over(sweep).alias(f"__cum_x{i}"))
-    swept = u.select(*keys, "__ra_kind", *sid_extra, *cums) \
-        .where(F.col("__ra_kind").isNotNull())
+    pairs = [f"__ra_{x}{i}" for i in range(len(specs)) for x in ("c", "x")]
+    if chunk_seconds is None:
+        sweep = (
+            Window.partitionBy(*keys).orderBy("__ra_t", "__ra_tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cums = [F.sum(c).over(sweep).alias(f"__cum{c}") for c in pairs]
+        swept = u.select(*keys, "__ra_kind", *sid_extra, *cums) \
+            .where(F.col("__ra_kind").isNotNull())
+    else:
+        # hot-key path: LOCAL running sums per (key, value-chunk of the
+        # numeric sweep time) + an exclusive prefix carry of the tiny
+        # per-chunk totals (built from the UNION so every probe's chunk
+        # exists even when it holds no events) — chunked_row_number's
+        # shape with K summed columns. Probe rows contribute NULL to the
+        # totals, so the carry is events-only by construction.
+        step = (F.lit(int(round(chunk_seconds * 1_000_000))) if is_time
+                else F.lit(float(chunk_seconds)))
+        uc = u.withColumn("__ra_ck", F.floor(F.col("__ra_t") / step))
+        w_local = (
+            Window.partitionBy(*keys, "__ra_ck")
+            .orderBy("__ra_t", "__ra_tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        local = uc.select(
+            *keys, "__ra_ck", "__ra_kind", *sid_extra,
+            *[F.sum(c).over(w_local).alias(f"__loc{c}") for c in pairs])
+        totals = uc.groupBy(*keys, "__ra_ck").agg(
+            *[F.sum(c).alias(f"__tot{c}") for c in pairs])
+        w_carry = (
+            Window.partitionBy(*keys).orderBy("__ra_ck")
+            .rowsBetween(Window.unboundedPreceding, -1))
+        carry = totals.select(
+            *keys, "__ra_ck",
+            *[F.coalesce(F.sum(f"__tot{c}").over(w_carry), F.lit(0))
+              .alias(f"__car{c}") for c in pairs])
+        swept = carry_join(
+            local.where(F.col("__ra_kind").isNotNull()),
+            carry, [*keys, "__ra_ck"], broadcast=broadcast_carry)
+        swept = swept.select(
+            *keys, "__ra_kind", *sid_extra,
+            *[(F.coalesce(F.col(f"__loc{c}"), F.lit(0))
+               + F.col(f"__car{c}")).alias(f"__cum{c}") for c in pairs])
 
     def at(kind, c):
         return F.max(F.when(F.col("__ra_kind") == kind,
@@ -1117,9 +1162,9 @@ def _range_agg_prefix(spine, events, keys, ts, s_ts, w, specs,
 
     aggd = swept.groupBy(*sid).agg(*[
         x for i in range(len(specs)) for x in (
-            (at("hi", f"__cum_c{i}") - at("lo", f"__cum_c{i}"))
+            (at("hi", f"__cum__ra_c{i}") - at("lo", f"__cum__ra_c{i}"))
             .alias(f"__n{i}"),
-            (at("hi", f"__cum_x{i}") - at("lo", f"__cum_x{i}"))
+            (at("hi", f"__cum__ra_x{i}") - at("lo", f"__cum__ra_x{i}"))
             .alias(f"__s{i}"),
         )])
     out_cols = []
@@ -1410,3 +1455,40 @@ def interval_join(
             out_names[c],
             F.lit(None).cast(intervals.schema[c].dataType))
     return pairs.unionByName(unmatched)
+
+
+def validity_intervals(
+    df: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Turn a change-event stream into SCD-2-style validity intervals:
+    each row becomes valid from its own timestamp until JUST BEFORE the
+    key's next change — ``start = ts``, ``end = lead(ts)`` with the last
+    change left open (``end`` NULL = still current). Composes with
+    :func:`interval_join` (label events by the dimension version valid
+    when they happened — the join-side dual of :func:`asof_join`, useful
+    when the versioned dimension is built once and probed many times) and
+    with :func:`range_agg` spines.
+
+    ``end`` is EXCLUSIVE by construction (the next version starts exactly
+    there): probe containment with ``closed='left'``. One window (one
+    shuffle), zero Python. ``order_extra`` breaks ties among equal-ts
+    changes (the repo's (ts, turn_idx) convention); with ties left
+    unbroken the interval chain is still well-formed but version order
+    among the ties is engine-dependent.
+
+    An open ``end`` (NULL) cannot be chunk-decomposed by interval_join
+    (unbounded span — and its inverted-interval filter drops NULL
+    bounds): coalesce open ends to a horizon timestamp first, e.g.
+    ``F.coalesce(end_ts, F.lit(horizon))``.
+    """
+    keys = _as_list(on)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts), *[F.col(c) for c in order_extra])
+    out = df.withColumn(start, F.col(ts)).withColumn(
+        end, F.lead(ts).over(w))
+    return out
