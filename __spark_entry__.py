@@ -1204,6 +1204,21 @@ def _range_features(spark, sf_dir, impl):
     return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
 
 
+def q_hll_sliding(spark, sf_dir):
+    # sliding-window distinct sketches (sketches.hll_sliding): per role,
+    # the HLL registers of distinct texts over the trailing 4 hourly
+    # buckets — per-bucket sketch + explode-to-covered-buckets re-max
+    # (register max == set-union merge). Exact integers under the
+    # cross-engine md5 contract; the oracle is the INDEPENDENT range-join
+    # formulation over the raw register rows.
+    from towhee_spark.functions import sketches  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return sketches.hll_sliding(
+        t, "text", by=["role"], ts="ts", bucket_seconds=3600.0,
+        window_buckets=4, p=5)
+
+
 def q_scd_intervals(spark, sf_dir):
     # SCD-2 validity spans (temporal.validity_intervals): each context
     # change is valid [its ts, next change) per conversation; last
@@ -1938,6 +1953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_enrich": q_pit_enrich,
         "interval_label": q_interval_label,
         "scd_intervals": q_scd_intervals,
+        "hll_sliding": q_hll_sliding,
         "tree_flatten": q_tree_flatten,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
@@ -2349,6 +2365,24 @@ def _oracle_sql() -> dict[str, str]:
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
         "data_card": _data_card_sql(),
+        "hll_sliding": f"""{_CTE},
+            hh AS (SELECT role,
+                          CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)
+                              AS hb,
+                          {_hash60_sql("text", "hll")} AS h
+                   FROM transcripts WHERE text IS NOT NULL),
+            rr AS (SELECT role, hb, CAST(h & 31 AS INT) AS reg,
+                          h >> 5 AS rem
+                   FROM hh),
+            bk AS (SELECT DISTINCT role, hb AS bucket FROM hh)
+            SELECT b.role, b.bucket, r.reg,
+                   CAST(MAX(CASE WHEN r.rem = 0 THEN 56
+                            ELSE 56 - length(bin(r.rem)) END) AS INT) AS mx
+            FROM bk b JOIN rr r
+              ON r.role = b.role
+             AND r.hb > b.bucket - 4 AND r.hb <= b.bucket
+            GROUP BY b.role, b.bucket, r.reg
+        """,
         "scd_intervals": f"""{_CTE}
             SELECT conv_id, ctx_label, epoch_us(ts) AS s_us,
                    epoch_us(lead(ts) OVER (

@@ -288,6 +288,7 @@ def main() -> None:
         "pit_enrich",
         "interval_label",
         "scd_intervals",
+        "hll_sliding",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

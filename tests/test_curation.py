@@ -579,3 +579,75 @@ def test_data_card_hand_computed(spark):
     ).executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_hll_sliding_equals_per_bucket_window_build(spark):
+    """The exploded re-max must equal building a sketch directly over
+    each trailing window's raw rows (register max == set-union merge),
+    including buckets where a register sees no NEW value (carryover)."""
+    import datetime
+
+    from towhee_spark.functions import sketches
+
+    base = datetime.datetime(2026, 3, 1)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(40):
+            # bursty: values repeat across buckets, some buckets sparse
+            if (i + (g == "b")) % 5 == 3:
+                continue
+            rows.append((g, base + datetime.timedelta(hours=i),
+                         f"u{(i * 7 + (g == 'b') * 3) % 11}"))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v string")
+    p, k = 5, 4
+    got = sorted(tuple(r) for r in sketches.hll_sliding(
+        df, "v", by=["g"], ts="ts", bucket_seconds=3600.0,
+        window_buckets=k, p=p).collect())
+
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import _chunk_id
+
+    hb = df.withColumn(
+        "__hb", _chunk_id("ts", df.schema["ts"].dataType, 3600.0)
+        .cast("long"))
+    buckets = [r["__hb"] for r in
+               hb.select("__hb").distinct().collect()]
+    exp = []
+    for b in sorted(set(buckets)):
+        w = hb.where((F.col("__hb") > b - k) & (F.col("__hb") <= b))
+        sk = sketches.hll_build(w, "v", by=["g"], p=p)
+        for r in sk.collect():
+            # emit='existing': only (g, b) pairs with events in bucket b
+            if hb.where((F.col("g") == r["g"])
+                        & (F.col("__hb") == b)).count() > 0:
+                exp.append((r["g"], b, r["reg"], r["mx"]))
+    assert got == sorted(exp)
+
+
+def test_hll_sliding_covered_and_estimate(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from towhee_spark.functions import sketches
+
+    base = datetime.datetime(2026, 3, 1)
+    rows = [("g", base + datetime.timedelta(hours=h), f"u{v}")
+            for h, v in [(0, 1), (0, 2), (1, 2), (5, 3)]]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v string")
+    cov = sketches.hll_sliding(df, "v", by=["g"], window_buckets=3, p=5,
+                               emit="covered")
+    ex = sketches.hll_sliding(df, "v", by=["g"], window_buckets=3, p=5)
+    cov_b = {r["bucket"] for r in cov.select("bucket").distinct().collect()}
+    ex_b = {r["bucket"] for r in ex.select("bucket").distinct().collect()}
+    assert ex_b < cov_b  # covered includes trailing empty buckets
+    # estimates over the sliding sketch: distinct in (bucket-2..bucket]
+    est = {r["bucket"]: r["n_distinct"] for r in sketches.hll_estimate(
+        ex, by=["g", "bucket"], p=5).collect()}
+    b0 = min(est)
+    assert est[b0] >= 2       # u1, u2 in bucket 0 (small-range exact-ish)
+    with pytest.raises(ValueError, match="window_buckets"):
+        sketches.hll_sliding(df, "v", window_buckets=0)
+    with pytest.raises(ValueError, match="emit"):
+        sketches.hll_sliding(df, "v", emit="dense")

@@ -220,3 +220,66 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
     return g.select(*keys, F.round(est).cast("long").alias(out_col))
+
+
+def hll_sliding(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    ts: str = "ts",
+    bucket_seconds: float = 3600.0,
+    window_buckets: int = 24,
+    p: int = 8,
+    salt: str = "hll",
+    emit: str = "existing",
+) -> DataFrame:
+    """Sliding-window distinct-count sketches: for every (group, time
+    bucket), the HLL registers of ``count(DISTINCT value_col)`` over the
+    TRAILING ``window_buckets`` buckets — "distinct users in the last
+    24 h, hourly" — computed WITHOUT rescanning the window per bucket.
+
+    Mechanics: one per-bucket :func:`hll_build` (map-side-combined, ≤2^p
+    rows per (group, bucket)), then each register row is exploded to the
+    ≤ ``window_buckets`` target buckets whose trailing window covers it
+    and re-maxed per (group, target bucket, reg) — register max commutes
+    with set union, so the re-max IS the window merge. Work is
+    O(sketch rows · window_buckets), independent of corpus size; no
+    window function re-scans raw data. A naive per-(group,reg) sliding
+    window over the sparse register rows would silently DROP carryover
+    registers at buckets where that register saw no new value — the
+    explode formulation keeps them.
+
+    ``emit='existing'`` (default) keeps only target buckets where the
+    group actually has events (sparse activity series, semi-join);
+    ``emit='covered'`` keeps every bucket any trailing window covers
+    (dense until sketches age out — no join).
+
+    Output: (*by, bucket:long, reg:int, mx:int) — exact integers under
+    the cross-engine md5 contract (gateable bit for bit, SQL-mergeable).
+    Feed to :func:`hll_estimate` with ``by=(*by, 'bucket')`` for the
+    float estimates (engine-side, the kmeans freeze split).
+    """
+    if window_buckets < 1:
+        raise ValueError("hll_sliding: window_buckets must be >= 1")
+    if emit not in ("existing", "covered"):
+        raise ValueError(f"hll_sliding: bad emit {emit!r}")
+    from towhee_spark.temporal import _chunk_id  # noqa: PLC0415
+
+    keys = list(by)
+    bucket = _chunk_id(ts, df.schema[ts].dataType, bucket_seconds)
+    base = df.withColumn("__hb", bucket.cast("long"))
+    sk = hll_build(base, value_col, by=[*keys, "__hb"], p=p, salt=salt)
+    spread = (
+        sk.select(
+            *keys, "reg", "mx",
+            F.explode(
+                F.sequence(F.col("__hb"),
+                           F.col("__hb") + F.lit(window_buckets - 1))
+            ).alias("bucket"))
+        .groupBy(*keys, "bucket", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+    if emit == "covered":
+        return spread
+    existing = base.select(*keys, F.col("__hb").alias("bucket")).distinct()
+    return spread.join(existing, [*keys, "bucket"], "left_semi")
