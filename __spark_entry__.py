@@ -1204,6 +1204,28 @@ def _range_features(spark, sf_dir, impl):
     return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
 
 
+def q_last_k_ctx(spark, sf_dir):
+    # last-k context gathering (temporal.last_k_join): for each
+    # assistant turn, the 3 most recent context rows at or before its
+    # ts, exploded to (pos, label, ts, score) rows. One union sweep
+    # ranks events AND reads each spine row's as-of rank; the gather is
+    # a rank-bucketed equi-join (≤2× duplication, no per-key cartesian).
+    # Oracle = INDEPENDENT formulation: rank CTE + ASOF join for rn* +
+    # a direct rank-range join.
+    t, c = _t_c(spark, sf_dir)
+    sp = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    got = temporal.last_k_join(sp, c, k=3)
+    ex = got.select(
+        "conv_id", "turn_idx",
+        F.posexplode("ctx").alias("pos", "__e"))
+    return ex.select(
+        "conv_id", "turn_idx", F.col("pos").cast("int").alias("pos"),
+        F.col("__e.ctx_label").alias("ctx_label"),
+        epoch_us(F.col("__e.__rts")).alias("c_us"),
+        F.col("__e.ctx_score").alias("ctx_score"))
+
+
 def q_hll_sliding(spark, sf_dir):
     # sliding-window distinct sketches (sketches.hll_sliding): per role,
     # the HLL registers of distinct texts over the trailing 4 hourly
@@ -1954,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_label": q_interval_label,
         "scd_intervals": q_scd_intervals,
         "hll_sliding": q_hll_sliding,
+        "last_k_ctx": q_last_k_ctx,
         "tree_flatten": q_tree_flatten,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
@@ -2365,6 +2388,23 @@ def _oracle_sql() -> dict[str, str]:
         "hll_registers": _hll_registers_sql(norm, p=6),
         "curriculum": _curriculum_sql(n_buckets=4),
         "data_card": _data_card_sql(),
+        "last_k_ctx": f"""{_CTE},
+            ranked AS (SELECT conv_id, ts, ctx_score, ctx_label,
+                              row_number() OVER (PARTITION BY conv_id
+                                                 ORDER BY ts) AS rn
+                       FROM context),
+            star AS (SELECT t.conv_id, t.turn_idx, r.rn AS rn_star
+                     FROM (SELECT conv_id, turn_idx, ts FROM transcripts
+                           WHERE role = 'assistant') t
+                     ASOF LEFT JOIN ranked r
+                       ON t.conv_id = r.conv_id AND t.ts >= r.ts)
+            SELECT s.conv_id, s.turn_idx,
+                   CAST(r.rn - GREATEST(1, s.rn_star - 2) AS INT) AS pos,
+                   r.ctx_label, epoch_us(r.ts) AS c_us, r.ctx_score
+            FROM star s JOIN ranked r
+              ON r.conv_id = s.conv_id
+             AND r.rn <= s.rn_star AND r.rn > s.rn_star - 3
+        """,
         "hll_sliding": f"""{_CTE},
             hh AS (SELECT role,
                           CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT)

@@ -289,6 +289,7 @@ def main() -> None:
         "interval_label",
         "scd_intervals",
         "hll_sliding",
+        "last_k_ctx",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

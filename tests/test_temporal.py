@@ -601,3 +601,70 @@ def test_validity_plus_interval_join_equals_asof(spark, sdfs):
                for r in via_asof.collect()
                if r["ctx_score"] is not None)
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# last_k_join: gather the last k events before each spine row
+
+
+def test_last_k_join_vs_python_reference(spark, corpus, sdfs):
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import last_k_join
+
+    t, c = sdfs
+    sp = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    byc = collections.defaultdict(list)
+    for r in sorted((r["conv_id"], r["ts"], r["ctx_score"])
+                    for r in c.collect()):
+        byc[r[0]].append((r[1], r[2]))
+    for allow_exact in (True, False):
+        got = last_k_join(sp, c, k=3, allow_exact_matches=allow_exact,
+                          value_cols=["ctx_score"])
+        for r in got.collect():
+            if allow_exact:
+                evs = [e for e in byc[r["conv_id"]] if e[0] <= r["ts"]]
+            else:
+                evs = [e for e in byc[r["conv_id"]] if e[0] < r["ts"]]
+            exp = evs[-3:]
+            act = [(x["__rts"], x["ctx_score"]) for x in r["ctx"]]
+            assert act == exp, (r["conv_id"], r["turn_idx"], allow_exact)
+
+
+def test_last_k_join_k1_equals_asof(spark, sdfs):
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import last_k_join
+
+    t, c = sdfs
+    sp = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    k1 = {(r["conv_id"], r["turn_idx"]):
+          (r["ctx"][0]["ctx_score"] if r["ctx"] else None)
+          for r in last_k_join(sp, c, k=1,
+                               value_cols=["ctx_score"]).collect()}
+    ref = {(r["conv_id"], r["turn_idx"]): r["ctx_score"]
+           for r in asof_join(sp, c, right_cols=["ctx_score"]).collect()}
+    assert k1 == ref
+
+
+def test_last_k_join_validation(spark, sdfs):
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import last_k_join
+
+    t, c = sdfs
+    sp = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    with pytest.raises(ValueError, match="k must be"):
+        last_k_join(sp, c, k=0)
+    with pytest.raises(ValueError, match="already"):
+        last_k_join(sp.withColumn("ctx", F.lit(1)), c)
+    # spine rows before any event get an EMPTY array, never NULL
+    empt = last_k_join(sp, c.where(F.lit(False)), k=2)
+    rows = empt.collect()
+    assert len(rows) == sp.count()
+    assert all(r["ctx"] == [] for r in rows)

@@ -20,8 +20,8 @@ from towhee_spark.pipelines import pipeline, register_pipeline
 from towhee_spark.registry import ops, register
 from towhee_spark.serve import APIService
 from towhee_spark.temporal import (
-    asof_join, bfill, interval_join, lag_lead, locf, point_in_time_enrich,
-    range_agg, sessionize, validity_intervals)
+    asof_join, bfill, interval_join, lag_lead, last_k_join, locf,
+    point_in_time_enrich, range_agg, sessionize, validity_intervals)
 
 __version__ = "0.1.0"
 
@@ -47,6 +47,7 @@ __all__ = [
     "range_agg",
     "point_in_time_enrich",
     "interval_join",
+    "last_k_join",
     "validity_intervals",
     "repartition_by_key",
     "APIService",

@@ -1492,3 +1492,103 @@ def validity_intervals(
     out = df.withColumn(start, F.col(ts)).withColumn(
         end, F.lead(ts).over(w))
     return out
+
+
+def last_k_join(
+    spine: DataFrame,
+    events: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    k: int = 3,
+    spine_id: str | Sequence[str] = ("conv_id", "turn_idx"),
+    value_cols: Sequence[str] | None = None,
+    spine_ts: str | None = None,
+    allow_exact_matches: bool = True,
+    order_extra: Sequence[str] = (),
+    out: str = "ctx",
+) -> DataFrame:
+    """Gather the LAST ``k`` events at or before each spine row's
+    timestamp (``<`` with ``allow_exact_matches=False``) into one array
+    column — cross-table context assembly ("the 3 most recent context
+    snapshots as of this turn"), the k-generalization of backward
+    :func:`asof_join` (k=1 ≡ its match). Output: spine columns +
+    ``out`` = array<struct<__rts, value cols…>> in CHRONOLOGICAL order
+    (oldest of the k first — prompt order), empty array when no event
+    precedes.
+
+    One union sweep ranks events and reads each spine row's as-of rank
+    rn* in the SAME window pass (rn = running count of event rows); the
+    gather is then a rank-BUCKETED equi-join — each event serves targets
+    with rn* ∈ [rn, rn+k−1], which spans at most two k-wide rank
+    buckets, so events duplicate ≤2× and no per-key cartesian ever
+    forms. collect_list holds ≤ k structs per spine row (bounded,
+    sort_array-ordered — collect_list alone has no order guarantee).
+
+    ``spine_id`` must uniquely identify spine rows (the gather pairs
+    back by VALUE — the range_agg prefix convention). ``order_extra``
+    breaks rank ties among equal-ts events deterministically; without it
+    duplicate (key, ts) event ranks are engine-dependent (keep event
+    tables unique per (key, ts) for oracle-exact results). Hot keys: the
+    ranking sweep is a bare-key window (mega-key serializes — the
+    chunked_row_number treatment is the escape hatch if one appears).
+    """
+    if k < 1:
+        raise ValueError("last_k_join: k must be >= 1")
+    keys = _as_list(on)
+    sid = _as_list(spine_id)
+    s_ts = spine_ts or ts
+    rcols = list(value_cols) if value_cols else [
+        c for c in events.columns if c not in set(keys) | {ts}]
+    if out in spine.columns:
+        raise ValueError(f"last_k_join: output column {out!r} already "
+                         f"exists on the spine")
+    sid_extra = [c for c in sid if c not in keys]
+
+    pay = F.struct(F.col(ts).alias("__rts"),
+                   *[F.col(c) for c in rcols])
+    ev = events.select(
+        *keys, F.col(ts).alias("__lk_t"), F.lit(0).alias("__lk_tie"),
+        *[F.col(c) for c in order_extra],
+        pay.alias("__lk_pay"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
+          for c in sid_extra])
+    pay_t = ev.schema["__lk_pay"].dataType
+    sp_tie = 1 if allow_exact_matches else -1
+    sp = spine.select(
+        *keys, F.col(s_ts).alias("__lk_t"), F.lit(sp_tie).alias("__lk_tie"),
+        *[F.lit(None).cast(events.schema[c].dataType).alias(c)
+          for c in order_extra],
+        F.lit(None).cast(pay_t).alias("__lk_pay"),
+        *sid_extra)
+    u = ev.unionByName(sp)
+    sweep = (
+        Window.partitionBy(*keys)
+        .orderBy("__lk_t", "__lk_tie",
+                 *[F.col(c) for c in order_extra])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = u.select(
+        *keys, "__lk_tie", "__lk_pay", *sid_extra,
+        F.sum(F.when(F.col("__lk_tie") == 0, 1).otherwise(0))
+        .over(sweep).alias("__lk_rn"))
+
+    evr = ranked.where(F.col("__lk_tie") == 0).select(
+        *keys, "__lk_rn", "__lk_pay",
+        F.explode(F.array(
+            F.floor((F.col("__lk_rn") - 1) / k),
+            F.floor((F.col("__lk_rn") - 1) / k) + 1)).alias("__lk_b"))
+    probes = ranked.where(F.col("__lk_tie") != 0).select(
+        *keys, *sid_extra, F.col("__lk_rn").alias("__lk_star"),
+        F.floor((F.col("__lk_rn") - 1) / k).alias("__lk_b"))
+    gathered = (
+        probes.join(evr, on=[*keys, "__lk_b"], how="inner")
+        .where((F.col("__lk_rn") <= F.col("__lk_star"))
+               & (F.col("__lk_rn") > F.col("__lk_star") - k))
+        .groupBy(*sid)
+        .agg(F.transform(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("__lk_rn").alias("r"),
+                         F.col("__lk_pay").alias("p")))),
+            lambda x: x["p"]).alias(out)))
+    res = carry_join(spine, gathered, sid, broadcast=None)
+    return res.withColumn(
+        out, F.coalesce(F.col(out), F.array().cast(f"array<{pay_t.simpleString()}>")))
