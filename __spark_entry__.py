@@ -1942,33 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bias": q_length_bias,
         "refusals": q_refusals,
         "truncate_context_chunked": q_truncate_context_chunked,
-        # --- 21 stalest keys (last driver-covered r03) fill the window ---
-        "bfill_chunked": q_bfill_chunked,
-        "sessionize": q_sessionize,
-        "sessionize_chunked": q_sessionize_chunked,
-        "session_stats": q_session_stats,
-        "towhee_map": q_towhee_map,
-        "towhee_filter": q_towhee_filter,
-        "towhee_flat_map": q_towhee_flat_map,
-        "towhee_window_count": q_towhee_window_count,
-        "towhee_window_sliding": q_towhee_window_sliding,
-        "towhee_window_sliding_chunked": q_towhee_window_sliding_chunked,
-        "towhee_time_window": q_towhee_time_window,
-        "towhee_time_window_exact": q_towhee_time_window_exact,
-        "towhee_time_window_exact_chunked": q_towhee_time_window_exact_chunked,
-        "towhee_reduce": q_towhee_reduce,
-        "towhee_concat": q_towhee_concat,
-        "dedup_ngram_capped": q_dedup_ngram_capped,
-        "scan_topk": q_scan_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "chunk_text": q_chunk_text,
-        "rag_search": q_rag_search,
-        "rag_search_lsh": q_rag_search_lsh,
-        # --- past the 50-entry driver window. range_features* are NEW
-        # --- this session (replica-verified; rotate into the window in
-        # --- r06); every other key below has a green driver artifact
-        # --- (r03 or r04) and is replica-re-verified each round via
-        # --- tools/check_correctness.py ---
+        # --- 9 never-driver-covered keys added later this round (the
+        # --- range/point-in-time/tree temporal batch) ---
         "range_features": q_range_features,
         "range_features_prefix": q_range_features_prefix,
         "range_features_prefix_chunked": q_range_features_prefix_chunked,
@@ -1978,6 +1953,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding": q_hll_sliding,
         "last_k_ctx": q_last_k_ctx,
         "tree_flatten": q_tree_flatten,
+        # --- 12 stalest previously-covered keys (last driver-covered r03)
+        # --- fill the window; the displaced towhee-core ops are the keys
+        # --- most heavily pinned by pytest + compat goldens ---
+        "bfill_chunked": q_bfill_chunked,
+        "sessionize": q_sessionize,
+        "sessionize_chunked": q_sessionize_chunked,
+        "towhee_window_sliding_chunked": q_towhee_window_sliding_chunked,
+        "towhee_time_window_exact": q_towhee_time_window_exact,
+        "towhee_time_window_exact_chunked": q_towhee_time_window_exact_chunked,
+        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "scan_topk": q_scan_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "chunk_text": q_chunk_text,
+        "rag_search": q_rag_search,
+        "rag_search_lsh": q_rag_search_lsh,
+        # --- past the 50-entry driver window: every key below has a green
+        # --- driver artifact (r03 or r04) and is replica-re-verified each
+        # --- round via tools/check_correctness.py ---
+        "session_stats": q_session_stats,
+        "towhee_map": q_towhee_map,
+        "towhee_filter": q_towhee_filter,
+        "towhee_flat_map": q_towhee_flat_map,
+        "towhee_window_count": q_towhee_window_count,
+        "towhee_window_sliding": q_towhee_window_sliding,
+        "towhee_time_window": q_towhee_time_window,
+        "towhee_reduce": q_towhee_reduce,
+        "towhee_concat": q_towhee_concat,
         "text_repetition": q_text_repetition,
         "simhash_weighted": q_simhash_weighted,
         "pii_scrub": q_pii_scrub,
