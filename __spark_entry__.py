@@ -1896,6 +1896,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def q_target_encoding(spark, sf_dir):
+    # smoothed mean-target category table (features.target_stats): the
+    # classic high-cardinality encoder as one exact integer ratio
+    # (s·N + m·S)/((n+m)·N·2^20) with a single ROUND-6 division.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return fe.target_stats(ev, "event_type", "value", smoothing=20)
+
+
+def q_target_encoding_loo(spark, sf_dir):
+    # leave-one-out row-level target encoding — the anti-leakage
+    # training-fold variant; NULL labels fall back to the plain encoding.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = fe.target_encode(ev, "event_type", "value", smoothing=20, loo=True)
+    return out.select("event_id", "event_type", "value", "te")
+
+
+def q_hashed_features(spark, sf_dir):
+    # hashing-trick sparse features over mixed categorical/numeric
+    # columns; hash60 indexes and signs reproduce bit-for-bit in SQL.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fe.feature_hash(
+        docs, "doc_id", ["lang", "source", "n_chars"],
+        n_features=64, numeric=["n_chars"],
+    )
+
+
+def q_scaled_features(spark, sf_dir):
+    # z-score within event_type + global min-max in one frame; the fit
+    # stats are ROUND-6 doubles from exact frozen-integer aggregates, so
+    # the apply projection evaluates identically on both engines.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = fe.scale(ev, "value", method="zscore", by="event_type", out_col="z")
+    out = fe.scale(out, "value", method="minmax", out_col="mm")
+    return out.select("event_id", "z", "mm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round correctness run covers the FIRST
     # 50 entries. Rotation policy: keys that have NEVER appeared in a driver
@@ -2049,6 +2093,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_chunked": q_asof_chunked,
         "bfill": q_bfill,
         "lag_lead_chunked": q_lag_lead_chunked,
+        # --- tabular feature-engineering batch (this session; replica
+        # --- evidence via tools/check_correctness.py) ---
+        "target_encoding": q_target_encoding,
+        "target_encoding_loo": q_target_encoding_loo,
+        "hashed_features": q_hashed_features,
+        "scaled_features": q_scaled_features,
     }
 
 
@@ -2663,6 +2713,96 @@ def _oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text_len, len_lag1, tool_ff,
                    session_seq, ctx_score
             FROM sess""",
+        # --- tabular feature engineering (functions/features.py). All
+        # --- aggregates are exact integers (labels frozen to
+        # --- ROUND(x·2^20) BIGINTs, HUGEINT sums on the DuckDB side,
+        # --- DECIMAL(38,0) on Spark's) and every float output is ONE
+        # --- ROUND-6 division with identical operand shapes. ---
+        "target_encoding": """
+            WITH f AS (SELECT event_type,
+                              CAST(ROUND(value*1048576, 0) AS BIGINT) AS lf
+                       FROM events WHERE value IS NOT NULL),
+            g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS gn,
+                         CAST(SUM(lf) AS HUGEINT) AS gs FROM f),
+            c AS (SELECT event_type, COUNT(*) AS n,
+                         CAST(SUM(lf) AS HUGEINT) AS s
+                  FROM f GROUP BY event_type)
+            SELECT c.event_type, CAST(c.n AS BIGINT) AS n,
+                   ROUND(CAST(c.s*g.gn + 20*g.gs AS DOUBLE)
+                       / CAST(CAST(c.n + 20 AS HUGEINT)*g.gn*1048576 AS DOUBLE),
+                         6) AS te
+            FROM c CROSS JOIN g""",
+        "target_encoding_loo": """
+            WITH f AS (SELECT event_type,
+                              CAST(ROUND(value*1048576, 0) AS BIGINT) AS lf
+                       FROM events WHERE value IS NOT NULL),
+            g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS gn,
+                         CAST(SUM(lf) AS HUGEINT) AS gs FROM f),
+            c AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(lf) AS HUGEINT) AS s
+                  FROM f GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN (COALESCE(c.n, 0) - own_n + 20) > 0 THEN
+                     ROUND(CAST((COALESCE(c.s, 0) - own)*g.gn + 20*g.gs AS DOUBLE)
+                         / CAST((COALESCE(c.n, 0) - own_n + 20)*g.gn*1048576 AS DOUBLE),
+                           6)
+                   END AS te
+            FROM (SELECT event_id, event_type, value,
+                         CASE WHEN value IS NOT NULL
+                              THEN CAST(CAST(ROUND(value*1048576, 0) AS BIGINT) AS HUGEINT)
+                              ELSE 0 END AS own,
+                         CASE WHEN value IS NOT NULL
+                              THEN CAST(1 AS HUGEINT) ELSE 0 END AS own_n
+                  FROM events) e
+            LEFT JOIN c USING (event_type) CROSS JOIN g""",
+        "hashed_features": """
+            WITH raw AS (
+                SELECT doc_id AS id,
+                       ('0x' || substr(md5('lang=' || lang), 1, 15))::BIGINT AS h,
+                       CAST(1048576 AS BIGINT) AS w
+                FROM documents WHERE lang IS NOT NULL
+                UNION ALL
+                SELECT doc_id,
+                       ('0x' || substr(md5('source=' || source), 1, 15))::BIGINT,
+                       CAST(1048576 AS BIGINT)
+                FROM documents WHERE source IS NOT NULL
+                UNION ALL
+                SELECT doc_id,
+                       ('0x' || substr(md5('n_chars=' || CAST(n_chars AS VARCHAR)), 1, 15))::BIGINT,
+                       CAST(ROUND(n_chars*1048576, 0) AS BIGINT)
+                FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT id, (h >> 1) % 64 AS idx,
+                   ROUND(CAST(SUM((1 - 2*(h % 2)) * w) AS DOUBLE)
+                       / CAST(1048576 AS DOUBLE), 6) AS val
+            FROM raw GROUP BY id, (h >> 1) % 64""",
+        "scaled_features": """
+            WITH f AS (SELECT event_type,
+                              CAST(ROUND(value*1048576, 0) AS BIGINT) AS xf
+                       FROM events WHERE value IS NOT NULL),
+            zs AS (
+                SELECT event_type,
+                       ROUND(CAST(s AS DOUBLE)/CAST(n*1048576 AS DOUBLE), 6) AS mean6,
+                       ROUND(SQRT(ROUND(CAST(n*ss - s*s AS DOUBLE)
+                           / CAST(n*n*CAST(1048576 AS HUGEINT)*1048576 AS DOUBLE), 6)), 6) AS std6
+                FROM (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                             CAST(SUM(xf) AS HUGEINT) AS s,
+                             CAST(SUM(CAST(xf AS HUGEINT)*xf) AS HUGEINT) AS ss
+                      FROM f GROUP BY event_type)
+            ),
+            mm AS (
+                SELECT ROUND(CAST(MIN(xf) AS DOUBLE)/CAST(1048576 AS DOUBLE), 6) AS mn6,
+                       ROUND(CAST(MAX(xf) AS DOUBLE)/CAST(1048576 AS DOUBLE), 6) AS mx6
+                FROM f
+            )
+            SELECT e.event_id,
+                   CASE WHEN zs.std6 > 0
+                        THEN ROUND((CAST(e.value AS DOUBLE) - zs.mean6)/zs.std6, 6)
+                   END AS z,
+                   CASE WHEN (mm.mx6 - mm.mn6) > 0
+                        THEN ROUND((CAST(e.value AS DOUBLE) - mm.mn6)/(mm.mx6 - mm.mn6), 6)
+                   END AS mm
+            FROM events e LEFT JOIN zs USING (event_type) CROSS JOIN mm""",
     }
 
 

@@ -453,6 +453,18 @@ def main() -> None:
     timed_df("prod_domain_mixture", lambda: _cur.mixture_sample(
         docs, rates={"en": 0.4, "de": 2.25, "fr": 3.0, "zh": 1.6},
         strata_col="lang", default_rate=0.5))
+    # --- tabular feature engineering (functions/features.py) ---
+    from towhee_spark.functions import features as _fe
+    _ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed_df("target_encoding_loo",
+             lambda: _fe.target_encode(_ev, "event_type", "value",
+                                       smoothing=20, loo=True))
+    timed_df("hashed_features", lambda: _fe.feature_hash(
+        docs, "doc_id", ["lang", "source", "n_chars"],
+        n_features=64, numeric=["n_chars"]))
+    timed_df("scaled_features", lambda: _fe.scale(
+        _fe.scale(_ev, "value", "zscore", by="event_type", out_col="z"),
+        "value", method="minmax", out_col="mm"))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

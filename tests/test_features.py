@@ -1,0 +1,146 @@
+"""Tabular feature engineering: target encoding vs a Python reference
+(plain + leave-one-out), feature-hash determinism and collision summing,
+scaler fit/apply round trips, degenerate groups, and input validation."""
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from towhee_spark.functions import features as FE
+
+SCALE = 1 << 20
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        Row(i=0, cat="a", y=1.0),
+        Row(i=1, cat="a", y=3.0),
+        Row(i=2, cat="a", y=5.0),
+        Row(i=3, cat="b", y=10.0),
+        Row(i=4, cat="b", y=None),   # NULL label
+        Row(i=5, cat="c", y=7.0),    # singleton category
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+def _expect_te(rows, cat, m, own=None):
+    """Python reference of the exact frozen-integer formula."""
+    lf = {i: round(y * SCALE) for i, _, y in rows if y is not None}
+    big_n, big_s = len(lf), sum(lf.values())
+    cs = sum(v for (i, c, y), v in zip(rows, [lf.get(i) for i, _, _ in rows])
+             if c == cat and v is not None)
+    cn = sum(1 for i, c, y in rows if c == cat and y is not None)
+    o = lf.get(own, 0) if own is not None else 0
+    on = 1 if own in lf else 0
+    den = (cn - on + m) * big_n * SCALE
+    if cn - on + m <= 0:
+        return None
+    return round(((cs - o) * big_n + m * big_s) / den, 6)
+
+
+def test_target_stats_matches_reference(tiny):
+    rows = [(r.i, r.cat, r.y) for r in tiny.select("i", "cat", "y").collect()]
+    got = {r.cat: (r.n, r.te) for r in FE.target_stats(tiny, "cat", "y", 2).collect()}
+    assert got["a"][0] == 3 and got["b"][0] == 1 and got["c"][0] == 1
+    for c in ("a", "b", "c"):
+        assert got[c][1] == pytest.approx(_expect_te(rows, c, 2), abs=0)
+
+
+def test_target_encode_loo(tiny):
+    rows = [(r.i, r.cat, r.y) for r in tiny.select("i", "cat", "y").collect()]
+    out = {r.i: r.te for r in
+           FE.target_encode(tiny, "cat", "y", smoothing=2, loo=True).collect()}
+    for i, c, y in rows:
+        assert out[i] == pytest.approx(_expect_te(rows, c, 2, own=i), abs=0), i
+
+
+def test_target_encode_loo_singleton_zero_smoothing(tiny):
+    # singleton category + m=0 + LOO → denominator count 0 → NULL, not inf
+    out = {r.i: r.te for r in
+           FE.target_encode(tiny, "cat", "y", smoothing=0, loo=True).collect()}
+    assert out[5] is None
+    # the NULL-label row keeps the plain (all-rows) category encoding
+    assert out[4] is not None
+
+
+def test_target_encode_smoothing_validation(tiny):
+    with pytest.raises(ValueError, match="smoothing"):
+        FE.target_encode(tiny, "cat", "y", smoothing=1.5)  # type: ignore[arg-type]
+    with pytest.raises(ValueError, match="smoothing"):
+        FE.target_stats(tiny, "cat", "y", smoothing=-1)
+
+
+def test_feature_hash_deterministic_and_signed(spark):
+    df = spark.createDataFrame(
+        [Row(id=0, c="x", v=2.5), Row(id=1, c="x", v=None), Row(id=2, c=None, v=1.0)]
+    )
+    out = FE.feature_hash(df, "id", ["c", "v"], n_features=8, numeric=["v"])
+    rows = {(r.id, r.idx): r.val for r in out.collect()}
+    both = [v for (rid, idx), v in rows.items() if rid == 0]
+    # row 1 has only the categorical feature (v is NULL), row 2 only numeric
+    assert len([k for k in rows if k[0] == 1]) == 1
+    assert len([k for k in rows if k[0] == 2]) == 1
+    # categorical weight is ±1, numeric weight is ±value
+    v1 = [v for (rid, _), v in rows.items() if rid == 1][0]
+    assert abs(v1) == 1.0
+    v2 = [v for (rid, _), v in rows.items() if rid == 2][0]
+    assert abs(v2) == 1.0  # value 1.0
+    assert len(both) == 2 or len(both) == 1  # collision sums into one idx
+
+
+def test_feature_hash_collision_sums(spark):
+    # two equal values in the SAME row and column set cannot exist, but a
+    # numeric and categorical feature can collide on idx — force n_features=1
+    df = spark.createDataFrame([Row(id=0, c="x", v=4.0)])
+    out = FE.feature_hash(df, "id", ["c", "v"], n_features=1, numeric=["v"]).collect()
+    assert len(out) == 1 and out[0].idx == 0
+    # signs are ±1 per feature; sum is one of ±4±1
+    assert abs(out[0].val) in (3.0, 5.0)
+
+
+def test_feature_hash_validation(spark):
+    df = spark.createDataFrame([Row(id=0, c="x")])
+    with pytest.raises(ValueError, match="n_features"):
+        FE.feature_hash(df, "id", ["c"], n_features=0)
+    with pytest.raises(ValueError, match="numeric"):
+        FE.feature_hash(df, "id", ["c"], numeric=["nope"])
+
+
+def test_scaler_stats_exact(spark):
+    df = spark.createDataFrame([Row(g="a", x=float(v)) for v in (1, 2, 3, 4)]
+                               + [Row(g="b", x=5.0)])
+    st = {r.g: r for r in FE.scaler_stats(df, "x", by="g").collect()}
+    assert st["a"].mean == 2.5
+    assert st["a"].min == 1.0 and st["a"].max == 4.0
+    # population variance of 1..4 = 1.25
+    assert st["a"].std == pytest.approx(round(math.sqrt(1.25), 6), abs=0)
+    assert st["b"].std == 0.0
+
+
+def test_scale_zscore_and_minmax(spark):
+    df = spark.createDataFrame([Row(g="a", x=float(v)) for v in (1, 2, 3, 4)]
+                               + [Row(g="b", x=5.0)])
+    z = {(r.g, r.x): r.scaled for r in FE.scale(df, "x", "zscore", by="g").collect()}
+    sd = round(math.sqrt(1.25), 6)
+    assert z[("a", 1.0)] == pytest.approx(round((1 - 2.5) / sd, 6), abs=0)
+    assert z[("b", 5.0)] is None  # degenerate group → NULL, not inf
+    mm = {r.x: r.scaled for r in FE.scale(df, "x", "minmax").collect()}
+    assert mm[1.0] == 0.0 and mm[5.0] == 1.0 and mm[3.0] == 0.5
+
+
+def test_scale_with_prefit_stats(spark):
+    # train stats applied to a held-out split: the canonical fit/apply split
+    train = spark.createDataFrame([Row(x=0.0), Row(x=10.0)])
+    val = spark.createDataFrame([Row(x=5.0), Row(x=20.0)])
+    st = FE.scaler_stats(train, "x")
+    out = {r.x: r.scaled for r in
+           FE.scale(val, "x", "minmax", stats=st).collect()}
+    assert out[5.0] == 0.5 and out[20.0] == 2.0  # extrapolates beyond train max
+
+
+def test_scale_method_validation(spark):
+    df = spark.createDataFrame([Row(x=1.0)])
+    with pytest.raises(ValueError, match="method"):
+        FE.scale(df, "x", method="robust")
