@@ -1896,6 +1896,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def q_resampled(spark, sf_dir):
+    # irregular per-user series → hourly grid with linear interpolation
+    # (temporal.resample_grid); the oracle is the independent two-ASOF
+    # formulation, not a mirror of the union-window mechanics.
+    from towhee_spark import temporal as te  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return te.resample_grid(
+        ev, by="user_id", ts="ts", values=["value"],
+        every=3600.0, method="linear",
+    )
+
+
 def q_target_encoding(spark, sf_dir):
     # smoothed mean-target category table (features.target_stats): the
     # classic high-cardinality encoder as one exact integer ratio
@@ -2099,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding_loo": q_target_encoding_loo,
         "hashed_features": q_hashed_features,
         "scaled_features": q_scaled_features,
+        "resampled": q_resampled,
     }
 
 
@@ -2803,6 +2817,41 @@ def _oracle_sql() -> dict[str, str]:
                         THEN ROUND((CAST(e.value AS DOUBLE) - mm.mn6)/(mm.mx6 - mm.mn6), 6)
                    END AS mm
             FROM events e LEFT JOIN zs USING (event_type) CROSS JOIN mm""",
+        # temporal.resample_grid, linear: the INDEPENDENT two-ASOF-join
+        # formulation (backward >= picks the exact-time observation, the
+        # strict-< forward matches the engine's grid-after-event sort);
+        # duplicate (key, ts) observations resolve per column to MAX —
+        # the asof_join backward payload rule.
+        "resampled": """
+            WITH o AS (
+                SELECT user_id AS k, epoch_us(ts) AS us, MAX(value) AS v
+                FROM events WHERE ts IS NOT NULL
+                GROUP BY user_id, epoch_us(ts)
+            ),
+            b AS (SELECT k, MIN(us) AS mn, MAX(us) AS mx FROM o GROUP BY k),
+            g AS (
+                SELECT k, UNNEST(range(
+                    ((mn + 3600000000 - 1) // 3600000000) * 3600000000,
+                    (mx // 3600000000) * 3600000000 + 1,
+                    3600000000)) AS gus
+                FROM b
+                WHERE ((mn + 3600000000 - 1) // 3600000000) * 3600000000
+                      <= (mx // 3600000000) * 3600000000
+            ),
+            ob AS (SELECT * FROM o WHERE v IS NOT NULL),
+            p AS (SELECT g.k, g.gus, ob.us AS pus, ob.v AS pv
+                  FROM g ASOF LEFT JOIN ob
+                  ON g.k = ob.k AND g.gus >= ob.us),
+            n AS (SELECT g.k, g.gus, ob.us AS nus, ob.v AS nv
+                  FROM g ASOF LEFT JOIN ob
+                  ON g.k = ob.k AND g.gus < ob.us)
+            SELECT p.k AS user_id, p.gus AS grid_us,
+                   CASE WHEN p.pus = p.gus THEN p.pv
+                        ELSE ROUND(p.pv + (n.nv - p.pv) *
+                             (CAST(p.gus - p.pus AS DOUBLE)
+                              / CAST(n.nus - p.pus AS DOUBLE)), 6)
+                   END AS value
+            FROM p JOIN n ON p.k = n.k AND p.gus = n.gus""",
     }
 
 

@@ -465,6 +465,10 @@ def main() -> None:
     timed_df("scaled_features", lambda: _fe.scale(
         _fe.scale(_ev, "value", "zscore", by="event_type", out_col="z"),
         "value", method="minmax", out_col="mm"))
+    from towhee_spark import temporal as _te
+    timed_df("resampled_linear_1h", lambda: _te.resample_grid(
+        _ev, by="user_id", ts="ts", values=["value"],
+        every=3600.0, method="linear"))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

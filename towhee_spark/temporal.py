@@ -1592,3 +1592,132 @@ def last_k_join(
     res = carry_join(spine, gathered, sid, broadcast=None)
     return res.withColumn(
         out, F.coalesce(F.col(out), F.array().cast(f"array<{pay_t.simpleString()}>")))
+
+
+def resample_grid(
+    df: DataFrame,
+    by: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    values: Sequence[str] = ("value",),
+    every: float = 3600.0,
+    method: str = "linear",
+    max_grid_points: int = 1_000_000,
+) -> DataFrame:
+    """Resample each key's irregular series onto a fixed epoch-aligned
+    grid: one row per (key, grid tick) for ticks that are multiples of
+    ``every`` seconds inside the key's observed [min ts, max ts] span,
+    with each value column linearly interpolated between its two
+    neighboring observations (``method='linear'``) or carried forward
+    from the last one (``method='locf'``) — the standard
+    align-series-before-feature-extraction step the reference leaves to
+    user map() code (towhee/runtime/nodes/_map.py:21).
+
+    Semantics per value column, at grid time g:
+
+    * an observation exactly at g wins (both methods);
+    * linear: v = v_prev + (v_next − v_prev)·(g − t_prev)/(t_next −
+      t_prev) when BOTH neighbors exist, else NULL (no extrapolation);
+      the result is ROUND-6 of one multiply-add whose operand shape the
+      DuckDB oracle mirrors exactly;
+    * locf: v_prev (NULL before the first observation — only possible
+      at the first tick when it lands exactly on min ts of another
+      column);
+    * duplicate (key, ts) observations resolve per column to the MAX
+      value — the same direction-dependent rule asof_join backward uses
+      (backward carry ⇒ MAX payload).
+
+    Plan: per-key bounds aggregate → grid explode (guarded by an
+    in-plan assert at ``max_grid_points`` ticks per key — interval_join
+    convention) → union with the observations → ONE window sweep over
+    (key) ordered by (time, is_grid) computing the backward carry and
+    forward probe per column (two frames, one exchange). No per-row
+    Python, no self-join; hot keys fan out with the series length only
+    through the single sort.
+
+    ``ts`` must be a timestamp column (epoch-µs math); a numeric ts
+    would need a unit convention — convert upstream.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if method not in ("linear", "locf"):
+        raise ValueError(f"resample_grid: method must be linear|locf, got {method!r}")
+    if every <= 0:
+        raise ValueError("resample_grid: every must be positive seconds")
+    keys = _as_list(by)
+    vals = _as_list(values)
+    dtype = df.schema[ts].dataType
+    if not isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        raise ValueError(
+            f"resample_grid: ts column {ts!r} must be a timestamp "
+            f"(got {dtype.simpleString()}) — numeric time axes need a unit "
+            f"convention; convert to timestamp upstream")
+    every_us = int(round(every * 1_000_000))
+
+    # duplicate-(key, ts) observations resolve per column to MAX (the
+    # asof_join backward rule) and the series becomes unique on (key, us)
+    obs = (
+        df.select(*keys, epoch_us(ts).alias("__rg_us"), *vals)
+        .where(F.col("__rg_us").isNotNull())
+        .groupBy(*keys, "__rg_us")
+        .agg(*[F.max(v).alias(v) for v in vals])
+    )
+
+    bounds = obs.groupBy(*keys).agg(
+        F.min("__rg_us").alias("__mn"), F.max("__rg_us").alias("__mx"))
+    start = F.floor((F.col("__mn") + every_us - 1) / every_us) * every_us
+    end = F.floor(F.col("__mx") / every_us) * every_us
+    n_ticks = (end - start) / every_us + 1
+    guard = F.assert_true(
+        n_ticks <= F.lit(max_grid_points),
+        F.concat(
+            F.lit(f"resample_grid: a key spans more than max_grid_points="
+                  f"{max_grid_points} ticks of {every}s — raise every ("
+                  f"ticks: "), n_ticks.cast("string"), F.lit(")")))
+    grid = (
+        bounds.withColumn("__s", start).withColumn("__e", end)
+        # a key whose span contains no aligned tick emits no grid rows;
+        # F.sequence would DESCEND on s > e (repo gotcha)
+        .where(F.col("__s") <= F.col("__e"))
+        .select(*keys, F.explode(
+            F.when(guard.isNull(),
+                   F.sequence(F.col("__s"), F.col("__e"),
+                              F.lit(every_us)))).alias("__rg_us"))
+        .withColumn("__rg_grid", F.lit(1))
+    )
+    ev = obs.withColumn("__rg_grid", F.lit(0))
+    u = ev.unionByName(grid, allowMissingColumns=True)
+
+    # one partitioning, one order: grid ticks sort AFTER an observation at
+    # the same µs, so the backward frame sees an exact-time observation
+    # and the forward frame never does (strict next)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__rg_us", "__rg_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("__rg_us", "__rg_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = u
+    for v in vals:
+        carry = F.when(
+            F.col(v).isNotNull(),
+            F.struct(F.col("__rg_us").alias("u"), F.col(v).alias("x")))
+        out = out.withColumn(f"__p_{v}", F.last(carry, ignorenulls=True).over(wb))
+        if method == "linear":
+            out = out.withColumn(
+                f"__n_{v}", F.first(carry, ignorenulls=True).over(wf))
+    g = F.col("__rg_us")
+    res = out.where(F.col("__rg_grid") == 1)
+    for v in vals:
+        p, n = F.col(f"__p_{v}"), F.col(f"__n_{v}")
+        if method == "locf":
+            expr = F.col(f"__p_{v}")["x"]
+        else:
+            w = (g - p["u"]).cast("double") / (n["u"] - p["u"]).cast("double")
+            expr = F.when(p["u"] == g, p["x"]).otherwise(
+                F.round(p["x"] + (n["x"] - p["x"]) * w, 6))
+        res = res.withColumn(v, expr)
+    return res.select(*keys, F.col("__rg_us").alias("grid_us"), *vals)
