@@ -1896,6 +1896,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    # edit-distance near-dup pairs on 96-char prefixes (dedup.fuzzy_pairs);
+    # length-band blocking is LOSSLESS (levenshtein >= |Δlen|), so the
+    # oracle is the independent all-pairs formulation with only the
+    # |Δlen| prefilter — not a mirror of the banding.
+    from towhee_spark.functions import dedup as dd  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.fuzzy_pairs(docs, "doc_id", "text", max_dist=5, prefix=96)
+
+
 def q_resampled(spark, sf_dir):
     # irregular per-user series → hourly grid with linear interpolation
     # (temporal.resample_grid); the oracle is the independent two-ASOF
@@ -2113,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "scaled_features": q_scaled_features,
         "resampled": q_resampled,
+        "fuzzy_pairs": q_fuzzy_pairs,
     }
 
 
@@ -2852,6 +2864,18 @@ def _oracle_sql() -> dict[str, str]:
                               / CAST(n.nus - p.pus AS DOUBLE)), 6)
                    END AS value
             FROM p JOIN n ON p.k = n.k AND p.gus = n.gus""",
+        # dedup.fuzzy_pairs: independent all-pairs + |Δlen| prefilter
+        # (length banding is lossless, so the blocking needs no mirror).
+        # ASCII corpus ⇒ DuckDB's byte-level levenshtein == Spark's
+        # codepoint-level one.
+        "fuzzy_pairs": """
+            WITH d AS (SELECT doc_id, substr(text, 1, 96) AS t
+                       FROM documents WHERE text IS NOT NULL)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.t, b.t) AS INT) AS dist
+            FROM d a JOIN d b
+              ON abs(length(a.t) - length(b.t)) <= 5 AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.t, b.t) <= 5""",
     }
 
 

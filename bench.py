@@ -469,6 +469,8 @@ def main() -> None:
     timed_df("resampled_linear_1h", lambda: _te.resample_grid(
         _ev, by="user_id", ts="ts", values=["value"],
         every=3600.0, method="linear"))
+    timed_df("fuzzy_pairs_p96_k5", lambda: _dedup.fuzzy_pairs(
+        docs, "doc_id", "text", max_dist=5, prefix=96))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

@@ -1228,3 +1228,92 @@ def semdedup(
         .select(id_col, "cell", "dup_of")
     )
     return _with_cached_deps(out, assigned)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    prefix: int | None = None,
+    extra_block: str | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: ``(id_a, id_b, dist)`` for every
+    unordered pair with ``levenshtein(a, b) <= max_dist`` — the
+    short-string fuzzy matcher (titles, names, URLs, code lines) that
+    complements the token-set family (minhash/simhash measure shingle
+    overlap and miss single-character typos).
+
+    EXACT, not approximate: levenshtein(a, b) >= |len(a) − len(b)|, so
+    blocking by length band (width = max_dist) is LOSSLESS — a qualifying
+    pair always lands in the same or adjacent band. The left side
+    explodes to its own and the next band; same-band pairs take the
+    id_a < id_b half, adjacent-band pairs join exactly once (lower band
+    is always the left row). Candidates then pass the |Δlen| prefilter
+    and Spark's THRESHOLDED levenshtein (banded O(max_dist·len) DP with
+    early exit, returns −1 past the threshold) — the full O(len²) DP
+    never runs.
+
+    Scale: per-band work is quadratic in the band's population — length
+    alone under-blocks a uniform-length corpus (the semdedup sizing
+    concern). ``extra_block`` adds an equality key (e.g. first token,
+    language) to every candidate; ``prefix`` compares only the first N
+    chars (documents: typo-dup detection on prefixes — bounds both the
+    DP cost and the shuffle width). NULL texts never pair.
+
+    Cross-engine note: Spark counts CODEPOINTS, DuckDB's levenshtein
+    counts BYTES — identical on ASCII; the gate corpus is ASCII, and
+    non-ASCII production data gets Spark's (correct) codepoint distance.
+
+    Reference anchor: towhee has no pairwise text matcher at all (its
+    dedup story is embedding similarity, hub_ops/ann_search.py:25);
+    this is the classic record-linkage blocking design (Fellegi-Sunter
+    era) expressed as two Catalyst equi-joins.
+    """
+    if max_dist < 0:
+        raise ValueError("fuzzy_pairs: max_dist must be >= 0")
+    band = max(max_dist, 1)
+    txt = F.col(text_col)
+    if prefix is not None:
+        if prefix <= 0:
+            raise ValueError("fuzzy_pairs: prefix must be positive")
+        txt = F.substring(txt, 1, prefix)
+    blocks = [extra_block] if extra_block else []
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__fz_id"),
+        txt.alias("__fz_t"),
+        F.length(txt).alias("__fz_len"),
+        F.floor(F.length(txt) / band).alias("__fz_b"),
+        *blocks,
+    )
+    left = base.select(
+        F.col("__fz_id").alias("__la"), F.col("__fz_t").alias("__ta"),
+        F.col("__fz_len").alias("__na"), F.col("__fz_b").alias("__ba"),
+        *[F.col(c).alias(f"__xa_{i}") for i, c in enumerate(blocks)],
+        F.explode(F.array(F.col("__fz_b"), F.col("__fz_b") + 1)).alias("__gb"),
+    )
+    right = base.select(
+        F.col("__fz_id").alias("__lb"), F.col("__fz_t").alias("__tb"),
+        F.col("__fz_len").alias("__nb"), F.col("__fz_b").alias("__bb"),
+        *[F.col(c).alias(f"__xb_{i}") for i, c in enumerate(blocks)],
+    )
+    cond = F.col("__gb") == F.col("__bb")
+    for i in range(len(blocks)):
+        cond = cond & (F.col(f"__xa_{i}") == F.col(f"__xb_{i}"))
+    once = (
+        (F.col("__ba") == F.col("__bb")) & (F.col("__la") < F.col("__lb"))
+    ) | (F.col("__ba") == F.col("__bb") - 1)
+    d = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    pairs = (
+        left.join(right, on=cond, how="inner")
+        .where(once)
+        .where(F.abs(F.col("__na") - F.col("__nb")) <= max_dist)
+        .where(F.col("__la") != F.col("__lb"))
+        .withColumn("__d", d)
+        .where(F.col("__d") >= 0)
+    )
+    return pairs.select(
+        F.least("__la", "__lb").alias("id_a"),
+        F.greatest("__la", "__lb").alias("id_b"),
+        F.col("__d").cast("int").alias("dist"),
+    )
