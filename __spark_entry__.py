@@ -1896,6 +1896,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def q_funnel(spark, sf_dir):
+    # subsequence-funnel over tool invocations (transcripts.funnel_steps):
+    # how far each conversation gets through error×3 → purchase×2 —
+    # discriminative on the gate corpus (steps_reached spread 0..5).
+    from towhee_spark.functions import transcripts as tr  # noqa: PLC0415
+
+    t, _ = _t_c(spark, sf_dir)
+    return tr.funnel_steps(
+        t, ["error", "error", "error", "purchase", "purchase"], col="tool")
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     # edit-distance near-dup pairs on 96-char prefixes (dedup.fuzzy_pairs);
     # length-band blocking is LOSSLESS (levenshtein >= |Δlen|), so the
@@ -2125,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scaled_features": q_scaled_features,
         "resampled": q_resampled,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "funnel": q_funnel,
     }
 
 
@@ -2876,6 +2888,25 @@ def _oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON abs(length(a.t) - length(b.t)) <= 5 AND a.doc_id < b.doc_id
             WHERE levenshtein(a.t, b.t) <= 5""",
+        # transcripts.funnel_steps: string_agg + regexp_matches is the
+        # DuckDB twin of the doubled-separator packed string + rlike
+        # probes; prefix monotonicity makes CASE-from-K-down exact.
+        "funnel": f"""{_CTE},
+            seq AS (
+                SELECT conv_id, COUNT(*) AS n_turns,
+                       chr(31) || string_agg(tool, chr(31) || chr(31)
+                           ORDER BY ts, turn_idx, tool) || chr(31) AS s
+                FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns,
+                   CASE WHEN regexp_matches(s, 'error.*error.*error.*purchase.*purchase') THEN 5
+                   WHEN regexp_matches(s, 'error.*error.*error.*purchase') THEN 4
+                   WHEN regexp_matches(s, 'error.*error.*error') THEN 3
+                   WHEN regexp_matches(s, 'error.*error') THEN 2
+                   WHEN regexp_matches(s, 'error') THEN 1
+                   ELSE 0 END AS steps_reached,
+                   regexp_matches(s, 'error.*error.*error.*purchase.*purchase') AS converted
+            FROM seq""",
     }
 
 

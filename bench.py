@@ -471,6 +471,7 @@ def main() -> None:
         every=3600.0, method="linear"))
     timed_df("fuzzy_pairs_p96_k5", lambda: _dedup.fuzzy_pairs(
         docs, "doc_id", "text", max_dist=5, prefix=96))
+    timed_df("funnel_tool_5step", lambda: qs["funnel"](spark, sf_dir))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

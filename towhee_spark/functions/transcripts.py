@@ -730,3 +730,89 @@ def tree_paths(
         F.col("__id").alias("path_id"),
         F.posexplode("__path").alias("pos", id_col),
     ).withColumn("pos", F.col("pos").cast("int"))
+
+
+#: charset funnel step values may use — everything here is regex-literal
+#: in BOTH Java regex (Spark rlike) and RE2 (DuckDB regexp_matches), so
+#: patterns need no escaping layer that could diverge between engines
+_FUNNEL_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_- ")
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    key: str = "conv_id",
+    ts: str = "ts",
+    order_extra: Sequence[str] = ("turn_idx",),
+    col: str = "role",
+) -> DataFrame:
+    """Ordered-pattern (funnel) analysis per conversation: how far down
+    the step sequence ``steps`` does each conversation get, where step k
+    counts as reached when steps 1..k appear IN ORDER (not necessarily
+    adjacent — the classic subsequence-funnel semantics of product
+    analytics, here over turn roles/tools/labels).
+
+    Output: (key, n_turns, steps_reached, converted) — n_turns counts
+    turns with a non-NULL ``col``, steps_reached ∈ [0, len(steps)],
+    converted ⇔ the full sequence matched.
+
+    Implementation: ONE hash aggregate per conversation (the
+    conv_fingerprint shape — no window, map-side partials): the turn
+    values sort on (epoch_us, *order_extra, value) into a chr(31)-framed
+    string with DOUBLED separators (the BPE packed-string trick: each
+    token's ␟v␟ frame never overlaps its neighbor's), then subsequence
+    matching is K regex probes ``␟s1␟.*␟s2␟…`` evaluated in one codegen
+    projection. Prefix monotonicity (pattern k+1 matching implies k)
+    makes the CASE-from-K-down well-defined. Step values are restricted
+    to a regex-literal charset so the SAME pattern string is literal in
+    Java regex and RE2 — the oracle is string_agg + regexp_matches.
+
+    Scale: bounded-conversation aggregate (conv_features argument); the
+    pattern probes are pure string ops on the aggregated row — cost is
+    O(conv_len · K) per conversation, no shuffle beyond the one agg.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    for s in steps:
+        if not s or not set(s) <= _FUNNEL_SAFE:
+            raise ValueError(
+                f"funnel_steps: step {s!r} outside the regex-literal "
+                f"charset [A-Za-z0-9_ -] — map values upstream")
+    sep = "\x1f"
+    item = F.struct(
+        epoch_us(ts).alias("t"),
+        *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_extra)],
+        F.col(col).alias("v"),
+    )
+    g = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_sort(F.collect_list(item)).alias("__items"),
+        )
+        .select(
+            key,
+            "n_turns",
+            F.concat(
+                F.lit(sep),
+                F.array_join(
+                    F.transform("__items", lambda x: x.getField("v")),
+                    sep + sep),
+                F.lit(sep),
+            ).alias("__seq"),
+        )
+    )
+    pats = [
+        ".*".join(f"{sep}{s}{sep}" for s in steps[: k + 1])
+        for k in range(len(steps))
+    ]
+    reached = F.lit(0)
+    for k, p in enumerate(pats):
+        reached = F.when(F.col("__seq").rlike(p), F.lit(k + 1)).otherwise(reached)
+    return g.select(
+        key, "n_turns",
+        reached.alias("steps_reached"),
+        F.col("__seq").rlike(pats[-1]).alias("converted"),
+    )
