@@ -1896,6 +1896,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def q_pmi_pairs(spark, sf_dir):
+    # skip-gram collocations (lm.cooccurrence_pmi): PMI as one
+    # log-of-ratio over exact integer counts (the tfidf/bigram freeze).
+    from towhee_spark.functions import lm as lmod  # noqa: PLC0415
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lmod.cooccurrence_pmi(docs, window=4, min_pair_count=20)
+
+
 def q_funnel(spark, sf_dir):
     # subsequence-funnel over tool invocations (transcripts.funnel_steps):
     # how far each conversation gets through error×3 → purchase×2 —
@@ -2137,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resampled": q_resampled,
         "fuzzy_pairs": q_fuzzy_pairs,
         "funnel": q_funnel,
+        "pmi_pairs": q_pmi_pairs,
     }
 
 
@@ -2907,6 +2917,38 @@ def _oracle_sql() -> dict[str, str]:
                    ELSE 0 END AS steps_reached,
                    regexp_matches(s, 'error.*error.*error.*purchase.*purchase') AS converted
             FROM seq""",
+        # lm.cooccurrence_pmi mirror: positions from the UNNEST(range)
+        # subscript trick, pair slots from the offset table, PMI as the
+        # single log-of-ratio over HUGEINT-exact counts.
+        "pmi_pairs": """
+            WITH toks AS (
+                SELECT doc_id, pos, toks[pos] AS tok
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(regexp_replace(
+                                 lower(coalesce(text,'')), '\\s+', ' ', 'g')),
+                                 ' ') AS toks
+                      FROM documents),
+                     UNNEST(range(1, len(toks) + 1)) AS u(pos)
+                WHERE toks[pos] <> ''
+            ),
+            ds AS (SELECT UNNEST(range(1, 5)) AS d),
+            uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS N FROM toks),
+            pairs_raw AS (
+                SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+                FROM toks a CROSS JOIN ds
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + ds.d
+            ),
+            pt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS T FROM pairs_raw),
+            pc AS (SELECT t1, t2, COUNT(*) AS cab FROM pairs_raw
+                   GROUP BY t1, t2 HAVING COUNT(*) >= 20)
+            SELECT pc.t1, pc.t2, CAST(pc.cab AS BIGINT) AS c_pair,
+                   ROUND(LN(CAST(CAST(pc.cab AS HUGEINT)*tot.N*tot.N AS DOUBLE)
+                          / CAST(CAST(u1.c AS HUGEINT)*u2.c*pt.T AS DOUBLE)),
+                         6) AS pmi
+            FROM pc JOIN uni u1 ON pc.t1 = u1.tok
+                    JOIN uni u2 ON pc.t2 = u2.tok
+            CROSS JOIN tot CROSS JOIN pt""",
     }
 
 

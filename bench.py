@@ -472,6 +472,9 @@ def main() -> None:
     timed_df("fuzzy_pairs_p96_k5", lambda: _dedup.fuzzy_pairs(
         docs, "doc_id", "text", max_dist=5, prefix=96))
     timed_df("funnel_tool_5step", lambda: qs["funnel"](spark, sf_dir))
+    from towhee_spark.functions import lm as _lm
+    timed_df("pmi_pairs_w4", lambda: _lm.cooccurrence_pmi(
+        docs, window=4, min_pair_count=20))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

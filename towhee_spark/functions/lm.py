@@ -209,3 +209,89 @@ def bigram_perplexity(
         )
     )
     return _with_cached_deps(out, doc_bi, doc_tok)
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence PMI: ``(t1, t2, c_pair, pmi)`` for every
+    unordered token pair observed within ``window`` positions of each
+    other at least ``min_pair_count`` times — the collocation statistic
+    (Church & Hanks 1990) behind phrase mining, word-association
+    features, and tokenizer-merge diagnostics (a high-PMI pair is a
+    merge candidate bpe_train would pick early).
+
+    pmi = ln( (c_ab·N²) / (c_a·c_b·T) ): the empirical
+    log(p(a,b)/(p(a)p(b))) with p(a,b) = c_ab/T (T = generated pair
+    slots), p(t) = c_t/N. Written as ONE log-of-ratio over exact
+    integers (the tfidf/bigram freeze rule — DECIMAL(38,0) products
+    here, HUGEINT in the oracle) and ROUND-6'd, so the gate
+    hash-matches.
+
+    Plan: positions come from one posexplode of the normalize_text
+    split; pair slots from a ``window``-way explode of offset literals
+    joined back on (doc, pos+d) — one shuffled equi-join whose left side
+    is ``window``× the token stream, never a per-document quadratic.
+    Unigram/total stats are hash aggregates; the two c_t lookups are
+    equi-joins against the (token, c) frame (broadcast-sized for real
+    vocabularies). ``min_pair_count`` prunes the heavy tail BEFORE the
+    stats joins.
+
+    Reference anchor: towhee has no corpus statistics surface at all
+    (data_queue.py drains rows; stats are user map() code).
+    """
+    if window < 1:
+        raise ValueError("cooccurrence_pmi: window must be >= 1")
+    if min_pair_count < 1:
+        raise ValueError("cooccurrence_pmi: min_pair_count must be >= 1")
+    dec = "decimal(38,0)"
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+                "__pos", "__tok"),
+        )
+        # normalize_text collapses whitespace, so the only empty token is
+        # the blank-document singleton — dropping it cannot shift positions
+        .where(F.col("__tok") != "")
+    )
+    uni = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    tot = toks.agg(F.count(F.lit(1)).cast(dec).alias("__N"))
+    left = toks.select(
+        "__id", "__tok", "__pos",
+        F.explode(F.array(*[F.lit(d) for d in range(1, window + 1)])).alias("__d"),
+    ).select(
+        "__id", "__tok", (F.col("__pos") + F.col("__d")).alias("__tpos"))
+    right = toks.select(
+        F.col("__id").alias("__rid"), F.col("__pos").alias("__rpos"),
+        F.col("__tok").alias("__rtok"))
+    pairs_raw = left.join(
+        right,
+        (F.col("__id") == F.col("__rid")) & (F.col("__tpos") == F.col("__rpos")),
+        "inner",
+    ).select(
+        F.least("__tok", "__rtok").alias("t1"),
+        F.greatest("__tok", "__rtok").alias("t2"),
+    )
+    pt = pairs_raw.agg(F.count(F.lit(1)).cast(dec).alias("__T"))
+    pc = (
+        pairs_raw.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .where(F.col("c_pair") >= min_pair_count)
+    )
+    u1 = uni.select(F.col("__tok").alias("t1"), F.col("__c").alias("__c1"))
+    u2 = uni.select(F.col("__tok").alias("t2"), F.col("__c").alias("__c2"))
+    j = (
+        pc.join(u1, "t1").join(u2, "t2")
+        .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(pt))
+    )
+    num = F.col("c_pair").cast(dec) * F.col("__N") * F.col("__N")
+    den = F.col("__c1").cast(dec) * F.col("__c2") * F.col("__T")
+    return j.select(
+        "t1", "t2", "c_pair",
+        F.round(F.log(num.cast("double") / den.cast("double")), 6).alias("pmi"),
+    )
