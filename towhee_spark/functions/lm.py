@@ -258,9 +258,15 @@ def cooccurrence_pmi(
         # normalize_text collapses whitespace, so the only empty token is
         # the blank-document singleton — dropping it cannot shift positions
         .where(F.col("__tok") != "")
+        # three consumers (unigram counts + both join sides) would each
+        # re-run the corpus explode — cache, release via release_cached
+        # (the simhash shingle-frame convention)
+        .cache()
     )
     uni = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
-    tot = toks.agg(F.count(F.lit(1)).cast(dec).alias("__N"))
+    # N re-derives from the already-reduced unigram frame, never a 4th
+    # scan of the token stream
+    tot = uni.agg(F.sum("__c").cast(dec).alias("__N"))
     left = toks.select(
         "__id", "__tok", "__pos",
         F.explode(F.array(*[F.lit(d) for d in range(1, window + 1)])).alias("__d"),
@@ -277,12 +283,12 @@ def cooccurrence_pmi(
         F.least("__tok", "__rtok").alias("t1"),
         F.greatest("__tok", "__rtok").alias("t2"),
     )
-    pt = pairs_raw.agg(F.count(F.lit(1)).cast(dec).alias("__T"))
-    pc = (
-        pairs_raw.groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("c_pair"))
-        .where(F.col("c_pair") >= min_pair_count)
-    )
+    pc_all = pairs_raw.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("c_pair"))
+    # T = Σ c_pair over the UNFILTERED pair counts — one row per distinct
+    # pair instead of a second pass over the exploded pair stream
+    pt = pc_all.agg(F.sum("c_pair").cast(dec).alias("__T"))
+    pc = pc_all.where(F.col("c_pair") >= min_pair_count)
     u1 = uni.select(F.col("__tok").alias("t1"), F.col("__c").alias("__c1"))
     u2 = uni.select(F.col("__tok").alias("t2"), F.col("__c").alias("__c2"))
     j = (
@@ -291,7 +297,10 @@ def cooccurrence_pmi(
     )
     num = F.col("c_pair").cast(dec) * F.col("__N") * F.col("__N")
     den = F.col("__c1").cast(dec) * F.col("__c2") * F.col("__T")
-    return j.select(
+    out = j.select(
         "t1", "t2", "c_pair",
         F.round(F.log(num.cast("double") / den.cast("double")), 6).alias("pmi"),
     )
+    from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
+
+    return _with_cached_deps(out, toks)
