@@ -1896,6 +1896,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def q_ewma(spark, sf_dir):
+    # truncated self-normalizing EWMA (temporal.ewma): Python-literal
+    # weights + frame-order folds make the float path bit-identical
+    # across engines without integer freezing.
+    from towhee_spark import temporal as te  # noqa: PLC0415
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = te.ewma(ev, by="user_id", ts="ts", col="value",
+                  alpha=0.3, w=32, order_extra=("event_id",))
+    return out.select("event_id", "user_id", "value", "ewma")
+
+
+def _ewma_weight_literals(alpha: float = 0.3, w: int = 32) -> tuple[str, str]:
+    """The SAME (1−α)^k weight and prefix-denominator doubles temporal.ewma
+    uses, rendered as SQL list literals (shortest-roundtrip repr parses to
+    the identical double in DuckDB — the LSH-plane-constant pattern)."""
+    q = 1.0 - alpha
+    weights = [q**k for k in range(w)]
+    dens, acc = [], 0.0
+    for x in weights:
+        acc += x
+        dens.append(acc)
+    wl = "[" + ", ".join(repr(x) for x in weights) + "]"
+    dl = "[" + ", ".join(repr(x) for x in dens) + "]"
+    return wl, dl
+
+
 def q_pmi_pairs(spark, sf_dir):
     # skip-gram collocations (lm.cooccurrence_pmi): PMI as one
     # log-of-ratio over exact integer counts (the tfidf/bigram freeze).
@@ -2147,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "funnel": q_funnel,
         "pmi_pairs": q_pmi_pairs,
+        "ewma_features": q_ewma,
     }
 
 
@@ -2949,6 +2977,29 @@ def _oracle_sql() -> dict[str, str]:
             FROM pc JOIN uni u1 ON pc.t1 = u1.tok
                     JOIN uni u2 ON pc.t2 = u2.tok
             CROSS JOIN tot CROSS JOIN pt""",
+        # temporal.ewma mirror: windowed list() emits frame order, the
+        # fold is list_reduce left-to-right over products of the SAME
+        # Python-repr weight doubles — every intermediate bit-identical.
+        "ewma_features": f"""
+            WITH base AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us, value
+                FROM events WHERE value IS NOT NULL
+            ),
+            v AS (
+                SELECT user_id, event_id, value,
+                       list_reverse(list(value) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)) AS l
+                FROM base
+            )
+            SELECT event_id, user_id, value,
+                   ROUND(list_reduce(
+                             list_transform(generate_series(1, len(l)),
+                                            i -> l[i] * c.W[i]),
+                             (a, b) -> a + b) / c.D[len(l)], 6) AS ewma
+            FROM v CROSS JOIN (
+                SELECT {_ewma_weight_literals()[0]} AS W,
+                       {_ewma_weight_literals()[1]} AS D) c""",
     }
 
 

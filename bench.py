@@ -475,6 +475,9 @@ def main() -> None:
     from towhee_spark.functions import lm as _lm
     timed_df("pmi_pairs_w4", lambda: _lm.cooccurrence_pmi(
         docs, window=4, min_pair_count=20))
+    timed_df("ewma_w32", lambda: _te.ewma(
+        _ev, by="user_id", ts="ts", col="value", alpha=0.3, w=32,
+        order_extra=("event_id",)))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

@@ -1721,3 +1721,85 @@ def resample_grid(
                 F.round(p["x"] + (n["x"] - p["x"]) * w, 6))
         res = res.withColumn(v, expr)
     return res.select(*keys, F.col("__rg_us").alias("grid_us"), *vals)
+
+
+def ewma(
+    df: DataFrame,
+    by: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    col: str = "value",
+    alpha: float = 0.3,
+    w: int = 32,
+    order_extra: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, the
+    ``adjust=True`` (self-normalizing) form over the trailing ``w``
+    observations:
+
+        ewma_i = Σ_{k<m} (1−α)^k · x_{i−k}  /  Σ_{k<m} (1−α)^k
+
+    with m = min(i+1, w) — pandas ``ewm(alpha).mean()`` truncated to a
+    ``w``-deep tail. Truncation error is bounded by (1−α)^w (≤ 1e-5 at
+    the α = 0.3, w = 32 defaults); the payoff is an EXACT distributed
+    formulation: the true recurrence is a sequential scan Spark has no
+    native operator for, while the truncated sum is a per-row fold over
+    a bounded window frame.
+
+    Cross-engine float parity WITHOUT integer freezing: the (1−α)^k
+    weights and their prefix-sum denominators are PYTHON-computed
+    literals (shortest-roundtrip repr → the identical double in both
+    engines); windowed collect_list/list() emit FRAME order in both
+    engines, and the fold (F.aggregate / list_reduce) runs
+    left-to-right, so every intermediate double is bit-identical and
+    one ROUND-6 closes the gate.
+
+    NULL values are dropped before the window (collect_list skips
+    nulls while DuckDB's list() keeps them — filtering first removes
+    the divergence); output rows correspond to non-NULL observations.
+    (ts, *order_extra) must be a unique order per key — frame order on
+    ties is engine-undefined.
+
+    Cost: O(w) interpreted-HOF work per row (the zip_with/aggregate
+    lambdas never reach codegen — measured repo gotcha); keep w modest
+    or pre-aggregate. One exchange (the key window).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("ewma: alpha must be in (0, 1]")
+    if w < 1:
+        raise ValueError("ewma: w must be >= 1")
+    keys = _as_list(by)
+    extra = list(order_extra)
+    q = 1.0 - alpha
+    weights = [q**k for k in range(w)]
+    dens, acc = [], 0.0
+    for x in weights:
+        acc += x
+        dens.append(acc)
+    dtype = df.schema[ts].dataType
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(_time_value(F.col(ts), dtype), *extra)
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    base = df.where(F.col(col).isNotNull())
+    vals = F.reverse(F.collect_list(F.col(col).cast("double")).over(win))
+    wlit = F.array(*[F.lit(x) for x in weights])
+    dlit = F.array(*[F.lit(x) for x in dens])
+    # materialize the collected frame into a column once, then the fold
+    # reads the column (a lambda CAPTURING the window subtree would
+    # re-evaluate it per element — measured repo gotcha)
+    return (
+        base.withColumn("__ew_vals", vals)
+        .withColumn(
+            out_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__ew_vals"),
+                        F.slice(wlit, 1, F.size("__ew_vals")),
+                        lambda v, wt: v * wt),
+                    F.lit(0.0), lambda a, x: a + x)
+                / F.element_at(dlit, F.size("__ew_vals")), 6))
+        .drop("__ew_vals")
+    )
