@@ -2011,6 +2011,86 @@ def q_scaled_features(spark, sf_dir):
     return out.select("event_id", "z", "mm")
 
 
+def q_woe_iv(spark, sf_dir):
+    # weight-of-evidence + IV over a derived binary label
+    # (features.woe_stats); woe is ONE ln of an exact integer ratio
+    # (Laplace half-counts), iv_term the single-float-product ROUND-6.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn("lbl", (F.col("value") > 10).cast("int"))
+    return fe.woe_stats(ev, "event_type", "lbl")
+
+
+def q_count_encoding(spark, sf_dir):
+    # count/frequency encoding + rare-category collapse over the ~100-
+    # level props.k categorical (counts straddle min_count=100, so both
+    # branches of the collapse rule carry rows).
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "k", F.get_json_object("props", "$.k").try_cast("int").cast("string"))
+    return fe.count_encode(ev, "k", min_count=100)
+
+
+def q_drift_psi(spark, sf_dir):
+    # population-stability drift of value between the first half of
+    # January and the rest: exact integer binning on 2^20-frozen values,
+    # Laplace half-count probabilities, ln as ONE integer ratio.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    return fe.drift_psi(
+        ev, "value", F.col("ts") < F.lit("2024-01-15"),
+        lo=0, hi=500, bins=20)
+
+
+def q_corr_matrix(spark, sf_dir):
+    # pairwise Pearson over (value, props.k, hour-of-day): exact frozen
+    # sufficient statistics (BIGINT) + the single-float-step corr —
+    # sqrt/÷/× over exact integer operands are identical IEEE doubles on
+    # both engines.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "hk", F.get_json_object("props", "$.k").try_cast("long"),
+    ).withColumn("hr", F.hour("ts").cast("long"))
+    return fe.corr_pairs(ev, ["value", "hk", "hr"], bits=12)
+
+
+def q_time_folds(spark, sf_dir):
+    # walk-forward purged CV folds: integer fold assignment + fold start
+    # + embargoed training cutoff, all epoch-µs integer math.
+    from towhee_spark import temporal as te  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    out = te.time_folds(ev, "ts", k=7, embargo_seconds=3600)
+    return out.select("event_id", "fold", "fold_lo_us", "purge_lo_us")
+
+
+def q_leakage_audit(spark, sf_dir):
+    # the north-rule temporal-leakage invariant as a first-class audit:
+    # two chained backward as-of enrichments (last purchase, last error
+    # per user), then leakage_audit proves n_violations = 0 on both
+    # matched-ts columns. The oracle recomputes the enrichment with
+    # independent DuckDB ASOF JOINs and aggregates the same audit.
+    from towhee_spark import temporal as te  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    sp = ev.select("user_id", "ts", "event_id")
+    pur = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    err = ev.where(F.col("event_type") == "error") \
+        .select("user_id", "ts", "value")
+    f1 = te.asof_join(sp, pur, on="user_id", ts="ts",
+                      matched_ts_col="pur_ts", suffix="_p")
+    f2 = te.asof_join(f1, err, on="user_id", ts="ts",
+                      matched_ts_col="err_ts", suffix="_e")
+    return te.leakage_audit(f2, "ts", ["pur_ts", "err_ts"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round correctness run covers the FIRST
     # 50 entries. Rotation policy: keys that have NEVER appeared in a driver
@@ -2175,6 +2255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "pmi_pairs": q_pmi_pairs,
         "ewma_features": q_ewma,
+        "woe_iv": q_woe_iv,
+        "count_encoding": q_count_encoding,
+        "drift_psi": q_drift_psi,
+        "corr_matrix": q_corr_matrix,
+        "time_folds": q_time_folds,
+        "leakage_audit": q_leakage_audit,
     }
 
 
@@ -3000,6 +3086,147 @@ def _oracle_sql() -> dict[str, str]:
             FROM v CROSS JOIN (
                 SELECT {_ewma_weight_literals()[0]} AS W,
                        {_ewma_weight_literals()[1]} AS D) c""",
+        # WOE: ln as ONE log of an exact integer ratio (tfidf freeze
+        # rule), Laplace half-counts via the 2n+1 integer trick; iv_term
+        # = ROUND(exact-rational-double · ROUND-6 woe, 6) — identical
+        # operand shapes to features.woe_stats.
+        "woe_iv": """
+            WITH base AS (
+                SELECT event_type,
+                       CASE WHEN value > 10 THEN 1 ELSE 0 END AS lbl
+                FROM events WHERE value IS NOT NULL
+            ),
+            per_cat AS (
+                SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(lbl) AS BIGINT) AS n_pos
+                FROM base GROUP BY 1
+            ),
+            g AS (SELECT SUM(n) AS gn, SUM(n_pos) AS gp FROM per_cat)
+            SELECT event_type, n, n_pos,
+                   ROUND(LN(CAST((2*n_pos + 1) * (2*(gn - gp) + 1) AS DOUBLE)
+                            / CAST((2*(n - n_pos) + 1) * (2*gp + 1) AS DOUBLE)), 6) AS woe,
+                   ROUND((CAST(n_pos*(gn - gp) - (n - n_pos)*gp AS DOUBLE)
+                          / CAST(gp*(gn - gp) AS DOUBLE))
+                         * ROUND(LN(CAST((2*n_pos + 1) * (2*(gn - gp) + 1) AS DOUBLE)
+                                    / CAST((2*(n - n_pos) + 1) * (2*gp + 1) AS DOUBLE)), 6), 6) AS iv_term
+            FROM per_cat, g""",
+        "count_encoding": """
+            WITH per_cat AS (
+                SELECT CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                            AS VARCHAR) AS k,
+                       COUNT(*) AS n
+                FROM events
+                WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+                GROUP BY 1
+            ),
+            g AS (SELECT SUM(n) AS gn FROM per_cat)
+            SELECT k, n, ROUND(CAST(n AS DOUBLE) / CAST(gn AS DOUBLE), 6) AS freq,
+                   CASE WHEN n >= 100 THEN k ELSE '__other__' END AS kept
+            FROM per_cat, g""",
+        # PSI: exact integer binning on 2^20-frozen values (clamp then
+        # one nonneg integer division — identical in Spark DIV / DuckDB
+        # //), generate_series bin spine so empty bins emit rows,
+        # half-count probabilities, ln as ONE integer ratio.
+        "drift_psi": """
+            WITH base AS (
+                SELECT CAST(ROUND(value * 1048576, 0) AS BIGINT) AS xf,
+                       CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS b
+                FROM events WHERE value IS NOT NULL
+            ),
+            cnts AS (
+                SELECT (GREATEST(0, LEAST(xf, 524288000 - 1)) * 20) // 524288000 AS bin,
+                       CAST(SUM(b) AS BIGINT) AS na,
+                       CAST(SUM(1 - b) AS BIGINT) AS nc
+                FROM base GROUP BY 1
+            ),
+            tot AS (SELECT SUM(na) AS ta, SUM(nc) AS tb FROM cnts),
+            spine AS (SELECT gs.g AS bin, ta, tb
+                      FROM generate_series(0, 19) gs(g), tot)
+            SELECT s.bin,
+                   COALESCE(c.na, 0) AS n_base,
+                   COALESCE(c.nc, 0) AS n_cur,
+                   ROUND((CAST(2*COALESCE(c.na, 0) + 1 AS DOUBLE) / CAST(2*s.ta + 20 AS DOUBLE)
+                          - CAST(2*COALESCE(c.nc, 0) + 1 AS DOUBLE) / CAST(2*s.tb + 20 AS DOUBLE))
+                         * ROUND(LN(CAST((2*COALESCE(c.na, 0) + 1) * (2*s.tb + 20) AS DOUBLE)
+                                    / CAST((2*COALESCE(c.nc, 0) + 1) * (2*s.ta + 20) AS DOUBLE)), 6), 6) AS psi_term
+            FROM spine s LEFT JOIN cnts c USING (bin)""",
+        # Pearson pairs: exact 2^12-frozen integer sufficient statistics
+        # + the single-float-step corr (sqrt/÷/× over exact integers are
+        # identical IEEE doubles) — shapes mirror features.corr_pairs.
+        "corr_matrix": """
+            WITH base AS (
+                SELECT CAST(ROUND(value * 4096, 0) AS BIGINT) AS f0,
+                       CAST(ROUND(CAST(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) * 4096, 0) AS BIGINT) AS f1,
+                       CAST(ROUND(CAST(EXTRACT(hour FROM ts) AS DOUBLE) * 4096, 0) AS BIGINT) AS f2
+                FROM events
+                WHERE value IS NOT NULL
+                  AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+                  AND ts IS NOT NULL
+            ),
+            s AS (
+                SELECT COUNT(*) AS n,
+                       SUM(f0) AS s0, SUM(f0*f0) AS ss0,
+                       SUM(f1) AS s1, SUM(f1*f1) AS ss1,
+                       SUM(f2) AS s2, SUM(f2*f2) AS ss2,
+                       SUM(f0*f1) AS sp01, SUM(f0*f2) AS sp02,
+                       SUM(f1*f2) AS sp12
+                FROM base
+            ),
+            pairs AS (
+                SELECT 'value' AS col_x, 'hk' AS col_y, n, s0 AS sx, s1 AS sy,
+                       sp01 AS sxy, ss0 AS sxx, ss1 AS syy FROM s
+                UNION ALL
+                SELECT 'value', 'hr', n, s0, s2, sp02, ss0, ss2 FROM s
+                UNION ALL
+                SELECT 'hk', 'hr', n, s1, s2, sp12, ss1, ss2 FROM s
+            )
+            SELECT col_x, col_y,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+                   CAST(sxy AS BIGINT) AS sxy,
+                   CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                                   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+                   END AS corr
+            FROM pairs""",
+        # fold = ((t−mn)·k) // W, fold_lo = mn + ⌈f·W/k⌉ — the
+        # curriculum division-free rank-rule family; all epoch-µs ints.
+        "time_folds": """
+            WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+                       FROM events)
+            SELECT event_id,
+                   CAST(((epoch_us(ts) - mn) * 7) // (mx - mn + 1) AS INT) AS fold,
+                   mn + ((((epoch_us(ts) - mn) * 7) // (mx - mn + 1)) * (mx - mn + 1) + 6) // 7 AS fold_lo_us,
+                   mn + ((((epoch_us(ts) - mn) * 7) // (mx - mn + 1)) * (mx - mn + 1) + 6) // 7 - 3600000000 AS purge_lo_us
+            FROM events, b""",
+        # leakage audit over two chained backward ASOF enrichments —
+        # the INDEPENDENT DuckDB ASOF JOIN formulation, then the same
+        # per-column audit aggregate as temporal.leakage_audit.
+        "leakage_audit": """
+            WITH pur AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+            err AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+            f1 AS (
+                SELECT l.user_id, l.ts, p.ts AS pur_ts
+                FROM events l ASOF LEFT JOIN pur p
+                  ON l.user_id = p.user_id AND p.ts <= l.ts
+            ),
+            f2 AS (
+                SELECT f1.user_id, f1.ts, f1.pur_ts, e.ts AS err_ts
+                FROM f1 ASOF LEFT JOIN err e
+                  ON f1.user_id = e.user_id AND e.ts <= f1.ts
+            ),
+            st AS (
+                SELECT 'pur_ts' AS ts_col, ts, pur_ts AS t FROM f2
+                UNION ALL
+                SELECT 'err_ts', ts, err_ts FROM f2
+            )
+            SELECT ts_col, COUNT(*) AS n_rows, COUNT(t) AS n_matched,
+                   CAST(COALESCE(SUM(CASE WHEN epoch_us(t) > epoch_us(ts)
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+                   MAX(epoch_us(t) - epoch_us(ts)) AS max_skew_us
+            FROM st GROUP BY 1""",
     }
 
 

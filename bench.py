@@ -478,6 +478,10 @@ def main() -> None:
     timed_df("ewma_w32", lambda: _te.ewma(
         _ev, by="user_id", ts="ts", col="value", alpha=0.3, w=32,
         order_extra=("event_id",)))
+    # --- feature statistics / drift / CV-fold batch ---
+    for nm in ("woe_iv", "count_encoding", "drift_psi", "corr_matrix",
+               "time_folds", "leakage_audit"):
+        timed_df(nm, lambda n=nm: qs[n](spark, sf_dir))
     timed("prod_ivf_train_scan", lambda: (
         embs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
         .where(F.col("cv").isNotNull())

@@ -144,3 +144,175 @@ def test_scale_method_validation(spark):
     df = spark.createDataFrame([Row(x=1.0)])
     with pytest.raises(ValueError, match="method"):
         FE.scale(df, "x", method="robust")
+
+
+# ---------------------------------------------------------------------------
+# weight of evidence / IV
+# ---------------------------------------------------------------------------
+
+
+def _ref_woe(cats):
+    """Exact Python reference: cats = {cat: (n, n_pos)}."""
+    big_n = sum(n for n, _ in cats.values())
+    big_p = sum(p for _, p in cats.values())
+    out = {}
+    for c, (n, p) in cats.items():
+        neg, gneg = n - p, big_n - big_p
+        woe = round(math.log(((2 * p + 1) * (2 * gneg + 1))
+                             / ((2 * neg + 1) * (2 * big_p + 1))), 6)
+        pq = (p * gneg - neg * big_p) / (big_p * gneg)
+        out[c] = (woe, round(pq * woe, 6))
+    return out
+
+
+def test_woe_stats_matches_reference(spark):
+    rows = [Row(cat="a", y=1), Row(cat="a", y=1), Row(cat="a", y=0),
+            Row(cat="b", y=0), Row(cat="b", y=0), Row(cat="c", y=1),
+            Row(cat="c", y=None)]
+    df = spark.createDataFrame(rows)
+    got = {r.cat: r for r in FE.woe_stats(df, "cat", "y").collect()}
+    ref = _ref_woe({"a": (3, 2), "b": (2, 0), "c": (1, 1)})
+    assert got["a"].n == 3 and got["a"].n_pos == 2
+    assert got["c"].n == 1  # NULL label excluded
+    for c in ("a", "b", "c"):
+        assert got[c].woe == pytest.approx(ref[c][0], abs=0), c
+        assert got[c].iv_term == pytest.approx(ref[c][1], abs=0), c
+
+
+def test_woe_stats_pure_category_finite(spark):
+    # a pure-negative category would be ln(0) without smoothing — the
+    # half-count smoothing keeps it finite
+    df = spark.createDataFrame([Row(cat="a", y=0), Row(cat="b", y=1)])
+    got = {r.cat: r.woe for r in FE.woe_stats(df, "cat", "y").collect()}
+    assert all(w is not None and math.isfinite(w) for w in got.values())
+
+
+def test_woe_stats_nonbinary_label_raises(spark):
+    df = spark.createDataFrame([Row(cat="a", y=2)])
+    with pytest.raises(Exception, match="woe_stats"):
+        FE.woe_stats(df, "cat", "y").collect()
+    # validate=False skips the guard (caller-asserted contract)
+    FE.woe_stats(df, "cat", "y", validate=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# count encoding + rare collapse
+# ---------------------------------------------------------------------------
+
+
+def test_count_encode(spark):
+    df = spark.createDataFrame(
+        [Row(cat="a")] * 3 + [Row(cat="b")] * 2 + [Row(cat="c"), Row(cat=None)]
+    )
+    got = {r.cat: r for r in FE.count_encode(df, "cat", min_count=2).collect()}
+    assert set(got) == {"a", "b", "c"}  # NULL excluded
+    assert got["a"].n == 3 and got["a"].kept == "a"
+    assert got["b"].kept == "b"
+    assert got["c"].kept == "__other__"
+    assert got["a"].freq == pytest.approx(round(3 / 6, 6), abs=0)
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def _ref_psi(vals_a, vals_b, lo, hi, nb):
+    lof, hif = lo * SCALE, hi * SCALE
+    width = hif - lof
+
+    def bins(vals):
+        c = [0] * nb
+        for v in vals:
+            xf = round(v * SCALE)
+            xc = max(lof, min(xf, hif - 1))
+            c[(xc - lof) * nb // width] += 1
+        return c
+
+    ca, cb = bins(vals_a), bins(vals_b)
+    ta, tb = sum(ca), sum(cb)
+    out = []
+    for i in range(nb):
+        l6 = round(math.log(((2 * ca[i] + 1) * (2 * tb + nb))
+                            / ((2 * cb[i] + 1) * (2 * ta + nb))), 6)
+        pa = (2 * ca[i] + 1) / (2 * ta + nb)
+        pc = (2 * cb[i] + 1) / (2 * tb + nb)
+        out.append((i, ca[i], cb[i], round((pa - pc) * l6, 6)))
+    return out
+
+
+def test_drift_psi_matches_reference(spark):
+    a = [0.5, 1.5, 2.5, 9.9]      # baseline
+    b = [0.5, 7.5, 8.5, 12.0]     # current (12.0 clamps into the top bin)
+    rows = [Row(x=v, b=True) for v in a] + [Row(x=v, b=False) for v in b]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (r.bin, r.n_base, r.n_cur, r.psi_term)
+        for r in FE.drift_psi(df, "x", F.col("b"), lo=0, hi=10, bins=5).collect()
+    )
+    assert got == _ref_psi(a, b, 0, 10, 5)
+    # every bin emits a row even when empty on both sides
+    assert len(got) == 5
+
+
+def test_drift_psi_validation(spark):
+    df = spark.createDataFrame([Row(x=1.0, b=True)])
+    with pytest.raises(ValueError, match="bins"):
+        FE.drift_psi(df, "x", F.col("b"), 0, 10, bins=1)
+    with pytest.raises(ValueError, match="hi"):
+        FE.drift_psi(df, "x", F.col("b"), 10, 0)
+    with pytest.raises(ValueError, match="freeze grid"):
+        FE.drift_psi(df, "x", F.col("b"), 0, 1e-9)
+
+
+def test_drift_psi_identical_slices_near_zero(spark):
+    vals = [float(v) for v in range(20)]
+    rows = [Row(x=v, b=True) for v in vals] + [Row(x=v, b=False) for v in vals]
+    df = spark.createDataFrame(rows)
+    out = FE.drift_psi(df, "x", F.col("b"), lo=0, hi=20, bins=4).collect()
+    assert sum(abs(r.psi_term) for r in out) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation pairs
+# ---------------------------------------------------------------------------
+
+
+def test_corr_pairs_exact_relationships(spark):
+    rows = [Row(x=float(v), y=2.0 * v + 1, z=-1.0 * v, c=5.0) for v in range(8)]
+    df = spark.createDataFrame(rows)
+    got = {(r.col_x, r.col_y): r for r in
+           FE.corr_pairs(df, ["x", "y", "z", "c"]).collect()}
+    assert got[("x", "y")].corr == 1.0
+    assert got[("x", "z")].corr == -1.0
+    assert got[("x", "c")].corr is None      # zero-variance column
+    assert got[("x", "y")].n == 8
+    # unordered pairs, list order: 6 rows for 4 columns
+    assert len(got) == 6
+
+
+def test_corr_pairs_sums_exact(spark):
+    bits, vals = 12, [1.25, 2.5, 3.75]
+    df = spark.createDataFrame([Row(x=v, y=v * v) for v in vals])
+    r = FE.corr_pairs(df, ["x", "y"], bits=bits).collect()[0]
+    fx = [round(v * (1 << bits)) for v in vals]
+    fy = [round(v * v * (1 << bits)) for v in vals]
+    assert (r.sx, r.sy) == (sum(fx), sum(fy))
+    assert r.sxy == sum(a * b for a, b in zip(fx, fy))
+    assert r.sxx == sum(a * a for a in fx)
+    num = r.n * r.sxy - r.sx * r.sy
+    den = math.sqrt(r.n * r.sxx - r.sx**2) * math.sqrt(r.n * r.syy - r.sy**2)
+    assert r.corr == pytest.approx(round(num / den, 6), abs=0)
+
+
+def test_corr_pairs_null_rows_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(x=1.0, y=1.0), Row(x=2.0, y=None), Row(x=3.0, y=3.0)])
+    r = FE.corr_pairs(df, ["x", "y"]).collect()[0]
+    assert r.n == 2  # complete-case
+
+
+def test_corr_pairs_validation(spark):
+    df = spark.createDataFrame([Row(x=1.0)])
+    with pytest.raises(ValueError, match="2 columns"):
+        FE.corr_pairs(df, ["x"])

@@ -668,3 +668,124 @@ def test_last_k_join_validation(spark, sdfs):
     rows = empt.collect()
     assert len(rows) == sp.count()
     assert all(r["ctx"] == [] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# time_folds (walk-forward purged CV)
+# ---------------------------------------------------------------------------
+
+
+def test_time_folds_matches_integer_reference(spark):
+    import datetime as dt
+
+    from towhee_spark.temporal import time_folds
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=7 * i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {r.id: r for r in
+           time_folds(df, "ts", k=4, embargo_seconds=60).collect()}
+    us = [int((t - base).total_seconds() * 1e6) for _, t in rows]
+    mn, mx = min(us), max(us)
+    w = mx - mn + 1
+    for i, t in rows:
+        f = (us[i] - mn) * 4 // w
+        lo = mn + (f * w + 3) // 4
+        r = out[i]
+        assert r.fold == f, i
+        assert r.fold_lo_us == lo + _EPOCH_BASE_US
+        assert r.purge_lo_us == r.fold_lo_us - 60_000_000
+    # every fold non-empty and ordered: fold 0 holds the earliest rows
+    folds = [out[i].fold for i, _ in rows]
+    assert folds == sorted(folds)
+    assert set(folds) == {0, 1, 2, 3}
+
+
+_EPOCH_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch µs
+
+
+def test_time_folds_purge_property(spark):
+    # for every fold f: all rows STRICTLY before purge_lo_us belong to
+    # earlier folds, and none of them is within the embargo of fold f
+    import datetime as dt
+
+    from towhee_spark.temporal import epoch_us, time_folds
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(seconds=13 * i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = time_folds(df, "ts", k=5, embargo_seconds=26) \
+        .withColumn("us", epoch_us("ts")).collect()
+    by_fold = {}
+    for r in out:
+        by_fold.setdefault(r.fold, []).append(r)
+    for f, rws in by_fold.items():
+        lo = rws[0].fold_lo_us
+        purge = rws[0].purge_lo_us
+        assert all(r.fold_lo_us == lo for r in rws)
+        assert all(r.us >= lo for r in rws)
+        train = [r for r in out if r.us < purge]
+        assert all(r.fold < f for r in train)
+        assert all(lo - r.us > 26_000_000 for r in train)
+
+
+def test_time_folds_numeric_and_validation(spark):
+    from towhee_spark.temporal import time_folds
+
+    dfi = spark.createDataFrame([(i, i * 10) for i in range(10)],
+                                "id long, t long")
+    out = time_folds(dfi, "t", k=2).collect()
+    assert {r.fold for r in out} == {0, 1}
+    with pytest.raises(ValueError, match="k >= 2"):
+        time_folds(dfi, "t", k=1)
+    with pytest.raises(ValueError, match="embargo"):
+        time_folds(dfi, "t", k=2, embargo_seconds=-1)
+    dff = spark.createDataFrame([(0, 1.5)], "id long, t double")
+    with pytest.raises(ValueError, match="integral"):
+        time_folds(dff, "t", k=2)
+
+
+# ---------------------------------------------------------------------------
+# leakage_audit
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_audit_backward_clean_forward_flagged(spark, sdfs):
+    from towhee_spark.temporal import leakage_audit
+
+    t, c = sdfs
+    sp = t.select("conv_id", "ts", "turn_idx")
+    back = asof_join(sp, c, on="conv_id", ts="ts",
+                     matched_ts_col="m_ts", suffix="_r")
+    a = leakage_audit(back, "ts", ["m_ts"]).collect()[0]
+    assert a.n_rows == sp.count()
+    assert a.n_violations == 0
+    assert a.max_skew_us is None or a.max_skew_us <= 0
+    fwd = asof_join(sp, c, on="conv_id", ts="ts", direction="forward",
+                    allow_exact_matches=False,
+                    matched_ts_col="m_ts", suffix="_r")
+    af = leakage_audit(fwd, "ts", ["m_ts"]).collect()[0]
+    assert af.n_violations > 0 and af.max_skew_us > 0
+    # violations can never exceed matches
+    assert af.n_violations <= af.n_matched
+
+
+def test_leakage_audit_multi_column_and_validation(spark, sdfs):
+    from pyspark.sql import functions as F
+
+    from towhee_spark.temporal import leakage_audit
+
+    t, c = sdfs
+    sp = t.select("conv_id", "ts")
+    f1 = asof_join(sp, c, on="conv_id", ts="ts",
+                   matched_ts_col="a_ts", suffix="_a")
+    f2 = asof_join(f1, c, on="conv_id", ts="ts", direction="forward",
+                   matched_ts_col="b_ts", suffix="_b")
+    got = {r.ts_col: r for r in leakage_audit(f2, "ts", ["a_ts", "b_ts"]).collect()}
+    assert set(got) == {"a_ts", "b_ts"}
+    assert got["a_ts"].n_violations == 0
+    with pytest.raises(ValueError, match="at least one"):
+        leakage_audit(f2, "ts", [])
+    with pytest.raises(ValueError, match="integral"):
+        leakage_audit(f2.withColumn("bad", F.lit(1.5)), "ts", ["bad"])

@@ -310,3 +310,305 @@ def scale(
         rng = F.col("__max") - F.col("__min")
         out = F.when(rng > 0, F.round((x - F.col("__min")) / rng, 6))
     return j.withColumn(out_col, out).drop("__mean", "__std", "__min", "__max")
+
+
+# ---------------------------------------------------------------------------
+# weight-of-evidence encoding (binary-label categorical encoder)
+# ---------------------------------------------------------------------------
+
+
+def woe_stats(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    validate: bool = True,
+) -> DataFrame:
+    """Per-category weight of evidence over a BINARY 0/1 label:
+    ``(cat_col, n, n_pos, woe, iv_term)`` — the credit-scoring /
+    feature-selection encoder (Siddiqi, *Credit Risk Scorecards*).
+
+    woe_c = ln( ((2·pos_c+1)·(2·NEG+1)) / ((2·neg_c+1)·(2·POS+1)) ) —
+    the Laplace-half-count smoothed log-odds ratio (never ±inf on a pure
+    category), written as ONE log of an exact integer ratio (the tfidf
+    freeze rule: never ln(a)−ln(b) — operand shapes must match before
+    ROUND), ROUND 6. iv_term = ROUND(((pos_c·NEG − neg_c·POS) /
+    (POS·NEG)) · woe, 6); total information value = SUM(iv_term)
+    (engine-side — the per-category rows are the gate surface; summing
+    ROUND-6 doubles is order-dependent, so a cross-engine total would
+    need the int-freeze trick the caller can apply if needed).
+
+    Plan: one category hash aggregate + a 1-row global derived from the
+    tiny stats frame itself + broadcast cross join — a single exchange
+    regardless of corpus size. NULL labels are excluded; ``validate``
+    weaves an ``assert_true(label IN (0,1))`` guard into the plan
+    (action-free at build, loud at execution — the pool_embeddings
+    convention).
+    """
+    lbl = F.col(label_col).cast("long")
+    if validate:
+        guard = F.assert_true(
+            lbl.isin(0, 1),
+            F.concat(
+                F.lit(f"woe_stats: {label_col} must be a binary 0/1 "
+                      f"label (got "), F.col(label_col).cast("string"),
+                F.lit(") — derive it first, e.g. (x > t)::int")),
+        )
+        lbl = F.when(guard.isNull(), lbl)
+    per_cat = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lbl).alias("n_pos"),
+        )
+    )
+    glob = per_cat.agg(
+        F.sum("n").cast(_DEC).alias("__N"),
+        F.sum("n_pos").cast(_DEC).alias("__P"),
+    )
+    j = per_cat.crossJoin(F.broadcast(glob))
+    pos = F.col("n_pos").cast(_DEC)
+    neg = (F.col("n") - F.col("n_pos")).cast(_DEC)
+    gpos, gneg = F.col("__P"), F.col("__N") - F.col("__P")
+    two = F.lit(2).cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    num = (two * pos + one) * (two * gneg + one)
+    den = (two * neg + one) * (two * gpos + one)
+    woe = F.round(F.log(num.cast("double") / den.cast("double")), 6)
+    pq = (pos * gneg - neg * gpos).cast("double") / (gpos * gneg).cast("double")
+    return j.select(
+        cat_col,
+        "n",
+        "n_pos",
+        woe.alias("woe"),
+        F.round(pq * woe, 6).alias("iv_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# count / frequency encoding + rare-category collapse
+# ---------------------------------------------------------------------------
+
+
+def count_encode(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int = 1,
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Per-category count/frequency table ``(cat_col, n, freq, kept)``:
+    the zero-vocabulary encoder (n and ROUND-6 freq = n/N replace the
+    category) plus the rare-category collapse rule — ``kept`` is the
+    category itself when n >= min_count, else ``other_label``, the
+    standard guard against one-off categories memorizing rows. Join
+    ``kept`` back on ``cat_col`` for the row-level column (broadcast
+    when the vocabulary is small — the target_encode join shape).
+
+    One hash aggregate + a 1-row total derived from the stats frame
+    itself (no second corpus scan); NULL categories are excluded (a
+    NULL never equals a join key anyway — impute first if NULL is a
+    real level)."""
+    per_cat = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    glob = per_cat.agg(F.sum("n").cast(_DEC).alias("__N"))
+    j = per_cat.crossJoin(F.broadcast(glob))
+    kept = F.when(F.col("n") >= F.lit(int(min_count)), F.col(cat_col)) \
+        .otherwise(F.lit(other_label))
+    return j.select(
+        cat_col,
+        "n",
+        _ratio6(F.col("n").cast(_DEC), F.col("__N")).alias("freq"),
+        kept.alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# population-stability-index drift between two slices
+# ---------------------------------------------------------------------------
+
+
+def _snap_scaled(x, name: str) -> int:
+    """lo/hi literal → exact 2^20-frozen integer, loudly rejecting
+    literals that don't land on the freeze grid (Fraction(str(x)) — the
+    top_quantile_by / mixture_rates snap rule)."""
+    from fractions import Fraction  # noqa: PLC0415
+
+    fx = Fraction(str(x)) * _SCALE
+    if fx.denominator != 1:
+        raise ValueError(
+            f"drift_psi: {name}={x!r} does not land on the 2^{SCALE_BITS} "
+            f"freeze grid — use a literal with <= 6 decimal places")
+    return int(fx)
+
+
+def drift_psi(
+    df: DataFrame,
+    col: str,
+    baseline,
+    lo,
+    hi,
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index drift of ``col`` between a baseline
+    slice and the rest: one row per bin, ``(bin, n_base, n_cur,
+    psi_term)``; total PSI = SUM(psi_term) (engine-side — the
+    woe_stats rounding note applies). The standard deploy-time
+    drift monitor: PSI < 0.1 stable, > 0.25 action.
+
+    ``baseline`` is a boolean Column splitting df into the two slices;
+    ``lo``/``hi``/``bins`` define equal-width bins over [lo, hi) —
+    values outside clamp into the edge bins (a drifted tail SHOWS UP in
+    the edge bin rather than being dropped). Binning is exact integer
+    math on 2^20-frozen values — bin = (clamp(xf) − lo_f)·bins DIV
+    (hi_f − lo_f) — so both engines agree bit-for-bit; per-bin
+    probabilities use Laplace half-counts (p = (2n+1)/(2N+bins)) so an
+    empty bin contributes a finite term. psi_term = ROUND(
+    (p_base − p_cur) · ROUND(ln(p_base/p_cur), 6), 6) with the ln
+    written as ONE log of an exact integer ratio (the tfidf rule).
+
+    Plan: one projected bin expression evaluated at the scan, one small
+    hash aggregate on (bin), totals derived from the tiny bin frame
+    itself (never a second corpus scan), and a literal bin spine
+    exploded from the 1-row totals — every bin row exists even when no
+    data lands in it. Zero Python, one exchange.
+    """
+    if bins < 2:
+        raise ValueError("drift_psi: need at least 2 bins")
+    lof, hif = _snap_scaled(lo, "lo"), _snap_scaled(hi, "hi")
+    if hif <= lof:
+        raise ValueError("drift_psi: hi must be > lo")
+    width = hif - lof
+    xf = _freeze(F.col(col))
+    xc = F.greatest(F.lit(lof), F.least(xf, F.lit(hif - 1)))
+    cnts = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            ((xc - F.lit(lof)) * F.lit(bins)).alias("__xr"),
+            F.when(baseline, 1).otherwise(0).alias("__b"),
+        )
+        .select(F.expr(f"__xr DIV {width}").alias("bin"), "__b")
+        .groupBy("bin")
+        .agg(
+            F.sum("__b").alias("__na"),
+            F.sum(F.lit(1) - F.col("__b")).alias("__nc"),
+        )
+    )
+    spine = cnts.agg(
+        F.coalesce(F.sum("__na"), F.lit(0)).cast(_DEC).alias("__ta"),
+        F.coalesce(F.sum("__nc"), F.lit(0)).cast(_DEC).alias("__tb"),
+    ).select(
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+        "__ta", "__tb",
+    )
+    j = spine.join(cnts, on="bin", how="left")
+    na = F.coalesce(F.col("__na"), F.lit(0)).cast(_DEC)
+    nc = F.coalesce(F.col("__nc"), F.lit(0)).cast(_DEC)
+    two, one = F.lit(2).cast(_DEC), F.lit(1).cast(_DEC)
+    nb = F.lit(bins).cast(_DEC)
+    # p_base = (2·na+1)/(2·TA+bins), p_cur likewise; ln as ONE ratio of
+    # exact integers, each probability as ONE division
+    lnum = (two * na + one) * (two * F.col("__tb") + nb)
+    lden = (two * nc + one) * (two * F.col("__ta") + nb)
+    l6 = F.round(F.log(lnum.cast("double") / lden.cast("double")), 6)
+    pa = (two * na + one).cast("double") / (two * F.col("__ta") + nb).cast("double")
+    pc = (two * nc + one).cast("double") / (two * F.col("__tb") + nb).cast("double")
+    return j.select(
+        "bin",
+        na.cast("long").alias("n_base"),
+        nc.cast("long").alias("n_cur"),
+        F.round((pa - pc) * l6, 6).alias("psi_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairwise Pearson correlation (exact frozen sufficient statistics)
+# ---------------------------------------------------------------------------
+
+
+def corr_pairs(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns: one row per
+    unordered pair ``(col_x, col_y, n, sx, sy, sxy, sxx, syy, corr)``
+    with col_x < col_y by list order — the feature-redundancy screen.
+
+    The kmeans freeze discipline end-to-end: every value freezes ONCE to
+    ROUND(x·2^bits) BIGINT, the five sufficient statistics are exact
+    order-free integer sums, and corr makes the single float step
+    ROUND((n·sxy − sx·sy) / (√(n·sxx − sx²)·√(n·syy − sy²)), 6) — all
+    operands exact integers cast to DOUBLE, so both engines evaluate the
+    identical IEEE expression (sqrt/÷/× are correctly rounded). corr is
+    NULL for a zero-variance column. Rows with a NULL in ANY listed
+    column are dropped (complete-case — a shared n keeps the matrix
+    positive semidefinite).
+
+    ``bits`` trades quantization against overflow: sums are exact while
+    n·(x·2^bits)² < 2^63 (bits=12, |x| ≤ 500 → n ≲ 2·10^6; the internal
+    DECIMAL(38,0) aggregate never overflows first — the output BIGINT
+    cast fails loudly under ANSI if the envelope is exceeded; lower
+    bits or pre-scale for larger corpora).
+
+    Plan: ONE map-side-combined hash aggregate computing all
+    d + d·(d+1)/2 sums in a single pass (d is a literal — the
+    expressions stay in whole-stage codegen), then the 1-row result
+    unpivots to pair rows via a literal-shaped explode. No join, no
+    second scan, no window.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_pairs: need at least 2 columns")
+    scale = 1 << bits
+    fz = {
+        c: F.round(F.col(c).cast("double") * F.lit(scale), 0).cast("long")
+        for c in cols
+    }
+    base = df.where(
+        F.lit(True) & F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in cols))
+    ).select(*[fz[c].alias(f"__f_{c}") for c in cols])
+    aggs = [F.count(F.lit(1)).cast(_DEC).alias("__n")]
+    for c in cols:
+        fc = F.col(f"__f_{c}").cast(_DEC)
+        aggs.append(F.sum(fc).alias(f"__s_{c}"))
+        aggs.append(F.sum(fc * F.col(f"__f_{c}")).alias(f"__ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(f"__f_{a}").cast(_DEC) * F.col(f"__f_{b}"))
+                .alias(f"__sp_{a}_{b}")
+            )
+    one = base.agg(*aggs)
+    pair_structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pair_structs.append(F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("__n").alias("n"),
+                F.col(f"__s_{a}").alias("sx"),
+                F.col(f"__s_{b}").alias("sy"),
+                F.col(f"__sp_{a}_{b}").alias("sxy"),
+                F.col(f"__ss_{a}").alias("sxx"),
+                F.col(f"__ss_{b}").alias("syy"),
+            ))
+    p = one.select(F.explode(F.array(*pair_structs)).alias("p")).select("p.*")
+    n = F.col("n")
+    vnum = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    corr = F.when(
+        (vx > 0) & (vy > 0), F.round(vnum / (F.sqrt(vx) * F.sqrt(vy)), 6)
+    )
+    return p.select(
+        "col_x", "col_y",
+        n.cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("syy").cast("long").alias("syy"),
+        corr.alias("corr"),
+    )

@@ -1803,3 +1803,136 @@ def ewma(
                 / F.element_at(dlit, F.size("__ew_vals")), 6))
         .drop("__ew_vals")
     )
+
+
+# ---------------------------------------------------------------------------
+# walk-forward (purged) time-series cross-validation folds
+# ---------------------------------------------------------------------------
+
+
+def _int_time(df: DataFrame, col: str, op: str) -> Column:
+    """Exact INTEGER time for fold/audit math: epoch-µs for timestamp
+    columns, the raw value for integral numerics. Fractional numeric ts
+    would silently truncate under cast('long') — rejected loudly (the
+    asof_join_chunked unorderable-payload convention)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return epoch_us(F.col(col))
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.col(col).cast("long")
+    raise ValueError(
+        f"{op}: ts column {col!r} must be a timestamp/date or an "
+        f"integral numeric (got {dt.simpleString()}) — a fractional "
+        f"numeric time would silently truncate; scale it to an integer "
+        f"unit first")
+
+
+def time_folds(
+    df: DataFrame,
+    ts: str = "ts",
+    k: int = 5,
+    embargo_seconds: float = 0.0,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Assign every row to one of ``k`` equal-width TIME folds and emit
+    the walk-forward training cutoffs — the time-series CV split with an
+    embargo gap (de Prado, *Advances in Financial ML* ch. 7: purging
+    keeps features whose windows straddle a fold boundary from leaking
+    the validation period into training).
+
+    Appends three columns: ``fold`` (0-based, 0 = earliest),
+    ``fold_lo_us`` (the fold's inclusive start, epoch µs) and
+    ``purge_lo_us`` = fold_lo_us − embargo. Fold f's walk-forward
+    training set is ``rows WHERE epoch_us(ts) < purge_lo_us(f)`` —
+    strictly earlier than the fold minus the embargo, so a trailing
+    feature window of up to ``embargo_seconds`` built on training rows
+    can never observe validation-period events.
+
+    All integer: with W = max_us − min_us + 1, row → fold
+    ((t − min)·k DIV W), fold_lo_us(f) = min + ⌈f·W/k⌉ (the
+    curriculum_boundaries division-free rank rule family) — both
+    engines agree bit-for-bit. Plan: one 2-value global aggregate
+    broadcast back (the scale(…) fit/apply shape), then a codegen
+    projection; no shuffle of the data itself.
+    """
+    if k < 2:
+        raise ValueError("time_folds: need k >= 2 folds")
+    if embargo_seconds < 0:
+        raise ValueError("time_folds: embargo_seconds must be >= 0")
+    t = _int_time(df, ts, "time_folds")
+    emb = int(round(embargo_seconds * 1_000_000))
+    bounds = df.agg(
+        F.min(t).alias("__mn"), F.max(t).alias("__mx"),
+    )
+    j = df.crossJoin(F.broadcast(bounds))
+    fold = F.expr(
+        f"(({ts}_us__ - __mn) * {k}) DIV (__mx - __mn + 1)"
+    )
+    j = j.withColumn(f"{ts}_us__", t)
+    j = j.withColumn(out_col, fold.cast("int"))
+    lo = F.expr(f"__mn + ({out_col} * (__mx - __mn + 1) + {k} - 1) DIV {k}")
+    return (
+        j.withColumn("fold_lo_us", lo)
+        .withColumn("purge_lo_us", F.col("fold_lo_us") - F.lit(emb))
+        .drop("__mn", "__mx", f"{ts}_us__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal-leakage audit
+# ---------------------------------------------------------------------------
+
+
+def leakage_audit(
+    features: DataFrame,
+    spine_ts: str,
+    ts_cols: Sequence[str],
+) -> DataFrame:
+    """Audit a feature frame for temporal leakage: for every matched-
+    event-timestamp column (asof_join's ``matched_ts_col``,
+    point_in_time_enrich's per-table ts, last_k_join's context ts),
+    count rows whose matched event is LATER than the row's as-of point
+    — the invariant the north rule states as "no feature reads a turn
+    with ts later than its as-of point".
+
+    One row per audited column: ``(ts_col, n_rows, n_matched,
+    n_violations, max_skew_us)`` — max_skew_us = max(event − spine) in
+    µs over matched rows (negative magnitude = how stale the freshest
+    feature is; > 0 IS a leak). A leak-free backward-asof frame audits
+    to n_violations = 0 on every column; wire the audit into CI next to
+    the pipeline so a future forward-fill refactor cannot silently
+    flip direction.
+
+    Plan: one stacked projection (ts_col literal × value pair per
+    column) + one tiny hash aggregate on the column name — a single
+    pass over the feature frame, no joins, no Python.
+    """
+    cols = list(ts_cols)
+    if not cols:
+        raise ValueError("leakage_audit: need at least one ts column")
+    st = _int_time(features, spine_ts, "leakage_audit")
+    entries = [
+        F.struct(
+            F.lit(c).alias("ts_col"),
+            _int_time(features, c, "leakage_audit").alias("__t"),
+        )
+        for c in cols
+    ]
+    e = features.select(
+        st.alias("__s"), F.explode(F.array(*entries)).alias("f")
+    ).select(F.col("f.ts_col").alias("ts_col"), F.col("f.__t").alias("__t"),
+             "__s")
+    return (
+        e.groupBy("ts_col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("__t").alias("n_matched"),
+            F.coalesce(
+                F.sum(F.when(F.col("__t") > F.col("__s"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_violations"),
+            F.max(F.col("__t") - F.col("__s")).alias("max_skew_us"),
+        )
+    )
