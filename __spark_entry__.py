@@ -1323,6 +1323,26 @@ def q_range_features_prefix_chunked(spark, sf_dir):
     return _range_features(spark, sf_dir, "prefix_chunked")
 
 
+def q_multi_range_features(spark, sf_dir):
+    # multi-horizon trailing features (temporal.multi_range_agg): the
+    # range_features question asked at TWO horizons (10 min / 1 h) in ONE
+    # exchange — every rangeBetween frame shares the same partitionBy/
+    # orderBy so Catalyst plans one shuffle + one WindowExec for all of
+    # them (vs N sweeps + N−1 join-backs for stacked range_agg calls).
+    # Oracle = ONE independent left range-join on the WIDEST band with
+    # CASE-gated conditional aggregates for the narrower horizon.
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("tlen", F.length("text").cast("long"))
+    spine = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    out = temporal.multi_range_agg(
+        spine, t, on="conv_id", ts="ts",
+        windows={"10m": 600.0, "1h": 3600.0},
+        aggs={"n_ctx": ("count", "*"), "chars_ctx": ("sum", "tlen")})
+    return out.select("conv_id", "turn_idx", "n_ctx_10m", "chars_ctx_10m",
+                      "n_ctx_1h", "chars_ctx_1h")
+
+
 def q_tool_chains(spark, sf_dir):
     # tool-loop islands (transcripts.tool_chains): maximal consecutive
     # tool-turn runs via rn − rn_tool gaps-and-islands; first/last tool
@@ -2171,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_wp": q_token_budget_wp,
         "truncate_context_chunked": q_truncate_context_chunked,
         "range_features_prefix_chunked": q_range_features_prefix_chunked,
+        "multi_range_features": q_multi_range_features,
         "bfill_chunked": q_bfill_chunked,
         "sessionize": q_sessionize,
         "sessionize_chunked": q_sessionize_chunked,
@@ -2709,6 +2730,25 @@ def _oracle_sql() -> dict[str, str]:
             LEFT JOIN transcripts e
               ON e.conv_id = s.conv_id
              AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
+             AND epoch_us(e.ts) <  epoch_us(s.ts)
+            GROUP BY s.conv_id, s.turn_idx
+        """,
+        "multi_range_features": f"""{_CTE}
+            SELECT s.conv_id, s.turn_idx,
+                   CAST(COUNT(CASE WHEN epoch_us(e.ts) >=
+                                        epoch_us(s.ts) - 600000000
+                              THEN e.ts END) AS BIGINT)  AS n_ctx_10m,
+                   CAST(SUM(CASE WHEN epoch_us(e.ts) >=
+                                      epoch_us(s.ts) - 600000000
+                            THEN length(e.text) END) AS BIGINT)
+                       AS chars_ctx_10m,
+                   CAST(COUNT(e.ts) AS BIGINT)           AS n_ctx_1h,
+                   CAST(SUM(length(e.text)) AS BIGINT)   AS chars_ctx_1h
+            FROM (SELECT conv_id, turn_idx, ts FROM transcripts
+                  WHERE role = 'assistant') s
+            LEFT JOIN transcripts e
+              ON e.conv_id = s.conv_id
+             AND epoch_us(e.ts) >= epoch_us(s.ts) - 3600000000
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,

@@ -285,6 +285,7 @@ def main() -> None:
         "range_features",
         "range_features_prefix",
         "range_features_prefix_chunked",
+        "multi_range_features",
         "pit_enrich",
         "interval_label",
         "scd_intervals",

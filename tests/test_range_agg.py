@@ -264,3 +264,71 @@ def test_chunk_seconds_rejected_on_window_impl(spark, corpus):
     with pytest.raises(ValueError, match="chunk_seconds"):
         range_agg(spine_of(sdf), sdf, window_seconds=W,
                   aggs={"n": ("count", "*")}, chunk_seconds=60.0)
+
+
+# --------------------------------------------------------------------------
+# multi_range_agg: N horizons, one exchange
+
+MW = {"2m": 120.0, "10m": 600.0, "1h": 3600.0}
+
+
+@pytest.mark.parametrize("include_current", [False, True])
+def test_multi_range_agg_matches_per_window(spark, corpus, include_current):
+    """Each {agg}_{window} column equals the single-window range_agg —
+    the shared-sweep optimization must be semantically invisible."""
+    from towhee_spark.temporal import multi_range_agg
+
+    _, sdf = corpus
+    sp = spine_of(sdf)
+    aggs = {"n": ("count", "*"), "chars": ("sum", "tlen"),
+            "mx": ("max", "tlen")}
+    multi = multi_range_agg(sp, sdf, windows=MW, aggs=aggs,
+                            include_current=include_current)
+    for wname, wsec in MW.items():
+        got = [tuple(r) for r in multi.select(
+            "conv_id", "turn_idx",
+            F.col(f"n_{wname}").alias("n"),
+            F.col(f"chars_{wname}").alias("chars"),
+            F.col(f"mx_{wname}").alias("mx"),
+        ).orderBy("conv_id", "turn_idx").collect()]
+        ref = [tuple(r) for r in range_agg(
+            sp, sdf, window_seconds=wsec, aggs=aggs,
+            include_current=include_current,
+        ).select("conv_id", "turn_idx", "n", "chars", "mx")
+         .orderBy("conv_id", "turn_idx").collect()]
+        assert got == ref, wname
+
+
+def test_multi_range_agg_single_exchange(spark, corpus):
+    """THE point: 3 horizons plan ONE hash exchange + ONE WindowExec
+    (same partitionBy/orderBy → Catalyst fuses every frame), zero
+    Python — vs 3 exchanges + 2 join-backs for stacked range_agg calls."""
+    from towhee_spark.temporal import multi_range_agg
+
+    _, sdf = corpus
+    df = multi_range_agg(
+        spine_of(sdf), sdf, windows=MW,
+        aggs={"n": ("count", "*"), "s": ("sum", "tlen")})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window ") == 1
+    assert "Python" not in plan
+
+
+def test_multi_range_agg_validation(spark, corpus):
+    from towhee_spark.temporal import multi_range_agg
+
+    _, sdf = corpus
+    sp = spine_of(sdf)
+    with pytest.raises(ValueError, match="aggs"):
+        multi_range_agg(sp, sdf, windows=MW)
+    with pytest.raises(ValueError, match="windows"):
+        multi_range_agg(sp, sdf, aggs={"n": ("count", "*")})
+    with pytest.raises(ValueError, match="must be > 0"):
+        multi_range_agg(sp, sdf, windows={"bad": 0},
+                        aggs={"n": ("count", "*")})
+    ev = spark.createDataFrame(
+        [("c", 0.0, 1)], "conv_id string, ts double, v long")
+    with pytest.raises(ValueError, match="temporal ts"):
+        multi_range_agg(ev, ev, windows={"w": 10},
+                        aggs={"s": ("sum", "v")})

@@ -21,7 +21,8 @@ from towhee_spark.registry import ops, register
 from towhee_spark.serve import APIService
 from towhee_spark.temporal import (
     asof_join, bfill, interval_join, lag_lead, last_k_join, locf,
-    point_in_time_enrich, range_agg, sessionize, validity_intervals)
+    multi_range_agg, point_in_time_enrich, range_agg, sessionize,
+    validity_intervals)
 
 __version__ = "0.1.0"
 
@@ -45,6 +46,7 @@ __all__ = [
     "bfill",
     "sessionize",
     "range_agg",
+    "multi_range_agg",
     "point_in_time_enrich",
     "interval_join",
     "last_k_join",

@@ -1017,9 +1017,80 @@ def range_agg(
     raise ValueError(f"range_agg: unknown impl {impl!r}")
 
 
+def multi_range_agg(
+    spine: DataFrame,
+    events: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    windows: dict | None = None,
+    aggs: dict | None = None,
+    include_current: bool = False,
+    spine_ts: str | None = None,
+) -> DataFrame:
+    """Multi-horizon trailing aggregates in ONE exchange: for every spine
+    row, each agg from ``aggs`` over each trailing window from ``windows``
+    (name → seconds), emitted as ``{agg}_{window}`` columns — the classic
+    multi-horizon feature vector ("events in the last 10 min / 1 h / 24 h
+    as of this turn") with :func:`range_agg`'s exact semantics per window
+    (closed lower / open upper bound, leakage-free; count 0 and NULL
+    sum/min/max/avg on empty windows).
+
+    Scale story: calling :func:`range_agg` N times costs N union sweeps,
+    N exchanges, and N−1 join-backs. Here the union frame is built ONCE
+    and every window is a ``rangeBetween`` frame over the SAME
+    ``partitionBy(keys).orderBy(ts)`` — Catalyst plans a single hash
+    exchange and a single sort shared by all frames (pinned by
+    ``tests/test_range_agg.py::test_multi_range_agg_single_exchange``).
+    Per-row frame evaluation cost is bounded by the WIDEST window, same
+    as the widest single-window call.
+
+    Temporal ts columns only (exact µs frame bounds — the range_agg
+    window-impl rule). Float sums inherit one deterministic accumulation
+    order but still differ from other engines' orders at ~1e-13 — gate
+    float sums through integers or ROUND (repo float-parity rule).
+
+    Reference parity: Towhee's `time_window` (towhee/runtime/nodes/
+    _window.py) aggregates one fixed window per node; a user stacks nodes
+    per horizon, re-reading the stream each time. One shared sweep is the
+    Spark-first re-expression.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if not aggs:
+        raise ValueError(
+            "multi_range_agg: aggs= is required (name -> (fn, col))")
+    if not windows:
+        raise ValueError(
+            "multi_range_agg: windows= is required (name -> seconds)")
+    specs = _range_specs(aggs)
+    keys = _as_list(on)
+    s_ts = spine_ts or ts
+    wins = []
+    for wname, wsec in windows.items():
+        w = float(wsec)
+        if w <= 0:
+            raise ValueError(
+                f"multi_range_agg: window {wname!r} must be > 0 seconds")
+        wins.append((str(wname), w))
+    for dt, side in ((events.schema[ts].dataType, "events"),
+                     (spine.schema[s_ts].dataType, "spine")):
+        if not isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                               T.DateType)):
+            raise ValueError(
+                f"multi_range_agg needs a temporal ts column on the {side} "
+                "side (exact µs frame bounds); for numeric ts run "
+                "range_agg(impl='prefix') per window")
+    return _range_agg_window(
+        spine, events, keys, ts, s_ts, wins, specs, include_current)
+
+
 def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
                       include_current):
-    w_us = int(round(w * 1_000_000))
+    # w: a single window width in seconds, or a list of (suffix, width)
+    # pairs — every pair becomes a rangeBetween frame over the SAME
+    # partitionBy/orderBy (one exchange, one sort, shared by all frames);
+    # output columns are named f"{agg}_{suffix}" in the multi case.
+    wins = [(None, float(w))] if not isinstance(w, list) else w
     vals = []
     for i, (_, fn, col) in enumerate(specs):
         src = F.lit(1) if col is None else F.col(col)
@@ -1041,15 +1112,18 @@ def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
           .alias(f"__ra_v{i}") for i in range(len(specs))])
     u = ev_wide.unionByName(sp_wide)
     hi = 0 if include_current else -1
-    frame = (
-        Window.partitionBy(*keys).orderBy("__ra_t")
-        .rangeBetween(-w_us, hi))
     out_cols = []
-    for i, (name, fn, _) in enumerate(specs):
-        f = getattr(F, fn)(F.col(f"__ra_v{i}")).over(frame)
-        if fn == "count":
-            f = f.cast("long")
-        out_cols.append(f.alias(name))
+    for suffix, wsec in wins:
+        w_us = int(round(wsec * 1_000_000))
+        frame = (
+            Window.partitionBy(*keys).orderBy("__ra_t")
+            .rangeBetween(-w_us, hi))
+        for i, (name, fn, _) in enumerate(specs):
+            f = getattr(F, fn)(F.col(f"__ra_v{i}")).over(frame)
+            if fn == "count":
+                f = f.cast("long")
+            out_cols.append(
+                f.alias(name if suffix is None else f"{name}_{suffix}"))
     return (
         u.select(*keys, "__ra_s", *sp_cols, *out_cols)
         .where(F.col("__ra_s") == 1)
