@@ -2111,6 +2111,55 @@ def q_leakage_audit(spark, sf_dir):
     return te.leakage_audit(f2, "ts", ["pur_ts", "err_ts"])
 
 
+def q_stratified(spark, sf_dir):
+    # exact-count quota sampling (curation.stratified_sample): keep the
+    # quota[stratum] lowest-hash rows per event_type; quotas straddle the
+    # stratum sizes at every SF so both the cut and keep-all branches
+    # carry rows. Rank is deterministic — ORDER BY (hash60, event_id).
+    from towhee_spark.functions import curation as cu  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    out = cu.stratified_sample(
+        ev, {"click": 200, "view": 150, "purchase": 50}, "event_type",
+        id_col="event_id", salt="strat", default_quota=25, rank_col="rank")
+    return out.select("event_id", "event_type", "rank")
+
+
+def q_stratified_chunked(spark, sf_dir):
+    # hot-stratum path: rank = local row_number per (stratum, top-4-bits-
+    # of-hash bucket) + exclusive prefix-sum carry — chunking is invisible
+    # (shares q_stratified's oracle), the mega-stratum fans out 16-way.
+    from towhee_spark.functions import curation as cu  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    out = cu.stratified_sample(
+        ev, {"click": 200, "view": 150, "purchase": 50}, "event_type",
+        id_col="event_id", salt="strat", default_quota=25, rank_col="rank",
+        chunk_bits=4)
+    return out.select("event_id", "event_type", "rank")
+
+
+def q_class_weights(spark, sf_dir):
+    # balanced class weights (features.class_weights): exact-integer
+    # (n, gn, k) from two stacked hash aggregates, weight = the single
+    # ROUND-6 IEEE division gn / (k·n).
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    return fe.class_weights(ev, "event_type")
+
+
+def q_cohort_retention(spark, sf_dir):
+    # cohort retention triangle (temporal.cohort_retention) over the
+    # purchase stream at 3-day periods: cohort = first active bucket per
+    # user, counts exact, retention the single ROUND-6 division. Oracle
+    # recomputes via DISTINCT + MIN instead of the collect_set plan.
+    ev = load_events(spark, sf_dir)
+    pur = ev.where(F.col("event_type") == "purchase")
+    return temporal.cohort_retention(
+        pur, key="user_id", ts="ts", period_seconds=3 * 86_400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round correctness run covers the FIRST
     # 50 entries. Rotation policy: keys that have NEVER appeared in a driver
@@ -2282,6 +2331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_chunked": q_asof_chunked,
         "bfill": q_bfill,
         "lag_lead_chunked": q_lag_lead_chunked,
+        "stratified": q_stratified,
+        "stratified_chunked": q_stratified_chunked,
+        "class_weights": q_class_weights,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2300,6 +2353,8 @@ def oracle_sql() -> dict[str, str]:
     d["range_features_prefix_chunked"] = d["range_features"]
     # the snapshot-broadcast asof must be indistinguishable from asof_join
     d["asof_static"] = d["asof_backward"]
+    # hash-bucket chunked quota sampling must be invisible too
+    d["stratified_chunked"] = d["stratified"]
     return d
 
 
@@ -3267,6 +3322,55 @@ def _oracle_sql() -> dict[str, str]:
                                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
                    MAX(epoch_us(t) - epoch_us(ts)) AS max_skew_us
             FROM st GROUP BY 1""",
+        # exact-count quota sampling: rank over (hash60, id) per stratum;
+        # the chunked variant shares this SQL (chunking invisible).
+        "stratified": f"""
+            SELECT event_id, event_type, rank FROM (
+                SELECT event_id, event_type,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type
+                           ORDER BY {_hash60_sql('event_id', 'strat')},
+                                    event_id) AS rank
+                FROM events)
+            WHERE rank <= CASE event_type
+                          WHEN 'click' THEN 200 WHEN 'view' THEN 150
+                          WHEN 'purchase' THEN 50 ELSE 25 END""",
+        # balanced weights: exact-integer (n, gn, k), ONE ROUND-6 division
+        # with the same operand shape as features.class_weights.
+        "class_weights": """
+            WITH per AS (
+                SELECT event_type AS label, COUNT(*) AS n
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1
+            ),
+            g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, COUNT(*) AS k FROM per)
+            SELECT label, n,
+                   ROUND(CAST(gn AS DOUBLE) / CAST(k * n AS DOUBLE), 6) AS weight
+            FROM per, g""",
+        # cohort retention via DISTINCT + MIN (independent of the Spark
+        # collect_set plan); buckets = exact epoch-µs integer division.
+        "cohort_retention": f"""
+            WITH b AS (
+                SELECT user_id AS k,
+                       epoch_us(ts) // {3 * 86_400 * 1_000_000} AS bk
+                FROM events
+                WHERE event_type = 'purchase'
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            pk AS (SELECT k, MIN(bk) AS cohort FROM b GROUP BY 1),
+            act AS (SELECT DISTINCT k, bk FROM b),
+            agg AS (
+                SELECT p.cohort, a.bk - p.cohort AS period_off,
+                       COUNT(*) AS n_active
+                FROM act a JOIN pk p USING (k) GROUP BY 1, 2
+            ),
+            sz AS (SELECT cohort, COUNT(*) AS n_cohort FROM pk GROUP BY 1)
+            SELECT agg.cohort,
+                   CAST(agg.cohort * {3 * 86_400 * 1_000_000} AS BIGINT)
+                       AS cohort_lo_us,
+                   period_off, n_active, n_cohort,
+                   ROUND(CAST(n_active AS DOUBLE)
+                         / CAST(n_cohort AS DOUBLE), 6) AS retention
+            FROM agg JOIN sz USING (cohort)""",
     }
 
 

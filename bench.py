@@ -291,6 +291,10 @@ def main() -> None:
         "scd_intervals",
         "hll_sliding",
         "last_k_ctx",
+        "stratified",
+        "stratified_chunked",
+        "class_weights",
+        "cohort_retention",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -651,3 +651,72 @@ def test_hll_sliding_covered_and_estimate(spark):
         sketches.hll_sliding(df, "v", window_buckets=0)
     with pytest.raises(ValueError, match="emit"):
         sketches.hll_sliding(df, "v", emit="dense")
+
+
+# ---------------------------------------------------------------- stratified
+
+
+def test_stratified_sample_exact_quotas(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("lang"))
+    out = curation.stratified_sample(
+        df, {"a": 50, "b": 10}, "lang", id_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 50, "b": 10}
+    # quota above the stratum size keeps the whole stratum
+    out2 = curation.stratified_sample(df, {"a": 10**6}, "lang", id_col="doc_id")
+    assert out2.count() == 334  # every 'a', no 'b' (default_quota=0)
+
+
+def test_stratified_sample_int_quota_and_rank(spark):
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"))
+    out = curation.stratified_sample(
+        df, 7, "lang", id_col="doc_id", rank_col="rank")
+    rows = out.collect()
+    assert len(rows) == 14
+    assert sorted(r["rank"] for r in rows if r["lang"] == "0") == list(range(1, 8))
+    # ranks follow hash order: rank 1 has the stratum's minimal hash60
+    h = {r["doc_id"]: r["rank"] for r in rows}
+    hashed = df.select(
+        "doc_id", "lang", curation.hash60("doc_id", "strat").alias("h")
+    ).collect()
+    kept = {r["doc_id"]: r["h"] for r in hashed if r["doc_id"] in h}
+    per = {}
+    for r in hashed:
+        per.setdefault(r["lang"], []).append((r["h"], r["doc_id"]))
+    for lang, pairs in per.items():
+        expect = [d for _, d in sorted(pairs)[:7]]
+        got = sorted((r["doc_id"] for r in rows if r["lang"] == lang),
+                     key=lambda d: kept[d])
+        assert got == expect
+
+
+def test_stratified_sample_chunked_matches_unchunked(spark):
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("hot").alias("lang"))
+    plain = curation.stratified_sample(
+        df, {"hot": 1234, "rare": 77}, "lang", rank_col="rank")
+    chunked = curation.stratified_sample(
+        df, {"hot": 1234, "rare": 77}, "lang", rank_col="rank", chunk_bits=3)
+    assert plain.exceptAll(chunked).count() == 0
+    assert chunked.exceptAll(plain).count() == 0
+    shuffled = curation.stratified_sample(
+        df.repartition(13), {"hot": 1234, "rare": 77}, "lang",
+        rank_col="rank", chunk_bits=3, broadcast_carry=False)
+    assert plain.exceptAll(shuffled).count() == 0
+
+
+def test_stratified_sample_validation(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"),
+                                F.lit("x").alias("lang"))
+    with pytest.raises(ValueError, match="quota"):
+        curation.stratified_sample(df, {"x": -1}, "lang")
+    with pytest.raises(ValueError, match="quota"):
+        curation.stratified_sample(df, -5, "lang")
+    with pytest.raises(ValueError, match="chunk_bits"):
+        curation.stratified_sample(df, 5, "lang", chunk_bits=0)

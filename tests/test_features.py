@@ -316,3 +316,33 @@ def test_corr_pairs_validation(spark):
     df = spark.createDataFrame([Row(x=1.0)])
     with pytest.raises(ValueError, match="2 columns"):
         FE.corr_pairs(df, ["x"])
+
+
+# ------------------------------------------------------------- class_weights
+
+
+def test_class_weights_balanced_matches_sklearn_rule(spark):
+    from towhee_spark.functions import features as fe
+
+    rows = [("a",)] * 70 + [("b",)] * 20 + [("c",)] * 10 + [(None,)]
+    df = spark.createDataFrame(rows, "lbl string")
+    out = {r["label"]: r for r in fe.class_weights(df, "lbl").collect()}
+    assert set(out) == {"a", "b", "c"}  # nulls excluded
+    n = {"a": 70, "b": 20, "c": 10}
+    for lbl, r in out.items():
+        assert r["n"] == n[lbl]
+        assert r["weight"] == round(100 / (3 * n[lbl]), 6)
+
+
+def test_class_weights_inv_sqrt_and_validation(spark):
+    from towhee_spark.functions import features as fe
+    import math
+    import pytest
+
+    df = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "lbl string")
+    out = {r["label"]: r["weight"]
+           for r in fe.class_weights(df, "lbl", scheme="inv_sqrt").collect()}
+    assert out["a"] == round(math.sqrt(100 / 90), 6)
+    assert out["b"] == round(math.sqrt(100 / 10), 6)
+    with pytest.raises(ValueError, match="scheme"):
+        fe.class_weights(df, "lbl", scheme="log")

@@ -10,6 +10,7 @@ import pytest
 from towhee_spark import asof_join, bfill, lag_lead, locf, sessionize
 from towhee_spark.schema import CONTEXT_SCHEMA, TRANSCRIPT_SCHEMA
 from towhee_spark.synth import context_pdf, transcripts_pdf
+from towhee_spark import temporal
 from towhee_spark.temporal import asof_join_cogroup
 
 
@@ -789,3 +790,43 @@ def test_leakage_audit_multi_column_and_validation(spark, sdfs):
         leakage_audit(f2, "ts", [])
     with pytest.raises(ValueError, match="integral"):
         leakage_audit(f2.withColumn("bad", F.lit(1.5)), "ts", ["bad"])
+
+
+# ---------------------------------------------------------- cohort_retention
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    def t(day):
+        return dt.datetime(2024, 1, day)
+
+    # periods of 1 day; u1 cohort day1 active days {1,2,4}; u2 cohort day1
+    # active {1}; u3 cohort day2 active {2,4}
+    rows = [(1, t(1)), (1, t(2)), (1, t(2)), (1, t(4)),
+            (2, t(1)),
+            (3, t(2)), (3, t(4)), (None, t(9)), (4, None)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = temporal.cohort_retention(df, key="user_id", ts="ts",
+                                    period_seconds=86_400)
+    got = {(r["cohort"], r["period_off"]): (r["n_active"], r["n_cohort"],
+                                            r["retention"])
+           for r in out.collect()}
+    d1 = dt.date(2024, 1, 1).toordinal() - dt.date(1970, 1, 1).toordinal()
+    c1, c2 = d1, d1 + 1
+    assert got == {
+        (c1, 0): (2, 2, 1.0),
+        (c1, 1): (1, 2, 0.5),
+        (c1, 3): (1, 2, 0.5),
+        (c2, 0): (1, 1, 1.0),
+        (c2, 2): (1, 1, 1.0),
+    }
+    # cohort_lo_us is the bucket start in epoch-µs
+    lo = {r["cohort"]: r["cohort_lo_us"] for r in out.collect()}
+    assert lo[c1] == d1 * 86_400 * 1_000_000
+
+
+def test_cohort_retention_validation(spark):
+    df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="period_seconds"):
+        temporal.cohort_retention(df, period_seconds=0)

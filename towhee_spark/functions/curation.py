@@ -792,3 +792,92 @@ def data_card(
                     / (n * F.lit(float(scale))), 6).alias("avg_quality"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas: dict[str, int] | int,
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    default_quota: int = 0,
+    rank_col: str | None = None,
+    chunk_bits: int | None = None,
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """Exact-count quota sampling: keep the ``quotas[stratum]`` rows of
+    each stratum with the LOWEST ``hash60(salt || id)`` (ties broken by
+    id). Where :func:`sample_by_hash` keeps an expected *fraction*, this
+    keeps an exact *count* — the primitive for "exactly 1M examples per
+    language" training-mix specs and for budgeted eval-set carving. The
+    hash order makes the choice deterministic across engines, retries
+    and partitionings; note the trade vs ``sample_by_hash``: adding or
+    removing corpus rows can shift the rank cut, so membership is stable
+    only for a fixed corpus (exact counts cannot have both).
+
+    ``quotas`` is a per-stratum dict (strata absent keep
+    ``default_quota``; 0 drops) or a single int applied to every
+    stratum. ``rank_col`` optionally keeps the 1-based rank.
+
+    Plan: one hash exchange on ``strata_col`` + a row_number window —
+    the same shape as the shard-layout op. A mega-stratum (one language
+    = half the corpus) serializes that window onto one task; pass
+    ``chunk_bits=b`` for the hot-key path: rows bucket by the TOP b bits
+    of the hash (bucket order == hash order, ties share a bucket), rank
+    = local row_number per (stratum, bucket) + an exclusive prefix-sum
+    carry of per-bucket counts (``temporal.chunked_row_number``'s
+    recurrence re-keyed to hash space) — identical output, and the
+    mega-stratum fans out over 2^b tasks. The reference has no sampling
+    layer (data selection is upstream of its pipelines,
+    data_source.py:24-60)."""
+    if isinstance(quotas, int):
+        if quotas < 0:
+            raise ValueError("stratified_sample: quota must be >= 0")
+        quota_col: Column = F.lit(quotas)
+    else:
+        q: Column | None = None
+        for s, v in quotas.items():
+            if v < 0:
+                raise ValueError(f"stratified_sample: quota for {s!r} < 0")
+            cond = F.col(strata_col) == s
+            q = F.when(cond, F.lit(int(v))) if q is None else q.when(cond, F.lit(int(v)))
+        if default_quota < 0:
+            raise ValueError("stratified_sample: default_quota must be >= 0")
+        quota_col = F.lit(int(default_quota)) if q is None \
+            else q.otherwise(F.lit(int(default_quota)))
+    out = df.withColumn("__ss_h", hash60(id_col, salt))
+    if chunk_bits is None:
+        w = Window.partitionBy(strata_col).orderBy("__ss_h", id_col)
+        out = out.withColumn("__ss_rn", F.row_number().over(w).cast("long"))
+    else:
+        if not 1 <= chunk_bits <= 30:
+            raise ValueError("stratified_sample: chunk_bits must be in [1, 30]")
+        from towhee_spark.temporal import carry_join  # noqa: PLC0415
+
+        out = out.withColumn("__ss_bk", F.shiftright("__ss_h", 60 - chunk_bits))
+        w_local = Window.partitionBy(strata_col, "__ss_bk") \
+            .orderBy("__ss_h", id_col)
+        counts = out.groupBy(strata_col, "__ss_bk") \
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        w_off = (
+            Window.partitionBy(strata_col).orderBy("__ss_bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = counts.select(
+            strata_col, "__ss_bk",
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+        out = carry_join(
+            out.withColumn("__lrn", F.row_number().over(w_local)),
+            offs, [strata_col, "__ss_bk"], broadcast=broadcast_carry,
+        ).withColumn(
+            "__ss_rn", (F.col("__off") + F.col("__lrn")).cast("long"),
+        ).drop("__ss_bk", "__lrn", "__off")
+    out = out.filter(F.col("__ss_rn") <= quota_col)
+    # carry_join puts join keys first — restore the input column order so
+    # both physical paths present the identical schema
+    cols = list(df.columns)
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("__ss_rn"))
+        cols.append(rank_col)
+    return out.select(*cols)

@@ -612,3 +612,45 @@ def corr_pairs(
         F.col("syy").cast("long").alias("syy"),
         corr.alias("corr"),
     )
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+    scheme: str = "balanced",
+) -> DataFrame:
+    """Per-class loss weights for imbalanced training: one row per
+    distinct label with ``(label, n, weight)``.
+
+    * ``scheme="balanced"`` — sklearn's rule ``w = n_total / (k · n_c)``
+      (uniform-prior reweighting: every class contributes equally).
+    * ``scheme="inv_sqrt"`` — ``w = sqrt(n_total / n_c)`` (the softer
+      up-weighting used for skewed text corpora, e.g. multilingual
+      sampling temperatures around 0.5).
+
+    Cross-engine parity: ``n_total``, ``k`` and ``n_c`` are exact
+    integers from two stacked hash aggregates; the weight is a single
+    IEEE division of exact operands (+ one exactly-rounded sqrt for
+    inv_sqrt), then ROUND-6 — identical in Spark and DuckDB. Plan: one
+    hash aggregate on the label (map-side combine absorbs any label
+    skew) + a broadcast 1-row stats join; no window, no second scan."""
+    if scheme not in ("balanced", "inv_sqrt"):
+        raise ValueError(f"class_weights: unknown scheme {scheme!r}")
+    per = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = per.agg(
+        F.sum("n").cast("long").alias("__gn"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    out = per.crossJoin(F.broadcast(g))
+    if scheme == "balanced":
+        w = F.round(
+            F.col("__gn").cast("double")
+            / (F.col("__k") * F.col("n")).cast("double"), 6)
+    else:
+        w = F.round(
+            F.sqrt(F.col("__gn").cast("double") / F.col("n").cast("double")), 6)
+    return out.select("label", "n", w.alias("weight"))

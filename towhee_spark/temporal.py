@@ -2010,3 +2010,64 @@ def leakage_audit(
             F.max(F.col("__t") - F.col("__s")).alias("max_skew_us"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    period_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Cohort retention matrix over an event stream: bucket time into
+    fixed periods, assign every key to the cohort of its FIRST active
+    period, and count how many of each cohort's keys are active again
+    ``period_off`` periods later. Output one row per (cohort, offset):
+    ``(cohort, cohort_lo_us, period_off, n_active, n_cohort,
+    retention)`` — ``retention`` is 1.0 at offset 0 by construction.
+    The classic engagement/retention triangle, here as a first-class
+    distributed plan (the reference has no longitudinal analytics; its
+    window ops are per-stream, runtime/nodes/_window.py:21).
+
+    Plan (100 TB story): ONE full-data exchange — a hash aggregate on
+    ``key`` computing (min bucket, collect_set of distinct buckets);
+    everything after runs on per-key rows (≤ horizon/period buckets per
+    key — e.g. 52 for a year of weekly periods; choose coarser periods
+    for longer horizons) and two tiny aggregates on (cohort, offset) /
+    (cohort). No window function anywhere, so key skew is absorbed by
+    map-side partial aggregation. Cross-engine parity: buckets are
+    exact epoch-µs integer divisions (nonneg epochs; pre-1970 ts would
+    split Spark DIV vs DuckDB floor-div), counts are exact, and
+    ``retention`` is the single ROUND-6 IEEE division of the repo's
+    float discipline."""
+    if period_seconds <= 0:
+        raise ValueError("cohort_retention: period_seconds must be > 0")
+    p_us = int(period_seconds) * 1_000_000
+    base = (
+        df.filter(F.col(key).isNotNull() & F.col(ts).isNotNull())
+        .select(
+            F.col(key).alias("__k"),
+            epoch_us(ts).alias("__us"),
+        )
+        .withColumn("__bk", F.expr(f"__us DIV {p_us}"))
+    )
+    keyagg = base.groupBy("__k").agg(
+        F.min("__bk").alias("cohort"),
+        F.collect_set("__bk").alias("__bks"),
+    )
+    act = keyagg.select(
+        "cohort", F.explode("__bks").alias("__bk"),
+    ).select("cohort", (F.col("__bk") - F.col("cohort")).alias("period_off"))
+    ret = act.groupBy("cohort", "period_off").agg(
+        F.count(F.lit(1)).alias("n_active"))
+    sizes = keyagg.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        ret.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            (F.col("cohort") * F.lit(p_us)).alias("cohort_lo_us"),
+            "period_off", "n_active", "n_cohort",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double"), 6).alias("retention"),
+        )
+    )
