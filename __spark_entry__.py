@@ -1204,6 +1204,37 @@ def _range_features(spark, sf_dir, impl):
     return out.select("conv_id", "turn_idx", "n_ctx", "chars_ctx")
 
 
+def _future_features(spark, sf_dir, impl):
+    # forward-horizon LABEL aggregates (temporal.future_agg): for every
+    # user turn, COUNT + SUM(length(text)) over the turns in the
+    # strictly-following 10 minutes of the same conversation — the
+    # supervision mirror of range_features, open at the as-of instant
+    # and closed at the horizon so a (feature, label) pair can never
+    # share an event. Window impl = rangeBetween(+1, +h_us); prefix impl
+    # = range_agg's proven sweep on NEGATED time. Both gate on the SAME
+    # independent LEFT-JOIN oracle (physical strategy invisible).
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("tlen", F.length("text").cast("long"))
+    spine = t.where(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts")
+    kw = {}
+    if impl == "prefix":
+        kw = {"spine_id": ("conv_id", "turn_idx")}
+    out = temporal.future_agg(
+        spine, t, on="conv_id", ts="ts", horizon_seconds=600.0,
+        aggs={"n_next": ("count", "*"), "chars_next": ("sum", "tlen")},
+        impl=impl, **kw)
+    return out.select("conv_id", "turn_idx", "n_next", "chars_next")
+
+
+def q_future_features(spark, sf_dir):
+    return _future_features(spark, sf_dir, "window")
+
+
+def q_future_features_prefix(spark, sf_dir):
+    return _future_features(spark, sf_dir, "prefix")
+
+
 def q_last_k_ctx(spark, sf_dir):
     # last-k context gathering (temporal.last_k_join): for each
     # assistant turn, the 3 most recent context rows at or before its
@@ -2335,6 +2366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_chunked": q_stratified_chunked,
         "class_weights": q_class_weights,
         "cohort_retention": q_cohort_retention,
+        "future_features": q_future_features,
+        "future_features_prefix": q_future_features_prefix,
     }
 
 
@@ -2355,6 +2388,8 @@ def oracle_sql() -> dict[str, str]:
     d["asof_static"] = d["asof_backward"]
     # hash-bucket chunked quota sampling must be invisible too
     d["stratified_chunked"] = d["stratified"]
+    # future_agg's negated-time prefix sweep answers the same question
+    d["future_features_prefix"] = d["future_features"]
     return d
 
 
@@ -2786,6 +2821,21 @@ def _oracle_sql() -> dict[str, str]:
               ON e.conv_id = s.conv_id
              AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
              AND epoch_us(e.ts) <  epoch_us(s.ts)
+            GROUP BY s.conv_id, s.turn_idx
+        """,
+        # forward-horizon labels: the independent LEFT range join on the
+        # strictly-after / closed-horizon band — no mirror of either
+        # physical strategy (window frame vs negated-time prefix sweep)
+        "future_features": f"""{_CTE}
+            SELECT s.conv_id, s.turn_idx,
+                   CAST(COUNT(e.ts) AS BIGINT)          AS n_next,
+                   CAST(SUM(length(e.text)) AS BIGINT)  AS chars_next
+            FROM (SELECT conv_id, turn_idx, ts FROM transcripts
+                  WHERE role = 'user') s
+            LEFT JOIN transcripts e
+              ON e.conv_id = s.conv_id
+             AND epoch_us(e.ts) >  epoch_us(s.ts)
+             AND epoch_us(e.ts) <= epoch_us(s.ts) + 600000000
             GROUP BY s.conv_id, s.turn_idx
         """,
         "multi_range_features": f"""{_CTE}

@@ -295,6 +295,8 @@ def main() -> None:
         "stratified_chunked",
         "class_weights",
         "cohort_retention",
+        "future_features",
+        "future_features_prefix",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

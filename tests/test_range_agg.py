@@ -332,3 +332,115 @@ def test_multi_range_agg_validation(spark, corpus):
     with pytest.raises(ValueError, match="temporal ts"):
         multi_range_agg(ev, ev, windows={"w": 10},
                         aggs={"s": ("sum", "v")})
+
+
+# ------------------------------------------------------------- future_agg
+
+
+def future_pandas_oracle(t, include_current=False):
+    """Brute-force per-spine-row forward scan (spine = user turns)."""
+    rows = []
+    for conv, g in t.groupby("conv_id"):
+        ev_ts = g["ts"].astype("datetime64[us]")
+        for _, r in g[g["role"] == "user"].iterrows():
+            lo = pd.Timestamp(r["ts"])
+            hi = lo + pd.Timedelta(seconds=W)
+            if include_current:
+                m = (ev_ts >= lo) & (ev_ts <= hi)
+            else:
+                m = (ev_ts > lo) & (ev_ts <= hi)
+            sel = g.loc[m.values]
+            rows.append({
+                "conv_id": conv,
+                "turn_idx": r["turn_idx"],
+                "n": len(sel),
+                "s": int(sel["text"].str.len().sum()) if len(sel) else None,
+            })
+    return rows
+
+
+@pytest.mark.parametrize("include_current", [False, True])
+def test_future_window_impl_vs_pandas_oracle(spark, corpus, include_current):
+    from towhee_spark.temporal import future_agg
+
+    t, sdf = corpus
+    spine = sdf.where(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts")
+    out = future_agg(
+        spine, sdf, on="conv_id", ts="ts", horizon_seconds=W,
+        aggs={"n": ("count", "*"), "s": ("sum", "tlen")},
+        include_current=include_current)
+    got = {(r["conv_id"], r["turn_idx"]): (r["n"], r["s"])
+           for r in out.collect()}
+    for e in future_pandas_oracle(t, include_current):
+        assert got[(e["conv_id"], e["turn_idx"])] == (e["n"], e["s"])
+    assert len(got) == spine.count()
+
+
+@pytest.mark.parametrize("include_current", [False, True])
+def test_future_prefix_matches_window(spark, corpus, include_current):
+    from towhee_spark.temporal import future_agg
+
+    _, sdf = corpus
+    spine = sdf.where(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts")
+    aggs = {"n": ("count", "*"), "s": ("sum", "tlen"),
+            "a": ("avg", "tlen")}
+    win = future_agg(spine, sdf, horizon_seconds=W, aggs=aggs,
+                     include_current=include_current)
+    pre = future_agg(spine, sdf, horizon_seconds=W, aggs=aggs,
+                     include_current=include_current, impl="prefix",
+                     spine_id=("conv_id", "turn_idx"))
+    cols = ["conv_id", "turn_idx", "n", "s", F.round("a", 9).alias("a")]
+    w2, p2 = win.select(*cols), pre.select(*cols)
+    assert w2.exceptAll(p2).count() == 0 and p2.exceptAll(w2).count() == 0
+    # chunked prefix sweep is invisible too (negated-µs chunk domain)
+    chk = future_agg(spine, sdf, horizon_seconds=W, aggs=aggs,
+                     include_current=include_current, impl="prefix",
+                     spine_id=("conv_id", "turn_idx"), chunk_seconds=300.0,
+                     broadcast_carry=False).select(*cols)
+    assert w2.exceptAll(chk).count() == 0 and chk.exceptAll(w2).count() == 0
+
+
+def test_future_exact_boundary_semantics(spark):
+    """(t, t+h]: the as-of instant is OUT, the horizon instant is IN —
+    the exact complement of range_agg's [t−w, t) frame."""
+    from towhee_spark.temporal import future_agg
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    sec = datetime.timedelta(seconds=1)
+    ev = spark.createDataFrame(
+        [("c", base, 1), ("c", base + 10 * sec, 10),
+         ("c", base + 600 * sec, 600), ("c", base + 601 * sec, 601)],
+        "conv_id string, ts timestamp, v long")
+    spine = spark.createDataFrame([("c", 0, base)],
+                                  "conv_id string, turn_idx int, ts timestamp")
+    for impl, kw in (("window", {}),
+                     ("prefix", {"spine_id": ("conv_id", "turn_idx")})):
+        out = future_agg(spine, ev, horizon_seconds=600.0,
+                         aggs={"n": ("count", "*"), "s": ("sum", "v")},
+                         impl=impl, **kw).collect()[0]
+        assert (out["n"], out["s"]) == (2, 610), impl  # 10 + 600 only
+        closed = future_agg(spine, ev, horizon_seconds=600.0,
+                            aggs={"s": ("sum", "v")}, include_current=True,
+                            impl=impl, **kw).collect()[0]
+        assert closed["s"] == 611, impl  # + the as-of-instant event
+
+
+def test_future_validation(spark, corpus):
+    from towhee_spark.temporal import future_agg
+
+    _, sdf = corpus
+    spine = sdf.select("conv_id", "turn_idx", "ts")
+    with pytest.raises(ValueError, match="aggs"):
+        future_agg(spine, sdf)
+    with pytest.raises(ValueError, match="horizon_seconds"):
+        future_agg(spine, sdf, horizon_seconds=0, aggs={"n": ("count", "*")})
+    with pytest.raises(ValueError, match="spine_id"):
+        future_agg(spine, sdf, aggs={"n": ("count", "*")}, impl="prefix")
+    with pytest.raises(ValueError, match="min/max"):
+        future_agg(spine, sdf, aggs={"m": ("max", "tlen")}, impl="prefix",
+                   spine_id=("conv_id", "turn_idx"))
+    with pytest.raises(ValueError, match="chunk_seconds"):
+        future_agg(spine, sdf, aggs={"n": ("count", "*")},
+                   chunk_seconds=60.0)

@@ -1084,8 +1084,92 @@ def multi_range_agg(
         spine, events, keys, ts, s_ts, wins, specs, include_current)
 
 
+def future_agg(
+    spine: DataFrame,
+    events: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    horizon_seconds: float = 600.0,
+    aggs: dict | None = None,
+    include_current: bool = False,
+    spine_ts: str | None = None,
+    impl: str = "window",
+    spine_id: str | Sequence[str] | None = None,
+    broadcast_result: bool | None = None,
+    chunk_seconds: float | None = None,
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """Forward-horizon LABEL aggregates — :func:`range_agg`'s mirror for
+    the supervision side of a feature pipeline: for every spine row,
+    aggregate the events in ``(spine_ts, spine_ts + horizon]`` within the
+    same key ("did the user purchase within 7 days AFTER this moment",
+    "how many assistant tokens followed this user turn within 10 min").
+    Features must only look back (range_agg / asof, leakage-audited);
+    labels must only look FORWARD — this op is open at the as-of instant
+    (``include_current=True`` closes it) and closed at the horizon, the
+    exact complement of range_agg's frame, so a (feature, label) pair
+    built from the same spine can never share an event.
+
+    Same ``aggs`` contract, physical strategies and skew story as
+    :func:`range_agg` — the prefix / chunked paths run range_agg's
+    PROVEN sweep on negated time (forward ``(t, t+h]`` is backward
+    ``[u−h, u)`` at ``u = −t``; epoch-µs magnitudes stay exact in the
+    sweep's double domain, < 2^53):
+
+    * ``impl="window"`` — one exchange, ``rangeBetween(+1, +h_us)``
+      frame; cost O(rows · events-per-horizon) per key.
+    * ``impl="prefix"`` — O(n log n) flat in horizon width; needs
+      ``spine_id=``; count/sum/avg only; ``chunk_seconds=`` chunks the
+      hot-key sweep exactly like range_agg's."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if not aggs:
+        raise ValueError("future_agg: aggs= is required (name -> (fn, col))")
+    specs = _range_specs(aggs)
+    keys = _as_list(on)
+    s_ts = spine_ts or ts
+    h = float(horizon_seconds)
+    if h <= 0:
+        raise ValueError("future_agg: horizon_seconds must be > 0")
+    for dt, side in ((events.schema[ts].dataType, "events"),
+                     (spine.schema[s_ts].dataType, "spine")):
+        if not isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                               T.DateType)):
+            raise ValueError(
+                f"future_agg needs a temporal ts column on the {side} side "
+                "(exact µs frame bounds)")
+    if impl == "window":
+        if chunk_seconds is not None:
+            raise ValueError(
+                "future_agg: chunk_seconds= is the prefix impl's hot-key "
+                "path; use impl='prefix'")
+        return _range_agg_window(
+            spine, events, keys, ts, s_ts, h, specs, include_current,
+            direction="forward")
+    if impl == "prefix":
+        if spine_id is None:
+            raise ValueError(
+                "future_agg(impl='prefix') requires spine_id= (range_agg's "
+                "probe-pairing rule)")
+        bad = [n for n, fn, _ in specs if fn in ("min", "max")]
+        if bad:
+            raise ValueError(
+                f"future_agg(impl='prefix'): {bad} use min/max — not "
+                f"invertible over a prefix sweep; use impl='window'")
+        ev2 = events.withColumn("__fa_t", -epoch_us(ts))
+        sp2 = spine.withColumn("__fa_t", -epoch_us(s_ts))
+        # horizon and chunk span move to the negated-µs numeric domain
+        out = _range_agg_prefix(
+            sp2, ev2, keys, "__fa_t", "__fa_t", h * 1_000_000.0, specs,
+            include_current, _as_list(spine_id), broadcast_result,
+            None if chunk_seconds is None else chunk_seconds * 1_000_000.0,
+            broadcast_carry)
+        return out.drop("__fa_t")
+    raise ValueError(f"future_agg: unknown impl {impl!r}")
+
+
 def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
-                      include_current):
+                      include_current, direction="backward"):
     # w: a single window width in seconds, or a list of (suffix, width)
     # pairs — every pair becomes a rangeBetween frame over the SAME
     # partitionBy/orderBy (one exchange, one sort, shared by all frames);
@@ -1115,9 +1199,13 @@ def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
     out_cols = []
     for suffix, wsec in wins:
         w_us = int(round(wsec * 1_000_000))
+        if direction == "backward":
+            bounds = (-w_us, hi)  # [t−w, t) / [t−w, t]
+        else:
+            bounds = (-hi, w_us)  # (t, t+w] / [t, t+w] — open at the as-of
         frame = (
             Window.partitionBy(*keys).orderBy("__ra_t")
-            .rangeBetween(-w_us, hi))
+            .rangeBetween(*bounds))
         for i, (name, fn, _) in enumerate(specs):
             f = getattr(F, fn)(F.col(f"__ra_v{i}")).over(frame)
             if fn == "count":
