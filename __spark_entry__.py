@@ -1227,6 +1227,24 @@ def _future_features(spark, sf_dir, impl):
     return out.select("conv_id", "turn_idx", "n_next", "chars_next")
 
 
+def q_range_quantiles(spark, sf_dir):
+    # exact trailing quantiles (temporal.range_quantile): median + p90 of
+    # turn length over each assistant turn's strictly-preceding 10 min.
+    # Rank SELECTION (element at ceil(q·n) of the sorted window), so the
+    # value is an input long unchanged — cross-engine exact with no
+    # interpolation to mirror; the rank is (num·n + den−1) DIV den
+    # integer math. Oracle = independent range join + row_number /
+    # count windows + MAX(CASE rn = rank) argmax.
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("tlen", F.length("text").cast("long"))
+    spine = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    out = temporal.range_quantile(
+        spine, t, on="conv_id", ts="ts", window_seconds=600.0,
+        value="tlen", qs={"med_len": 0.5, "p90_len": 0.9})
+    return out.select("conv_id", "turn_idx", "med_len", "p90_len")
+
+
 def q_future_features(spark, sf_dir):
     return _future_features(spark, sf_dir, "window")
 
@@ -2368,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "future_features": q_future_features,
         "future_features_prefix": q_future_features_prefix,
+        "range_quantiles": q_range_quantiles,
     }
 
 
@@ -2837,6 +2856,39 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) >  epoch_us(s.ts)
              AND epoch_us(e.ts) <= epoch_us(s.ts) + 600000000
             GROUP BY s.conv_id, s.turn_idx
+        """,
+        # exact rank-selection quantiles over the trailing band: med =
+        # element at ceil(n/2) = (n+1)//2, p90 at ceil(9n/10) = (9n+9)//10
+        # of the window's values sorted ascending (ties interchangeable —
+        # the selected VALUE is well-defined); empty windows NULL via the
+        # final left join
+        "range_quantiles": f"""{_CTE}
+            , s AS (SELECT conv_id, turn_idx, ts FROM transcripts
+                    WHERE role = 'assistant'),
+            j AS (
+                SELECT s.conv_id, s.turn_idx,
+                       CAST(length(e.text) AS BIGINT) AS v
+                FROM s JOIN transcripts e
+                  ON e.conv_id = s.conv_id
+                 AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
+                 AND epoch_us(e.ts) <  epoch_us(s.ts)
+                WHERE e.text IS NOT NULL
+            ),
+            r AS (
+                SELECT conv_id, turn_idx, v,
+                       ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                          ORDER BY v) AS rn,
+                       COUNT(*) OVER (PARTITION BY conv_id, turn_idx) AS n
+                FROM j
+            ),
+            m AS (
+                SELECT conv_id, turn_idx,
+                       MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med_len,
+                       MAX(CASE WHEN rn = (9*n + 9) // 10 THEN v END) AS p90_len
+                FROM r GROUP BY 1, 2
+            )
+            SELECT s.conv_id, s.turn_idx, m.med_len, m.p90_len
+            FROM s LEFT JOIN m USING (conv_id, turn_idx)
         """,
         "multi_range_features": f"""{_CTE}
             SELECT s.conv_id, s.turn_idx,

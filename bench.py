@@ -297,6 +297,7 @@ def main() -> None:
         "cohort_retention",
         "future_features",
         "future_features_prefix",
+        "range_quantiles",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

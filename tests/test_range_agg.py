@@ -444,3 +444,75 @@ def test_future_validation(spark, corpus):
     with pytest.raises(ValueError, match="chunk_seconds"):
         future_agg(spine, sdf, aggs={"n": ("count", "*")},
                    chunk_seconds=60.0)
+
+
+# ---------------------------------------------------------- range_quantile
+
+
+def test_range_quantile_vs_pandas_selection(spark, corpus):
+    import math
+
+    from towhee_spark.temporal import range_quantile
+
+    t, sdf = corpus
+    spine = sdf.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts")
+    out = range_quantile(
+        spine, sdf, window_seconds=W, value="tlen",
+        qs={"med": 0.5, "p90": 0.9, "mx": 1.0})
+    got = {(r["conv_id"], r["turn_idx"]): (r["med"], r["p90"], r["mx"])
+           for r in out.collect()}
+    for conv, g in t.groupby("conv_id"):
+        ev_ts = g["ts"].astype("datetime64[us]")
+        for _, r in g[g["role"] == "assistant"].iterrows():
+            hi = pd.Timestamp(r["ts"])
+            m = (ev_ts >= hi - pd.Timedelta(seconds=W)) & (ev_ts < hi)
+            vals = sorted(g.loc[m.values]["text"].str.len().astype(int))
+            key = (conv, r["turn_idx"])
+            if not vals:
+                assert got[key] == (None, None, None)
+            else:
+                n = len(vals)
+                exp = tuple(vals[math.ceil(q * n) - 1] for q in (0.5, 0.9, 1.0))
+                assert got[key] == exp, key
+
+
+def test_range_quantile_forward_and_doubles_exact(spark):
+    """direction='forward' takes future_agg's (t, t+h] frame; double
+    values pass through selection bit-identically (no interpolation)."""
+    import datetime as dt
+
+    from towhee_spark.temporal import range_quantile
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    vals = [0.1 + 0.2, 1e-30, 3.3333333333333335, 7.0]
+    ev = spark.createDataFrame(
+        [("c", base + (i + 1) * s, v) for i, v in enumerate(vals)],
+        "conv_id string, ts timestamp, value double")
+    spine = spark.createDataFrame(
+        [("c", 0, base)], "conv_id string, turn_idx int, ts timestamp")
+    out = range_quantile(
+        spine, ev, window_seconds=10.0, qs={"med": 0.5, "mx": 1.0},
+        direction="forward").collect()[0]
+    ordered = sorted(vals)
+    assert out["med"] == ordered[1]  # ceil(0.5·4)=2 → exact bits
+    assert out["mx"] == ordered[3]
+    # backward from the same spine sees nothing (all events are after)
+    back = range_quantile(spine, ev, window_seconds=10.0, qs=0.5).collect()[0]
+    assert back["quantile"] is None
+
+
+def test_range_quantile_validation(spark, corpus):
+    from towhee_spark.temporal import range_quantile
+
+    _, sdf = corpus
+    spine = sdf.select("conv_id", "turn_idx", "ts")
+    with pytest.raises(ValueError, match=r"\(0, 1\]"):
+        range_quantile(spine, sdf, value="tlen", qs=0.0)
+    with pytest.raises(ValueError, match="direction"):
+        range_quantile(spine, sdf, value="tlen", direction="up")
+    with pytest.raises(ValueError, match="window_seconds"):
+        range_quantile(spine, sdf, value="tlen", window_seconds=-1)
+    with pytest.raises(ValueError, match="at least one"):
+        range_quantile(spine, sdf, value="tlen", qs={})

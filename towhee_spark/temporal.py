@@ -1168,6 +1168,107 @@ def future_agg(
     raise ValueError(f"future_agg: unknown impl {impl!r}")
 
 
+def range_quantile(
+    spine: DataFrame,
+    events: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    window_seconds: float = 600.0,
+    value: str = "value",
+    qs: float | dict[str, float] = 0.5,
+    include_current: bool = False,
+    spine_ts: str | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Exact trailing (or forward) range-window QUANTILES: for every
+    spine row, the q-quantile of ``value`` over the events in
+    ``[spine_ts − w, spine_ts)`` (:func:`range_agg`'s frame; ``direction=
+    "forward"`` takes :func:`future_agg`'s ``(t, t+h]``). Robust
+    point-in-time features — "median latency over the last hour",
+    "p90 turn length in the trailing 10 minutes" — that a mean-based
+    range_agg can't express.
+
+    Quantiles are RANK SELECTION, not interpolation: the result is the
+    element at position ``ceil(q·n)`` of the window's sorted values
+    (q ∈ (0, 1]; q=0.5 → lower median, q=1.0 → max). Selection returns
+    an INPUT value unchanged, so results are cross-engine bit-exact even
+    for doubles — no interpolation arithmetic to mirror (the repo
+    float-parity rule, satisfied by construction). The rank itself is
+    exact integer math: q snaps to a rational via ``Fraction(str(q))``
+    and ``ceil(q·n) = (num·n + den − 1) DIV den`` (the top_quantile_by
+    convention). Empty windows yield NULL; NULL values are excluded
+    (the SQL aggregate rule). ``qs`` maps output name → q; a bare float
+    emits one ``quantile`` column — every quantile reads the SAME sorted
+    collect_list, so k quantiles cost one frame.
+
+    Plan: one exchange (the union-tag range-frame shape shared with
+    range_agg's window impl). Cost is O(rows · events-per-window · log)
+    per key — quantiles need the window's value multiset, so there is no
+    prefix/chunked path (ranks are not invertible over a running sum);
+    for mega-keys at very wide windows, pre-aggregate values into
+    integer histogram buckets (drift_psi's binning) and take the
+    histogram quantile instead."""
+    from fractions import Fraction  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    qdict = {"quantile": qs} if isinstance(qs, (int, float)) else dict(qs)
+    if not qdict:
+        raise ValueError("range_quantile: qs= needs at least one quantile")
+    fracs = {}
+    for name, qv in qdict.items():
+        if not 0.0 < float(qv) <= 1.0:
+            raise ValueError(
+                f"range_quantile: q for {name!r} must be in (0, 1]")
+        fr = Fraction(str(qv))
+        fracs[name] = (fr.numerator, fr.denominator)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"range_quantile: unknown direction {direction!r}")
+    w = float(window_seconds)
+    if w <= 0:
+        raise ValueError("range_quantile: window_seconds must be > 0")
+    keys = _as_list(on)
+    s_ts = spine_ts or ts
+    for dt, side in ((events.schema[ts].dataType, "events"),
+                     (spine.schema[s_ts].dataType, "spine")):
+        if not isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                               T.DateType)):
+            raise ValueError(
+                f"range_quantile needs a temporal ts column on the {side} "
+                "side (exact µs frame bounds)")
+    v_type = events.schema[value].dataType
+    ev_wide = events.select(
+        *keys, epoch_us(ts).alias("__rq_t"), F.lit(0).alias("__rq_s"),
+        *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
+          for c in spine.columns if c not in keys],
+        F.col(value).alias("__rq_v"))
+    sp_cols = [c for c in spine.columns if c not in keys]
+    sp_wide = spine.select(
+        *keys, epoch_us(s_ts).alias("__rq_t"), F.lit(1).alias("__rq_s"),
+        *sp_cols, F.lit(None).cast(v_type).alias("__rq_v"))
+    u = ev_wide.unionByName(sp_wide)
+    hi = 0 if include_current else -1
+    w_us = int(round(w * 1_000_000))
+    bounds = (-w_us, hi) if direction == "backward" else (-hi, w_us)
+    frame = (
+        Window.partitionBy(*keys).orderBy("__rq_t").rangeBetween(*bounds))
+    u = (
+        u.withColumn(
+            "__rq_l", F.sort_array(F.collect_list("__rq_v").over(frame)))
+        .withColumn("__rq_n", F.size("__rq_l"))
+    )
+    outs = []
+    for name, (num, den) in fracs.items():
+        rank = F.expr(f"CAST(({num} * __rq_n + {den - 1}) DIV {den} AS INT)")
+        # ANSI element_at throws out-of-bounds; the CASE branch guards it
+        outs.append(
+            F.when(F.col("__rq_n") > 0, F.element_at("__rq_l", rank))
+            .alias(name))
+    return (
+        u.where(F.col("__rq_s") == 1)
+        .select(*keys, *sp_cols, *outs)
+    )
+
+
 def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
                       include_current, direction="backward"):
     # w: a single window width in seconds, or a list of (suffix, width)
