@@ -1245,6 +1245,30 @@ def q_range_quantiles(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "med_len", "p90_len")
 
 
+def q_feature_matrix(spark, sf_dir):
+    # the north-rule composite as ONE preset call (pipelines.
+    # feature_matrix): assistant-turn spine gains backward 10-min range
+    # features (open upper bound), the as-of-latest context row with its
+    # matched timestamp (leakage-auditable), and a forward 10-min label
+    # (open at the as-of instant) — leakage-free on both sides by
+    # construction. The oracle chains the three PROVEN mirrors (LEFT
+    # range join backward, DuckDB ASOF, LEFT range join forward).
+    from towhee_spark.pipelines import pipeline  # noqa: PLC0415
+
+    t, c = _t_c(spark, sf_dir)
+    t = t.withColumn("tlen", F.length("text").cast("long"))
+    fm = pipeline(
+        "feature_matrix", context={"ctx": c}, key="conv_id", ts="ts",
+        spine_filter=(F.col("role") == "assistant"),
+        feature_windows={"10m": 600.0},
+        feature_aggs={"n_ctx": ("count", "*"),
+                      "chars_ctx": ("sum", "tlen")},
+        label_horizon=600.0, label_aggs={"n_next": ("count", "*")})
+    out = fm(t)
+    return out.select("conv_id", "turn_idx", "n_ctx_10m", "chars_ctx_10m",
+                      "ctx_score", "ctx_ts", "n_next")
+
+
 def q_future_features(spark, sf_dir):
     return _future_features(spark, sf_dir, "window")
 
@@ -2387,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "future_features": q_future_features,
         "future_features_prefix": q_future_features_prefix,
         "range_quantiles": q_range_quantiles,
+        "feature_matrix": q_feature_matrix,
     }
 
 
@@ -2841,6 +2866,41 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
+        """,
+        # the training-matrix preset: chain of the three proven mirrors —
+        # backward LEFT range join, DuckDB ASOF (pit_enrich's shape),
+        # forward LEFT range join — joined on the spine key
+        "feature_matrix": f"""{_CTE},
+            s AS (SELECT conv_id, turn_idx, ts FROM transcripts
+                  WHERE role = 'assistant'),
+            f AS (
+                SELECT s.conv_id, s.turn_idx, s.ts,
+                       CAST(COUNT(e.ts) AS BIGINT)         AS n_ctx_10m,
+                       CAST(SUM(length(e.text)) AS BIGINT) AS chars_ctx_10m
+                FROM s LEFT JOIN transcripts e
+                  ON e.conv_id = s.conv_id
+                 AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
+                 AND epoch_us(e.ts) <  epoch_us(s.ts)
+                GROUP BY 1, 2, 3
+            ),
+            p AS (
+                SELECT f.conv_id, f.turn_idx, f.n_ctx_10m, f.chars_ctx_10m,
+                       c.ctx_score, c.ts AS ctx_ts
+                FROM f ASOF LEFT JOIN context c
+                  ON f.conv_id = c.conv_id AND f.ts >= c.ts
+            ),
+            l AS (
+                SELECT s.conv_id, s.turn_idx,
+                       CAST(COUNT(e.ts) AS BIGINT) AS n_next
+                FROM s LEFT JOIN transcripts e
+                  ON e.conv_id = s.conv_id
+                 AND epoch_us(e.ts) >  epoch_us(s.ts)
+                 AND epoch_us(e.ts) <= epoch_us(s.ts) + 600000000
+                GROUP BY 1, 2
+            )
+            SELECT p.conv_id, p.turn_idx, p.n_ctx_10m, p.chars_ctx_10m,
+                   p.ctx_score, p.ctx_ts, l.n_next
+            FROM p JOIN l USING (conv_id, turn_idx)
         """,
         # forward-horizon labels: the independent LEFT range join on the
         # strictly-after / closed-horizon band — no mirror of either

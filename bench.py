@@ -298,6 +298,7 @@ def main() -> None:
         "future_features",
         "future_features_prefix",
         "range_quantiles",
+        "feature_matrix",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

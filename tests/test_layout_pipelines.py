@@ -347,3 +347,48 @@ def test_curriculum_guards_and_nulls(spark):
             df.withColumn("bucket", F.lit(1)), "q", [1])
     with pytest.raises(ValueError, match="n_buckets"):
         layout.curriculum_boundaries(df, "q", n_buckets=1)
+
+
+def test_feature_matrix_preset_leakage_free_and_plan(spark):
+    """The training-matrix preset must be leakage-free on BOTH sides:
+    leakage_audit proves no context match is later than its as-of point,
+    and a planted future-only event contributes to the label but never
+    to the backward features."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from towhee_spark import temporal
+    from towhee_spark.pipelines import pipeline
+    from towhee_spark.plans import assert_max_exchanges, plan_stats
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    ev = spark.createDataFrame(
+        [("c", 0, "user", base),
+         ("c", 1, "assistant", base + 30 * s),   # spine point
+         ("c", 2, "user", base + 90 * s)],       # future-only event
+        "conv_id string, turn_idx int, role string, ts timestamp")
+    ctx = spark.createDataFrame(
+        [("c", base + 10 * s, 1.5),
+         ("c", base + 60 * s, 9.9)],             # after the spine point
+        "conv_id string, ts timestamp, ctx_score double")
+    fm = pipeline(
+        "feature_matrix", context={"ctx": ctx}, key="conv_id", ts="ts",
+        spine_filter=(F.col("role") == "assistant"),
+        feature_windows={"1m": 60.0},
+        feature_aggs={"n_prev": ("count", "*")},
+        label_horizon=120.0, label_aggs={"n_next": ("count", "*")})
+    out = fm(ev)
+    r = out.collect()[0]
+    assert r["n_prev_1m"] == 1          # only the earlier user turn
+    assert r["ctx_score"] == 1.5        # never the later 9.9 row
+    assert r["n_next"] == 1             # the future event counts ONLY here
+    audit = temporal.leakage_audit(out, "ts", ["ctx_ts"]).collect()[0]
+    assert audit["n_violations"] == 0
+    # plan budget: one key exchange per stage (features / enrich / label).
+    # Assert on a FRESH build — executed frames print initial+final AQE
+    # sections and double the textual exchange count.
+    fresh = fm(ev)
+    assert_max_exchanges(fresh, 3)
+    assert plan_stats(fresh)["python_evals"] == 0

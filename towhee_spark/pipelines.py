@@ -354,3 +354,58 @@ def _sft_curation(max_context_turns: int = 4,
             weights=split_weights, salt=split_salt)
 
     return apply
+
+
+@register_pipeline("feature_matrix")
+def _feature_matrix(context: dict[str, DataFrame] | None = None,
+                    key: str = "conv_id", ts: str = "ts",
+                    spine_filter=None,
+                    feature_windows: dict[str, float] | None = None,
+                    feature_aggs: dict | None = None,
+                    label_horizon: float = 600.0,
+                    label_aggs: dict | None = None,
+                    tolerances: dict[str, float] | None = None,
+                    matched_ts: bool = True):
+    """End-to-end point-in-time TRAINING MATRIX — the north-rule composite
+    as one call: a spine of prediction points gains backward-only features
+    and forward-only labels, leakage-free on both sides by construction.
+
+    1. ``spine_filter`` (Column) picks the prediction points from the
+       event stream (default: every row).
+    2. BACKWARD features: :func:`temporal.multi_range_agg` over
+       ``feature_windows`` × ``feature_aggs`` — N trailing horizons in
+       one exchange, open upper bound (no event at/after the as-of
+       instant can leak in).
+    3. Point-in-time enrichment: :func:`temporal.point_in_time_enrich`
+       attaches the as-of-latest row of every ``context`` table in one
+       sweep (``matched_ts=True`` keeps per-table matched timestamps so
+       :func:`temporal.leakage_audit` can PROVE the no-leakage invariant
+       on the finished matrix).
+    4. FORWARD label: :func:`temporal.future_agg` over ``(t, t+horizon]``
+       — open at the as-of instant, so a (feature, label) pair can never
+       share an event.
+
+    Cost: one key-partitioned exchange per stage (features, labels, +1
+    if ``context``) — each stage is individually gated; the composite is
+    gated end-to-end (``feature_matrix`` gate chains the proven oracle
+    mirrors). Returns spine columns + ``{agg}_{window}`` features +
+    context columns (+ ``{name}_ts``) + label columns."""
+    from towhee_spark import temporal  # noqa: PLC0415
+
+    fw = feature_windows or {"10m": 600.0}
+    fa = feature_aggs or {"n_prev": ("count", "*")}
+    la = label_aggs or {"n_next": ("count", "*")}
+
+    def apply(df: DataFrame) -> DataFrame:
+        spine = df.filter(spine_filter) if spine_filter is not None else df
+        m = temporal.multi_range_agg(
+            spine, df, on=key, ts=ts, windows=fw, aggs=fa)
+        if context:
+            m = temporal.point_in_time_enrich(
+                m, context, on=key, ts=ts, tolerances=tolerances,
+                matched_ts=matched_ts)
+        return temporal.future_agg(
+            m, df, on=key, ts=ts, horizon_seconds=label_horizon, aggs=la,
+            impl="window")
+
+    return apply
