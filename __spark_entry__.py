@@ -1269,6 +1269,28 @@ def q_feature_matrix(spark, sf_dir):
                       "ctx_score", "ctx_ts", "n_next")
 
 
+def q_calendar_features(spark, sf_dir):
+    # exact integer calendar fields (temporal.calendar_features): wall-
+    # clock recombination keeps every field session-tz-independent; the
+    # ISO dow/week mirrors are weekday()+1 == isodow, weekofyear ==
+    # week(). Cyclical sin/cos encodings exist but are engine-side
+    # (libm rounding is not a cross-engine contract).
+    ev = load_events(spark, sf_dir)
+    out = temporal.calendar_features(ev, "ts")
+    return out.select("event_id", "hour", "minute", "day", "month", "year",
+                      "iso_dow", "week", "epoch_day", "is_weekend")
+
+
+def q_skew_report(spark, sf_dir):
+    # multi-column skew diagnostic (layout.skew_report): one stacked
+    # hash aggregate for all candidate key columns, top-5 values per
+    # column ranked (n DESC, value ASC), share = single ROUND-6 division.
+    from towhee_spark import layout  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    return layout.skew_report(ev, ["event_type", "user_id"], k=5)
+
+
 def q_future_features(spark, sf_dir):
     return _future_features(spark, sf_dir, "window")
 
@@ -2412,6 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "future_features_prefix": q_future_features_prefix,
         "range_quantiles": q_range_quantiles,
         "feature_matrix": q_feature_matrix,
+        "calendar_features": q_calendar_features,
+        "skew_report": q_skew_report,
     }
 
 
@@ -2867,6 +2891,51 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,
+        # wall-clock integer calendar fields; isodow/week are the ISO
+        # mirrors of Spark's weekday()+1 / weekofyear
+        "calendar_features": """
+            SELECT event_id,
+                   CAST(hour(ts) AS INT) AS hour,
+                   CAST(minute(ts) AS INT) AS minute,
+                   CAST(day(ts) AS INT) AS day,
+                   CAST(month(ts) AS INT) AS month,
+                   CAST(year(ts) AS INT) AS year,
+                   CAST(isodow(ts) AS INT) AS iso_dow,
+                   CAST(week(ts) AS INT) AS week,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)
+                       AS epoch_day,
+                   CASE WHEN ts IS NULL THEN NULL
+                        WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS is_weekend
+            FROM events""",
+        # stacked one-pass skew diagnostic: the same (col, value) bag,
+        # counts, per-column totals/distincts, top-5 by (n DESC, value)
+        "skew_report": """
+            WITH st AS (
+                SELECT 'event_type' AS col_name,
+                       COALESCE(CAST(event_type AS VARCHAR), '__null__')
+                           AS key_value
+                FROM events
+                UNION ALL
+                SELECT 'user_id',
+                       COALESCE(CAST(user_id AS VARCHAR), '__null__')
+                FROM events
+            ),
+            c AS (SELECT col_name, key_value, COUNT(*) AS n
+                  FROM st GROUP BY 1, 2),
+            g AS (SELECT col_name, CAST(SUM(n) AS BIGINT) AS total,
+                         COUNT(*) AS n_distinct
+                  FROM c GROUP BY 1),
+            r AS (SELECT c.*,
+                         CAST(ROW_NUMBER() OVER (
+                             PARTITION BY col_name
+                             ORDER BY n DESC, key_value) AS INT) AS rank
+                  FROM c)
+            SELECT r.col_name, r.key_value, r.n,
+                   ROUND(CAST(r.n AS DOUBLE) / CAST(g.total AS DOUBLE), 6)
+                       AS share,
+                   g.total, g.n_distinct, r.rank
+            FROM r JOIN g USING (col_name)
+            WHERE rank <= 5""",
         # the training-matrix preset: chain of the three proven mirrors —
         # backward LEFT range join, DuckDB ASOF (pit_enrich's shape),
         # forward LEFT range join — joined on the spine key

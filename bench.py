@@ -299,6 +299,8 @@ def main() -> None:
         "future_features_prefix",
         "range_quantiles",
         "feature_matrix",
+        "calendar_features",
+        "skew_report",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -392,3 +392,26 @@ def test_feature_matrix_preset_leakage_free_and_plan(spark):
     fresh = fm(ev)
     assert_max_exchanges(fresh, 3)
     assert plan_stats(fresh)["python_evals"] == 0
+
+
+def test_skew_report_counts_shares_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from towhee_spark.layout import skew_report
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 6 + [("b", 1)] * 3 + [("c", None)] * 1,
+        "k string, u int")
+    out = skew_report(df, ["k", "u"], k=2)
+    rows = {(r["col_name"], r["key_value"]): r for r in out.collect()}
+    assert set(rows) == {("k", "a"), ("k", "b"), ("u", "1"), ("u", "__null__")}
+    r = rows[("k", "a")]
+    assert (r["n"], r["share"], r["total"], r["n_distinct"], r["rank"]) == \
+        (6, 0.6, 10, 3, 1)
+    assert rows[("u", "1")]["n"] == 9
+    assert rows[("u", "__null__")]["rank"] == 2
+    import pytest
+    with pytest.raises(ValueError, match="column"):
+        skew_report(df, [])
+    with pytest.raises(ValueError, match="k must"):
+        skew_report(df, ["k"], k=0)

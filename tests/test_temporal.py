@@ -830,3 +830,46 @@ def test_cohort_retention_validation(spark):
     df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
     with pytest.raises(ValueError, match="period_seconds"):
         temporal.cohort_retention(df, period_seconds=0)
+
+
+# --------------------------------------------------------- calendar_features
+
+
+def test_calendar_features_vs_python_isocalendar(spark):
+    import datetime as dt
+
+    # boundary-heavy picks: ISO week 53 (2021-01-01), week 1 spilling
+    # into the previous year (2024-12-30 is week 1 of 2025), leap day,
+    # a Sunday, and NULL
+    dates = [dt.datetime(2021, 1, 1, 5, 30), dt.datetime(2024, 12, 30, 23, 59),
+             dt.datetime(2024, 2, 29, 0, 0), dt.datetime(2024, 1, 7, 12, 0),
+             None]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(dates)],
+                               "i int, ts timestamp")
+    out = {r["i"]: r for r in temporal.calendar_features(df, "ts").collect()}
+    for i, d in enumerate(dates):
+        r = out[i]
+        if d is None:
+            assert r["hour"] is None and r["iso_dow"] is None
+            assert r["week"] is None and r["is_weekend"] is None
+            continue
+        iso = d.isocalendar()
+        assert r["hour"] == d.hour and r["minute"] == d.minute
+        assert (r["day"], r["month"], r["year"]) == (d.day, d.month, d.year)
+        assert r["iso_dow"] == d.isoweekday()
+        assert r["week"] == iso.week
+        assert r["epoch_day"] == (d.date() - dt.date(1970, 1, 1)).days
+        assert r["is_weekend"] == int(d.isoweekday() >= 6)
+
+
+def test_calendar_features_cyclical_and_prefix(spark):
+    import datetime as dt
+    import math
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 6, 0))], "i int, ts timestamp")
+    out = temporal.calendar_features(df, "ts", prefix="t_", cyclical=True)
+    r = out.collect()[0]
+    assert r["t_hour"] == 6 and r["t_iso_dow"] == 1
+    assert abs(r["t_hour_sin"] - math.sin(2 * math.pi * 6 / 24)) < 1e-12
+    assert abs(r["t_dow_cos"] - 1.0) < 1e-12  # Monday → angle 0

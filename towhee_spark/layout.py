@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -318,4 +318,64 @@ def curriculum_order(
         df.withColumn(bucket_col,
                       F.when(si.isNotNull(), bucket).cast("int"))
         .withColumn(order_col, hash60(id_col, salt))
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    k: int = 10,
+    null_token: str = "__null__",
+) -> DataFrame:
+    """Partition-key skew diagnostic across MANY candidate key columns in
+    one pass: for each column, the ``k`` heaviest values with exact count,
+    corpus share, total rows and distinct-value count — the table you
+    read before choosing a join/groupBy key, a salt factor
+    (:func:`add_salt`) or a ``chunk_seconds`` (the chunked family).
+    Output: ``(col_name, key_value, n, share, total, n_distinct, rank)``,
+    ``rank`` 1-based by ``(n DESC, key_value ASC)`` (deterministic under
+    count ties). Complements :func:`hot_keys` (single column, threshold
+    cut) — this one ranks and compares columns side by side.
+
+    Plan: the columns STACK into (col_name, value) pairs before a single
+    hash aggregate — one scan and one exchange for any number of columns
+    (vs C scans for per-column groupBys); per-column totals/distincts are
+    a second tiny aggregate over the counts frame. The final top-k
+    ranking windows the COUNTS frame (one row per distinct value), not
+    the data: exact and fine up to ~10^8 distinct values per column; for
+    ultra-high-cardinality columns use ``sketches.heavy_hitters`` (CMS)
+    instead. NULLs report as ``null_token`` — a null-heavy join key is
+    the most common real-world skew. ``share`` is the repo's single
+    ROUND-6 division of exact integers."""
+    if not cols:
+        raise ValueError("skew_report: need at least one column")
+    if k < 1:
+        raise ValueError("skew_report: k must be >= 1")
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.coalesce(F.col(c).cast("string"), F.lit(null_token))
+            .alias("key_value"),
+        )
+        for c in cols
+    ])
+    st = df.select(F.explode(pairs).alias("p")).select("p.*")
+    counts = st.groupBy("col_name", "key_value").agg(
+        F.count(F.lit(1)).alias("n"))
+    g = counts.groupBy("col_name").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    w = Window.partitionBy("col_name").orderBy(F.col("n").desc(), "key_value")
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+    return (
+        ranked.join(F.broadcast(g), "col_name")
+        .select(
+            "col_name", "key_value", "n",
+            F.round(F.col("n").cast("double")
+                    / F.col("total").cast("double"), 6).alias("share"),
+            "total", "n_distinct", "rank",
+        )
     )

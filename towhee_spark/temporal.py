@@ -2260,3 +2260,48 @@ def cohort_retention(
                 / F.col("n_cohort").cast("double"), 6).alias("retention"),
         )
     )
+
+
+def calendar_features(
+    df: DataFrame,
+    ts: str = "ts",
+    prefix: str = "",
+    cyclical: bool = False,
+) -> DataFrame:
+    """Calendar/seasonality features from a timestamp: exact integer
+    fields ``hour minute day month year iso_dow week epoch_day
+    is_weekend`` (``iso_dow`` 1=Monday..7=Sunday, ``week`` the ISO-8601
+    week number, ``epoch_day`` days since 1970-01-01 — all wall-clock
+    fields of the naive timestamp, session-tz-independent like
+    :func:`epoch_us`). NULL ts yields NULL fields. ``cyclical=True``
+    adds ``hour_sin/hour_cos/dow_sin/dow_cos`` continuous encodings
+    (sin(2π·hour/24) etc.) — floats whose libm rounding is NOT part of
+    the cross-engine contract (engine-side only; the integer fields are
+    the gated surface). Pure codegen projection, evaluated at the scan —
+    zero shuffle at any scale."""
+    import math  # noqa: PLC0415
+
+    c = F.col(ts)
+    p = prefix
+    iso_dow = (F.weekday(c) + F.lit(1))
+    out = df.withColumns({
+        f"{p}hour": F.hour(c).cast("int"),
+        f"{p}minute": F.minute(c).cast("int"),
+        f"{p}day": F.dayofmonth(c).cast("int"),
+        f"{p}month": F.month(c).cast("int"),
+        f"{p}year": F.year(c).cast("int"),
+        f"{p}iso_dow": iso_dow.cast("int"),
+        f"{p}week": F.weekofyear(c).cast("int"),
+        f"{p}epoch_day": F.unix_date(c.cast("date")).cast("int"),
+        f"{p}is_weekend": F.when(c.isNotNull(),
+                                 (iso_dow >= 6).cast("int")),
+    })
+    if cyclical:
+        two_pi = 2.0 * math.pi
+        out = out.withColumns({
+            f"{p}hour_sin": F.sin(F.hour(c) * F.lit(two_pi / 24.0)),
+            f"{p}hour_cos": F.cos(F.hour(c) * F.lit(two_pi / 24.0)),
+            f"{p}dow_sin": F.sin((iso_dow - 1) * F.lit(two_pi / 7.0)),
+            f"{p}dow_cos": F.cos((iso_dow - 1) * F.lit(two_pi / 7.0)),
+        })
+    return out
