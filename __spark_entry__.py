@@ -1291,6 +1291,18 @@ def q_skew_report(spark, sf_dir):
     return layout.skew_report(ev, ["event_type", "user_id"], k=5)
 
 
+def q_range_zscore(spark, sf_dir):
+    # trailing anomaly score (temporal.range_zscore): each event's value
+    # vs its user's strictly-preceding hour. The frozen scale cancels in
+    # z = (n·x − Σx)/√(n·Σx² − (Σx)²) — exact integer operands, one cast
+    # each, one ROUND-6; the oracle recomputes via an independent self
+    # range join (HUGEINT sums cast once, same operand shapes).
+    ev = load_events(spark, sf_dir)
+    out = temporal.range_zscore(
+        ev, on="user_id", ts="ts", value="value", window_seconds=3600.0)
+    return out.select("event_id", "z_n", "z")
+
+
 def q_future_features(spark, sf_dir):
     return _future_features(spark, sf_dir, "window")
 
@@ -2436,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_matrix": q_feature_matrix,
         "calendar_features": q_calendar_features,
         "skew_report": q_skew_report,
+        "range_zscore": q_range_zscore,
     }
 
 
@@ -2891,6 +2904,33 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,
+        # trailing z-score: independent self range join; the frozen 2^20
+        # scale cancels in z = (n·x − Σx)/√(n·Σx² − (Σx)²); NULL-valued
+        # rows score NULL and never enter baselines
+        "range_zscore": """
+            WITH b AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us,
+                       CAST(ROUND(value * 1048576, 0) AS BIGINT) AS xf
+                FROM events
+            ),
+            s AS (
+                SELECT b1.event_id, b1.xf,
+                       COUNT(b2.xf) AS n,
+                       COALESCE(SUM(b2.xf), 0) AS s1,
+                       COALESCE(SUM(b2.xf * b2.xf), 0) AS s2
+                FROM b b1 LEFT JOIN b b2
+                  ON b2.user_id = b1.user_id
+                 AND b2.us >= b1.us - 3600000000
+                 AND b2.us <  b1.us
+                 AND b2.xf IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT event_id, CAST(n AS BIGINT) AS z_n,
+                   CASE WHEN n >= 2 AND n*s2 - s1*s1 > 0
+                        THEN ROUND(CAST(n*xf - s1 AS DOUBLE)
+                                   / SQRT(CAST(n*s2 - s1*s1 AS DOUBLE)), 6)
+                   END AS z
+            FROM s""",
         # wall-clock integer calendar fields; isodow/week are the ISO
         # mirrors of Spark's weekday()+1 / weekofyear
         "calendar_features": """

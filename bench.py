@@ -301,6 +301,7 @@ def main() -> None:
         "feature_matrix",
         "calendar_features",
         "skew_report",
+        "range_zscore",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -516,3 +516,68 @@ def test_range_quantile_validation(spark, corpus):
         range_quantile(spine, sdf, value="tlen", window_seconds=-1)
     with pytest.raises(ValueError, match="at least one"):
         range_quantile(spine, sdf, value="tlen", qs={})
+
+
+# ------------------------------------------------------------ range_zscore
+
+
+def test_range_zscore_matches_numpy(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from towhee_spark.temporal import range_zscore
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    vals = [10.0, 12.0, 8.0, 30.0, 11.0, None, 9.5]
+    rows = [("u", i, base + i * s, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id string, i int, ts timestamp, value double")
+    out = {r["i"]: (r["z_n"], r["z"]) for r in range_zscore(
+        df, on="user_id", ts="ts", value="value",
+        window_seconds=3600.0).collect()}
+    for i, v in enumerate(vals):
+        prior = [x for x in vals[:i] if x is not None]
+        n, z = out[i]
+        assert n == len(prior)
+        if v is None or len(prior) < 2 or float(np.std(prior)) == 0.0:
+            assert z is None
+        else:
+            exp = (v - np.mean(prior)) / np.std(prior)  # population std
+            assert abs(z - exp) < 1e-5, (i, z, exp)
+    # the planted outlier (30.0 after 10,12,8) stands out
+    assert out[3][1] > 3.0
+
+
+def test_range_zscore_rules_and_plan(spark):
+    import datetime as dt
+
+    from towhee_spark.plans import assert_max_exchanges, plan_stats
+    from towhee_spark.temporal import range_zscore
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    # zero-variance baseline → NULL; include_current pulls the row in
+    df = spark.createDataFrame(
+        [("u", 0, base, 5.0), ("u", 1, base + s, 5.0),
+         ("u", 2, base + 2 * s, 7.0)],
+        "user_id string, i int, ts timestamp, value double")
+    out = {r["i"]: r["z"] for r in range_zscore(
+        df, on="user_id", ts="ts", window_seconds=3600.0).collect()}
+    assert out[2] is None  # baseline {5, 5} has zero variance
+    inc = {r["i"]: r["z"] for r in range_zscore(
+        df, on="user_id", ts="ts", window_seconds=3600.0,
+        include_current=True).collect()}
+    assert inc[2] is not None and inc[2] > 0  # own point opts in
+    plan = range_zscore(df, on="user_id", ts="ts")
+    assert_max_exchanges(plan, 1)
+    assert plan_stats(plan)["python_evals"] == 0
+    with pytest.raises(ValueError, match="window_seconds"):
+        range_zscore(df, window_seconds=0)
+    with pytest.raises(ValueError, match="min_n"):
+        range_zscore(df, min_n=0)
+    num = spark.createDataFrame([("u", 1.0, 2.0)],
+                                "user_id string, ts double, value double")
+    with pytest.raises(ValueError, match="temporal"):
+        range_zscore(num)

@@ -2305,3 +2305,77 @@ def calendar_features(
             f"{p}dow_cos": F.cos((iso_dow - 1) * F.lit(two_pi / 7.0)),
         })
     return out
+
+
+def range_zscore(
+    df: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    value: str = "value",
+    window_seconds: float = 3600.0,
+    out_col: str = "z",
+    n_col: str = "z_n",
+    bits: int = 20,
+    include_current: bool = False,
+    min_n: int = 2,
+) -> DataFrame:
+    """Trailing anomaly score: each row's z-score against ITS OWN key's
+    strictly-preceding ``[t − w, t)`` window ("how unusual is this value
+    vs this user's last hour") — the standard streaming-outlier feature,
+    leakage-free because the row's own point never enters its baseline
+    (``include_current=True`` opts it in).
+
+    Cross-engine float parity by the corr_pairs identity: values freeze
+    ONCE to ``ROUND(x·2^bits)`` BIGINTs, the window computes exact
+    integer (n, Σx, Σx²), and the frozen scale CANCELS in
+    ``z = (n·x − Σx) / √(n·Σx² − (Σx)²)`` — all operands exact integers,
+    one cast-to-double each for numerator and radicand (correctly
+    rounded in any engine), one ROUND-6. NULL when the window holds
+    fewer than ``min_n`` points or has zero variance; NULL values score
+    NULL and never enter baselines. Internal sums are DECIMAL(38,0) —
+    corr_pairs' overflow envelope note applies per WINDOW, not corpus.
+
+    Plan: one key exchange + one WindowExec (three aggregates share the
+    frame). Mega-key note: this is a bare-key range window; for a
+    mega-key compute the same (n, Σx, Σx²) via ``range_agg(impl=
+    'prefix', chunk_seconds=…)`` on a frozen column and apply the
+    identical z expression — the formula is deliberately a pure
+    projection over those three sums."""
+    if window_seconds <= 0:
+        raise ValueError("range_zscore: window_seconds must be > 0")
+    if min_n < 1:
+        raise ValueError("range_zscore: min_n must be >= 1")
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if not isinstance(df.schema[ts].dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        raise ValueError("range_zscore needs a temporal ts column")
+    keys = _as_list(on)
+    dec = "decimal(38,0)"
+    scale = 1 << bits
+    xf = F.round(F.col(value).cast("double") * F.lit(scale), 0).cast("long")
+    d = df.withColumn("__zs_xf", xf).withColumn("__zs_t", epoch_us(ts))
+    hi = 0 if include_current else -1
+    frame = (
+        Window.partitionBy(*keys).orderBy("__zs_t")
+        .rangeBetween(-int(round(window_seconds * 1_000_000)), hi))
+    n = F.count("__zs_xf").over(frame)
+    s1 = F.sum(F.col("__zs_xf").cast(dec)).over(frame)
+    s2 = F.sum(F.col("__zs_xf").cast(dec) * F.col("__zs_xf")).over(frame)
+    d = (
+        d.withColumn("__zs_n", n)
+        .withColumn("__zs_s1", s1)
+        .withColumn("__zs_s2", s2)
+    )
+    num = (F.col("__zs_n").cast(dec) * F.col("__zs_xf")
+           - F.col("__zs_s1")).cast("double")
+    rad_int = (F.col("__zs_n").cast(dec) * F.col("__zs_s2")
+               - F.col("__zs_s1") * F.col("__zs_s1"))
+    z = F.when(
+        (F.col("__zs_n") >= min_n) & (rad_int > 0),
+        F.round(num / F.sqrt(rad_int.cast("double")), 6))
+    return (
+        d.withColumn(n_col, F.col("__zs_n").cast("long"))
+        .withColumn(out_col, z)
+        .drop("__zs_xf", "__zs_t", "__zs_n", "__zs_s1", "__zs_s2")
+    )
