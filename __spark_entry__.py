@@ -1303,6 +1303,33 @@ def q_range_zscore(spark, sf_dir):
     return out.select("event_id", "z_n", "z")
 
 
+def _lifetime(spark, sf_dir, chunked):
+    # expanding lifetime-to-date features (temporal.expanding_agg): per
+    # event, the user's strictly-prior event count, exact frozen-int
+    # value sum, and max value (selection — exact on doubles). The
+    # chunked variant carries per-day-chunk totals (min/max carry is
+    # legal: expanding aggregates need no inverse) and shares this
+    # oracle — chunking invisible.
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "xf", F.round(F.col("value").cast("double") * F.lit(1 << 20), 0)
+        .cast("long"))
+    kw = {"chunk_seconds": 86400.0} if chunked else {}
+    out = temporal.expanding_agg(
+        ev, on="user_id", ts="ts",
+        aggs={"n_prior": ("count", "*"), "sum_xf": ("sum", "xf"),
+              "max_value": ("max", "value")}, **kw)
+    return out.select("event_id", "n_prior", "sum_xf", "max_value")
+
+
+def q_lifetime_features(spark, sf_dir):
+    return _lifetime(spark, sf_dir, False)
+
+
+def q_lifetime_features_chunked(spark, sf_dir):
+    return _lifetime(spark, sf_dir, True)
+
+
 def q_future_features(spark, sf_dir):
     return _future_features(spark, sf_dir, "window")
 
@@ -2449,6 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_features": q_calendar_features,
         "skew_report": q_skew_report,
         "range_zscore": q_range_zscore,
+        "lifetime_features": q_lifetime_features,
+        "lifetime_features_chunked": q_lifetime_features_chunked,
     }
 
 
@@ -2471,6 +2500,8 @@ def oracle_sql() -> dict[str, str]:
     d["stratified_chunked"] = d["stratified"]
     # future_agg's negated-time prefix sweep answers the same question
     d["future_features_prefix"] = d["future_features"]
+    # the expanding carry (sum by +, min/max by least/greatest) is invisible
+    d["lifetime_features_chunked"] = d["lifetime_features"]
     return d
 
 
@@ -2904,6 +2935,21 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,
+        # expanding lifetime features: independent strictly-before self
+        # join; SUM(BIGINT)→HUGEINT cast back (the repo DuckDB rule)
+        "lifetime_features": """
+            WITH b AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us, value,
+                       CAST(ROUND(value * 1048576, 0) AS BIGINT) AS xf
+                FROM events
+            )
+            SELECT b1.event_id,
+                   CAST(COUNT(b2.us) AS BIGINT) AS n_prior,
+                   CAST(SUM(b2.xf) AS BIGINT)   AS sum_xf,
+                   MAX(b2.value)                AS max_value
+            FROM b b1 LEFT JOIN b b2
+              ON b2.user_id = b1.user_id AND b2.us < b1.us
+            GROUP BY 1""",
         # trailing z-score: independent self range join; the frozen 2^20
         # scale cancels in z = (n·x − Σx)/√(n·Σx² − (Σx)²); NULL-valued
         # rows score NULL and never enter baselines

@@ -302,6 +302,8 @@ def main() -> None:
         "calendar_features",
         "skew_report",
         "range_zscore",
+        "lifetime_features",
+        "lifetime_features_chunked",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

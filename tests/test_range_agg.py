@@ -581,3 +581,68 @@ def test_range_zscore_rules_and_plan(spark):
                                 "user_id string, ts double, value double")
     with pytest.raises(ValueError, match="temporal"):
         range_zscore(num)
+
+
+# ------------------------------------------------------------ expanding_agg
+
+
+def test_expanding_agg_hand_computed_and_rules(spark):
+    import datetime as dt
+
+    from towhee_spark.plans import assert_max_exchanges
+    from towhee_spark.temporal import expanding_agg
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    rows = [("u", 0, base, 5.0), ("u", 1, base + s, None),
+            ("u", 2, base + s, 3.0),          # tied with row 1
+            ("u", 3, base + 2 * s, 9.0),
+            ("v", 4, base, 1.0)]
+    df = spark.createDataFrame(
+        rows, "k string, i int, ts timestamp, v double")
+    out = {r["i"]: r for r in expanding_agg(
+        df, on="k", ts="ts",
+        aggs={"n": ("count", "*"), "s": ("sum", "v"), "mx": ("max", "v"),
+              "mn": ("min", "v"), "a": ("avg", "v")}).collect()}
+    assert (out[0]["n"], out[0]["s"], out[0]["mx"], out[0]["a"]) == \
+        (0, None, None, None)                  # empty history
+    # ties share a frame: rows 1 and 2 both see ONLY row 0
+    for i in (1, 2):
+        assert (out[i]["n"], out[i]["s"], out[i]["mx"]) == (1, 5.0, 5.0)
+    assert (out[3]["n"], out[3]["s"], out[3]["mn"], out[3]["a"]) == \
+        (3, 8.0, 3.0, 4.0)                     # NULL v excluded from s/a
+    assert out[4]["n"] == 0                    # other key isolated
+    inc = {r["i"]: r for r in expanding_agg(
+        df, on="k", ts="ts", aggs={"n": ("count", "*"), "s": ("sum", "v")},
+        include_current=True).collect()}
+    assert inc[1]["n"] == 3 and inc[2]["n"] == 3    # self + tie both in
+    assert inc[0]["s"] == 5.0
+    assert_max_exchanges(
+        expanding_agg(df, on="k", ts="ts", aggs={"n": ("count", "*")}), 1)
+    import pytest as pt
+    with pt.raises(ValueError, match="aggs"):
+        expanding_agg(df, on="k", ts="ts")
+    num = spark.createDataFrame([("u", 1.0, 2.0)],
+                                "k string, ts double, v double")
+    with pt.raises(ValueError, match="temporal"):
+        expanding_agg(num, on="k", ts="ts", aggs={"n": ("count", "*")})
+
+
+@pytest.mark.parametrize("include_current", [False, True])
+def test_expanding_agg_chunked_matches_plain(spark, corpus, include_current):
+    from towhee_spark.temporal import expanding_agg
+
+    _, sdf = corpus
+    aggs = {"n": ("count", "*"), "s": ("sum", "tlen"),
+            "mn": ("min", "tlen"), "mx": ("max", "tlen"),
+            "a": ("avg", "tlen")}
+    cols = ["conv_id", "turn_idx", "n", "s", "mn", "mx",
+            F.round("a", 9).alias("a")]
+    plain = expanding_agg(sdf, on="conv_id", ts="ts", aggs=aggs,
+                          include_current=include_current).select(*cols)
+    chunked = expanding_agg(sdf, on="conv_id", ts="ts", aggs=aggs,
+                            include_current=include_current,
+                            chunk_seconds=600.0,
+                            broadcast_carry=False).select(*cols)
+    assert plain.exceptAll(chunked).count() == 0
+    assert chunked.exceptAll(plain).count() == 0

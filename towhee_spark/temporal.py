@@ -2379,3 +2379,129 @@ def range_zscore(
         .withColumn(out_col, z)
         .drop("__zs_xf", "__zs_t", "__zs_n", "__zs_s1", "__zs_s2")
     )
+
+
+def expanding_agg(
+    df: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    aggs: dict | None = None,
+    include_current: bool = False,
+    chunk_seconds: float | None = None,
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """Expanding (lifetime-to-date) aggregates: each row gains
+    count / sum / min / max / avg of SAME-KEY rows strictly before it —
+    "events this user has ever produced before now", "their max value so
+    far" — the cumulative complement of :func:`range_agg`'s trailing
+    window, leakage-free by the strict bound (``include_current=True``
+    closes it). ``aggs`` is range_agg's contract; empty history yields
+    count 0 and NULL elsewhere. Ties (equal µs) are OUT under the strict
+    bound and IN under ``include_current`` — value-range frames, so tied
+    rows always agree. NULL-ts rows sort first (empty history) —
+    filter them if that's wrong for the use case.
+
+    Hot-key path (``chunk_seconds=``): an expanding aggregate needs NO
+    inverse, so unlike range_agg's prefix sweep the chunked carry is
+    legal for min/max too — local per-(key, time-chunk) running values +
+    an exclusive prefix carry of per-chunk totals over the tiny chunk
+    frame (sum carries by +, min/max by least/greatest), joined back via
+    :func:`carry_join`. Identical output (unit-pinned; the gate shares
+    the unchunked oracle); a mega-key fans out across its chunks.
+
+    Plan: one key exchange + one WindowExec (chunked: (key, chunk)
+    exchange + tiny carry agg). Temporal ts only — the strict bound
+    needs an exact −1 µs frame offset."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if not aggs:
+        raise ValueError("expanding_agg: aggs= is required (name -> (fn, col))")
+    specs = _range_specs(aggs)
+    if not isinstance(df.schema[ts].dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        raise ValueError("expanding_agg needs a temporal ts column")
+    keys = _as_list(on)
+    hi = 0 if include_current else -1
+    d = df.withColumn("__xa_t", epoch_us(ts))
+
+    def _src(col):
+        return F.lit(1) if col is None else F.col(col)
+
+    if chunk_seconds is None:
+        frame = (
+            Window.partitionBy(*keys).orderBy("__xa_t")
+            .rangeBetween(Window.unboundedPreceding, hi))
+        for name, fn, col in specs:
+            c = getattr(F, fn)(_src(col)).over(frame)
+            if fn == "count":
+                c = c.cast("long")
+            elif fn == "avg":
+                n = F.count(_src(col)).over(frame)
+                c = F.when(n > 0,
+                           F.sum(_src(col)).over(frame) / n)
+            d = d.withColumn(name, c)
+        return d.drop("__xa_t")
+
+    ck = _chunk_id(ts, df.schema[ts].dataType, chunk_seconds)
+    d = d.withColumn("__xa_ck", ck)
+    w_local = (
+        Window.partitionBy(*keys, "__xa_ck").orderBy("__xa_t")
+        .rangeBetween(Window.unboundedPreceding, hi))
+    w_carry = (
+        Window.partitionBy(*keys).orderBy("__xa_ck")
+        .rowsBetween(Window.unboundedPreceding, -1))
+    # local running values + per-chunk totals per distinct (fn, col) need
+    tot_aggs, car_cols, loc_cols = [], [], []
+    need = {}
+    for name, fn, col in specs:
+        for f2 in ({"count", "sum"} if fn == "avg" else {fn}):
+            need.setdefault((f2, col), f"__xa_{f2}_{col or '_'}")
+    for (fn, col), tag in need.items():
+        src = _src(col)
+        if fn == "count":
+            loc = F.count(src).over(w_local)
+            tot = F.count(src)
+            car = F.coalesce(F.sum(F.col(f"{tag}_tot")).over(w_carry),
+                             F.lit(0))
+        elif fn == "sum":
+            loc = F.sum(src).over(w_local)
+            tot = F.sum(src)
+            car = F.sum(F.col(f"{tag}_tot")).over(w_carry)
+        elif fn == "min":
+            loc = F.min(src).over(w_local)
+            tot = F.min(src)
+            car = F.min(F.col(f"{tag}_tot")).over(w_carry)
+        else:  # max
+            loc = F.max(src).over(w_local)
+            tot = F.max(src)
+            car = F.max(F.col(f"{tag}_tot")).over(w_carry)
+        d = d.withColumn(f"{tag}_loc", loc)
+        tot_aggs.append(tot.alias(f"{tag}_tot"))
+        car_cols.append(car.alias(f"{tag}_car"))
+        loc_cols.append(tag)
+    totals = d.groupBy(*keys, "__xa_ck").agg(*tot_aggs)
+    carry = totals.select(*keys, "__xa_ck", *car_cols)
+    j = carry_join(d, carry, [*keys, "__xa_ck"], broadcast=broadcast_carry)
+
+    def _combined(fn, col):
+        tag = need[(fn, col)]
+        lc, cc = F.col(f"{tag}_loc"), F.col(f"{tag}_car")
+        if fn == "count":
+            return (lc + cc).cast("long")
+        if fn == "sum":
+            return F.when(
+                lc.isNotNull() | cc.isNotNull(),
+                F.coalesce(lc, F.lit(0)) + F.coalesce(cc, F.lit(0)))
+        if fn == "min":
+            return F.least(lc, cc)
+        return F.greatest(lc, cc)
+
+    for name, fn, col in specs:
+        if fn == "avg":
+            n = _combined("count", col)
+            j = j.withColumn(name, F.when(n > 0, _combined("sum", col) / n))
+        else:
+            j = j.withColumn(name, _combined(fn, col))
+    drop = ["__xa_t", "__xa_ck"]
+    drop += [f"{t}_loc" for t in loc_cols] + [f"{t}_car" for t in loc_cols]
+    return j.drop(*drop)
