@@ -1330,6 +1330,21 @@ def q_lifetime_features_chunked(spark, sf_dir):
     return _lifetime(spark, sf_dir, True)
 
 
+def q_target_encoding_timesafe(spark, sf_dir):
+    # time-safe target encoding (features.target_encode_timesafe): each
+    # event's type encoded with the smoothed mean value of the type's
+    # STRICTLY-PRIOR events only (expanding_agg frame) — the leakage-
+    # free encoder for time-ordered data. One exact-integer division:
+    # (s·N + m·S)/((n + m)·N·2^20). Oracle = strictly-before self join
+    # + the identical folded expression.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    out = fe.target_encode_timesafe(
+        ev, "event_type", "value", ts="ts", smoothing=20)
+    return out.select("event_id", "te_ts")
+
+
 def q_future_features(spark, sf_dir):
     return _future_features(spark, sf_dir, "window")
 
@@ -2478,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_zscore": q_range_zscore,
         "lifetime_features": q_lifetime_features,
         "lifetime_features_chunked": q_lifetime_features_chunked,
+        "target_encoding_timesafe": q_target_encoding_timesafe,
     }
 
 
@@ -2935,6 +2951,32 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,
+        # time-safe target encoding: strictly-before self join per
+        # category + the folded one-division smoothing expression with
+        # identical operand shapes to features.target_encode_timesafe
+        "target_encoding_timesafe": """
+            WITH b AS (
+                SELECT event_id, event_type, epoch_us(ts) AS us,
+                       CASE WHEN value IS NOT NULL
+                            THEN CAST(ROUND(value * 1048576, 0) AS BIGINT)
+                       END AS lf
+                FROM events
+            ),
+            e AS (
+                SELECT b1.event_id, COUNT(b2.lf) AS n,
+                       COALESCE(SUM(b2.lf), 0) AS s
+                FROM b b1 LEFT JOIN b b2
+                  ON b2.event_type = b1.event_type AND b2.us < b1.us
+                GROUP BY 1
+            ),
+            g AS (SELECT COUNT(value) AS gn,
+                         SUM(CAST(ROUND(value * 1048576, 0) AS BIGINT)) AS gs
+                  FROM events WHERE value IS NOT NULL)
+            SELECT event_id,
+                   ROUND(CAST(s * gn + 20 * gs AS DOUBLE)
+                         / CAST((n + 20) * gn * 1048576 AS DOUBLE), 6)
+                       AS te_ts
+            FROM e, g""",
         # expanding lifetime features: independent strictly-before self
         # join; SUM(BIGINT)→HUGEINT cast back (the repo DuckDB rule)
         "lifetime_features": """

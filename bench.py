@@ -304,6 +304,7 @@ def main() -> None:
         "range_zscore",
         "lifetime_features",
         "lifetime_features_chunked",
+        "target_encoding_timesafe",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -346,3 +346,64 @@ def test_class_weights_inv_sqrt_and_validation(spark):
     assert out["b"] == round(math.sqrt(100 / 10), 6)
     with pytest.raises(ValueError, match="scheme"):
         fe.class_weights(df, "lbl", scheme="log")
+
+
+# ----------------------------------------------------- target_encode_timesafe
+
+
+def test_target_encode_timesafe_vs_python(spark):
+    import datetime as dt
+
+    from towhee_spark.functions import features as fe
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    rows = [("a", 0, base, 10.0), ("a", 1, base + s, 20.0),
+            ("b", 2, base + 2 * s, 100.0), ("a", 3, base + 3 * s, None),
+            ("a", 4, base + 4 * s, 30.0)]
+    df = spark.createDataFrame(
+        rows, "cat string, i int, ts timestamp, y double")
+    m = 4
+    out = {r["i"]: r["te_ts"] for r in fe.target_encode_timesafe(
+        df, "cat", "y", ts="ts", smoothing=m).collect()}
+    ys = [10.0, 20.0, 100.0, 30.0]
+    prior = sum(ys) / len(ys)
+    # first 'a' and first 'b': pure prior; later rows mix prior history
+    assert out[0] == round(prior, 6)
+    assert out[2] == round(prior, 6)
+    assert out[1] == round((10 + m * prior) / (1 + m), 6)
+    assert out[3] == round((30 + m * prior) / (2 + m), 6)  # NULL y still encoded
+    assert out[4] == round((30 + m * prior) / (2 + m), 6)  # NULL y not in history
+    # a future high label must never move an earlier row's encoding
+    df2 = df.union(spark.createDataFrame(
+        [("a", 9, base + 100 * s, 10_000.0)],
+        "cat string, i int, ts timestamp, y double"))
+    out2 = {r["i"]: r["te_ts"] for r in fe.target_encode_timesafe(
+        df2, "cat", "y", ts="ts", smoothing=m).collect()}
+    # per-category history identical for old rows; only the PRIOR scalar
+    # (documented regularizer) may shift
+    prior2 = (sum(ys) + 10_000.0) / 5
+    assert out2[1] == round((10 + m * prior2) / (1 + m), 6)
+
+
+def test_target_encode_timesafe_chunked_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from towhee_spark.functions import features as fe
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    rows = [("c" if i % 4 else "d", i, base + i * s, float(i % 7))
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "cat string, i int, ts timestamp, y double")
+    plain = fe.target_encode_timesafe(df, "cat", "y").select("i", "te_ts")
+    chunked = fe.target_encode_timesafe(
+        df, "cat", "y", chunk_seconds=600.0,
+        broadcast_carry=False).select("i", "te_ts")
+    assert plain.exceptAll(chunked).count() == 0
+    assert chunked.exceptAll(plain).count() == 0
+    with pytest.raises(ValueError, match="smoothing"):
+        fe.target_encode_timesafe(df, "cat", "y", smoothing=-1)

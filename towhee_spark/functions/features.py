@@ -654,3 +654,62 @@ def class_weights(
         w = F.round(
             F.sqrt(F.col("__gn").cast("double") / F.col("n").cast("double")), 6)
     return out.select("label", "n", w.alias("weight"))
+
+
+def target_encode_timesafe(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    ts: str = "ts",
+    smoothing: int = 20,
+    out_col: str = "te_ts",
+    chunk_seconds: float | None = None,
+    broadcast_carry: bool | None = True,
+) -> DataFrame:
+    """TIME-SAFE target encoding: each row's category is encoded with the
+    smoothed mean label of the category's STRICTLY-PRIOR rows only —
+    ``te_i = (Σ_prior y + m·prior) / (n_prior + m)`` over
+    :func:`towhee_spark.temporal.expanding_agg`'s leakage-free frame.
+    Where :func:`target_encode` (``loo=True``) removes only the row's OWN
+    label (right for shuffled iid folds), this removes every label from
+    the row's future — the correct encoder for time-ordered training
+    data, where a category's future mean is exactly what the model must
+    not see. A category's first occurrence gets the pure prior.
+
+    The prior is the corpus-wide mean label, folded algebraically so the
+    whole expression stays ONE exact-integer division (the target_encode
+    shape): ``te = (s·N + m·S) / ((n + m)·N·2^20)`` with (s, n) the
+    expanding frozen sums and (S, N) the global 1-row broadcast stats.
+    The global prior sees all rows including future ones — a scalar
+    regularizer, not a per-row signal; pass a frozen split if even that
+    bothers the protocol (then s/n stay the only data-dependent terms).
+
+    Skew: the expanding window partitions by CATEGORY — a dominant
+    category is a textbook mega-key; ``chunk_seconds=`` engages
+    expanding_agg's chunked carry. One category exchange + one window
+    (+ tiny carry when chunked), broadcast global join."""
+    if smoothing < 0:
+        raise ValueError("target_encode_timesafe: smoothing must be >= 0")
+    from towhee_spark.temporal import expanding_agg  # noqa: PLC0415
+
+    m = _smoothing_int(smoothing)
+    d = df.withColumn("__te_lf", _freeze(F.col(label_col)).cast(_DEC))
+    d = expanding_agg(
+        d, on=cat_col, ts=ts,
+        aggs={"__te_n": ("count", "__te_lf"), "__te_s": ("sum", "__te_lf")},
+        chunk_seconds=chunk_seconds, broadcast_carry=broadcast_carry)
+    glob = (
+        df.where(F.col(label_col).isNotNull())
+        .agg(
+            F.count(F.lit(1)).cast(_DEC).alias("__gn"),
+            F.sum(_freeze(F.col(label_col)).cast(_DEC)).alias("__gs"),
+        )
+    )
+    j = d.crossJoin(F.broadcast(glob))
+    s = F.coalesce(F.col("__te_s"), F.lit(0).cast(_DEC))
+    n = F.col("__te_n").cast(_DEC)
+    num = s * F.col("__gn") + F.lit(m) * F.col("__gs")
+    den = (n + F.lit(m)) * F.col("__gn") * F.lit(_SCALE)
+    te = F.when((n + F.lit(m)) > 0, _ratio6(num, den))
+    return j.withColumn(out_col, te).drop(
+        "__te_lf", "__te_n", "__te_s", "__gn", "__gs")
