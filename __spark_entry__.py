@@ -1345,6 +1345,18 @@ def q_target_encoding_timesafe(spark, sf_dir):
     return out.select("event_id", "te_ts")
 
 
+def q_session_features(spark, sf_dir):
+    # session-relative block (temporal.session_features): sessionize +
+    # 0-based turn-in-session + exact µs since session start, all
+    # backward-looking and sharing ONE conv_id exchange (subset-key
+    # ClusteredDistribution). Oracle extends the proven sess_seq mirror
+    # with the same window functions.
+    t, _ = _t_c(spark, sf_dir)
+    out = temporal.session_features(t, key="conv_id", ts="ts", gap=1800.0)
+    return out.select("conv_id", "turn_idx", "session_seq",
+                      "turn_in_session", "us_into_session")
+
+
 def q_future_features(spark, sf_dir):
     return _future_features(spark, sf_dir, "window")
 
@@ -2494,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifetime_features": q_lifetime_features,
         "lifetime_features_chunked": q_lifetime_features_chunked,
         "target_encoding_timesafe": q_target_encoding_timesafe,
+        "session_features": q_session_features,
     }
 
 
@@ -2588,6 +2601,16 @@ def _oracle_sql() -> dict[str, str]:
             FROM transcripts""",
         "sessionize": f"""{_CTE}
             SELECT conv_id, turn_idx, session_seq FROM ({sess_seq})""",
+        "session_features": f"""{_CTE}
+            SELECT conv_id, turn_idx, session_seq,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY conv_id, session_seq
+                       ORDER BY ts, turn_idx) - 1 AS BIGINT)
+                       AS turn_in_session,
+                   epoch_us(ts) - MIN(epoch_us(ts)) OVER (
+                       PARTITION BY conv_id, session_seq)
+                       AS us_into_session
+            FROM ({sess_seq})""",
         "session_stats": f"""{_CTE}
             SELECT conv_id, session_seq,
                    COUNT(*) AS n_turns,

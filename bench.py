@@ -305,6 +305,7 @@ def main() -> None:
         "lifetime_features",
         "lifetime_features_chunked",
         "target_encoding_timesafe",
+        "session_features",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -873,3 +873,32 @@ def test_calendar_features_cyclical_and_prefix(spark):
     assert r["t_hour"] == 6 and r["t_iso_dow"] == 1
     assert abs(r["t_hour_sin"] - math.sin(2 * math.pi * 6 / 24)) < 1e-12
     assert abs(r["t_dow_cos"] - 1.0) < 1e-12  # Monday → angle 0
+
+
+# ---------------------------------------------------------- session_features
+
+
+def test_session_features_hand_computed_and_plan(spark):
+    import datetime as dt
+
+    from towhee_spark.plans import assert_max_exchanges, plan_stats
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [("c", 0, base), ("c", 1, base + 10 * s), ("c", 2, base + 20 * s),
+            ("c", 3, base + 2000 * s),  # gap > 1800 → new session
+            ("c", 4, base + 2005 * s)]
+    df = spark.createDataFrame(rows,
+                               "conv_id string, turn_idx int, ts timestamp")
+    out = {r["turn_idx"]: r for r in temporal.session_features(
+        df, gap=1800.0).collect()}
+    assert [out[i]["session_seq"] for i in range(5)] == [1, 1, 1, 2, 2]
+    assert [out[i]["turn_in_session"] for i in range(5)] == [0, 1, 2, 0, 1]
+    assert out[2]["us_into_session"] == 20_000_000
+    assert out[3]["us_into_session"] == 0          # session restart
+    assert out[4]["us_into_session"] == 5_000_000
+    assert out[4]["session_start_us"] == out[3]["session_start_us"]
+    # the whole block shares ONE conv_id exchange
+    plan = temporal.session_features(df, gap=1800.0)
+    assert_max_exchanges(plan, 1)
+    assert plan_stats(plan)["python_evals"] == 0

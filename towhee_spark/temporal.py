@@ -2505,3 +2505,52 @@ def expanding_agg(
     drop = ["__xa_t", "__xa_ck"]
     drop += [f"{t}_loc" for t in loc_cols] + [f"{t}_car" for t in loc_cols]
     return j.drop(*drop)
+
+
+def session_features(
+    df: DataFrame,
+    key: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    gap: float = 1800.0,
+    order_extra: Sequence[str] = ("turn_idx",),
+    session_col: str = "session_id",
+    seq_col: str = "session_seq",
+) -> DataFrame:
+    """Session-relative features in one pass: :func:`sessionize` plus,
+    per row, ``turn_in_session`` (0-based position within its session),
+    ``us_into_session`` (exact µs since the session's first row) and
+    ``session_start_us`` — the "where am I in this session" block every
+    conversational feature vector carries. All backward-looking (a row's
+    features derive from its session prefix only — no session-total
+    columns here; aggregate AFTER the fact for those, e.g.
+    ``session_stats``).
+
+    Plan: sessionize's lag window, the running boundary sum, and the
+    within-(key, session) row_number/min all share ONE ``key`` hash
+    exchange — ClusteredDistribution is satisfied by a partitioning on a
+    SUBSET of the window keys (the tool_chains precedent), so the whole
+    block plans a single shuffle (asserted in tests). Mega-key note:
+    these are bare-key windows; for a mega-key chunk the count with
+    :func:`chunked_row_number` and the session assignment with
+    :func:`sessionize_chunked`."""
+    keys = _as_list(key)
+    extras = [c for c in order_extra if c in df.columns]
+    out = sessionize(df, gap=gap, key=keys, ts=ts,
+                     order_extra=extras, out=session_col, seq_out=seq_col)
+    w = Window.partitionBy(*keys, seq_col).orderBy(F.col(ts), *extras)
+    t_us = epoch_us(ts)
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if not isinstance(df.schema[ts].dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        t_us = F.col(ts)
+    start = F.min(t_us).over(
+        Window.partitionBy(*keys, seq_col)
+        .orderBy(F.col(ts), *extras)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        out.withColumn("turn_in_session",
+                       (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("session_start_us", start)
+        .withColumn("us_into_session", t_us - start)
+    )
