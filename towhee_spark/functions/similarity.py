@@ -575,19 +575,33 @@ def ivfsq_topk(
 
     cents = centroids if centroids is not None else ivf_train(
         index, i_id, i_vec, nlist)
+    # All-zero/NULL index vectors quantize to NULL codes → NULL __recon;
+    # cosine_expr's NULL→0.0 fallback would emit them at score 0.0 while the
+    # _ivfsq_topk_sql oracle drops them (its r CTE keeps mx > 0 only). The
+    # guard must NOT filter on q_codes (or __recon): both are interpreted-
+    # HOF outputs, and a filter on a HOF-derived column makes collapsed
+    # projections re-run the transform per consumer (measured A/B: 10 vs 5
+    # transform subtrees, ~2× wall — the CLAUDE.md re-evaluation trap one
+    # level up). Instead drop the rows at the SOURCE with a fully native
+    # predicate: max|x| = greatest(|array_max|, |array_min|) > 0 — no
+    # lambda, evaluated once in the Filter, equivalent by quantize's NULL
+    # rules (codes NULL ⟺ v NULL or all-|x|-zero; all-NULL-element
+    # vectors give NULL array_max → predicate NULL → dropped, matching
+    # scale 0 → NULL codes).
     if quantized is None:
         assigned = ivf_assign(index, cents, i_id, i_vec, impl=impl)
+        v = F.col(i_vec).cast("array<double>")
+        assigned = assigned.where(
+            v.isNotNull()
+            & (F.greatest(F.abs(F.array_max(v)), F.abs(F.array_min(v)))
+               > F.lit(0.0)))
         quantized = quantize_embeddings(assigned, i_vec=i_vec)
-    # All-zero index vectors quantize to NULL codes → NULL __recon;
-    # cosine_expr's NULL→0.0 fallback would emit them at score 0.0 while the
-    # _ivfsq_topk_sql oracle drops them (its r CTE keeps mx > 0 only). Filter
-    # on q_codes — NULL exactly when __recon would be (quantize_embeddings
-    # nulls codes for NULL/all-zero vectors) — BEFORE the dequantize
-    # projection: a filter on __recon itself makes collapsed projections
-    # re-run the interpreted transform per consumer (the CLAUDE.md
-    # interpreted-HOF re-evaluation trap; plan A/B shows 4 duplicated
-    # dequantize subtrees with the __recon filter, 0 with this form).
-    recon = quantized.where(F.col("q_codes").isNotNull()).withColumn(
+        guarded = quantized  # post-filter, codes are non-NULL by construction
+    else:
+        # a passed-in quantized index is materialized (parquet round-trip
+        # convention) — its q_codes are real columns, so the filter is safe
+        guarded = quantized.where(F.col("q_codes").isNotNull())
+    recon = guarded.withColumn(
         "__recon", dequantize_expr(F.col("q_codes"), F.col("q_scale")))
     return ivf_topk(
         queries, recon, k=k, q_id=q_id, q_vec=q_vec, i_id=i_id,
