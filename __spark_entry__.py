@@ -65,6 +65,15 @@ def q_asof_forward(spark, sf_dir):
     return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
 
 
+def q_asof_nearest(spark, sf_dir):
+    # direction='nearest' (pd.merge_asof's third mode): both sweeps share
+    # the one union exchange; equal distances resolve backward. Oracle =
+    # two chained DuckDB ASOF joins + the same exact-µs distance pick.
+    t, c = _t_c(spark, sf_dir)
+    j = asof_join(t, c, on="conv_id", ts="ts", direction="nearest")
+    return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
+
+
 def q_asof_tolerance(spark, sf_dir):
     t, c = _t_c(spark, sf_dir)
     j = asof_join(t, c, direction="backward", tolerance=1800.0)
@@ -2507,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lifetime_features_chunked": q_lifetime_features_chunked,
         "target_encoding_timesafe": q_target_encoding_timesafe,
         "session_features": q_session_features,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -2973,6 +2983,26 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
+        """,
+        # nearest asof: backward + forward ASOF joins, pick by exact-µs
+        # distance, equal distances resolve backward (the pandas rule)
+        "asof_nearest": f"""{_CTE}
+            SELECT x.conv_id, x.turn_idx,
+                   CASE WHEN x.bts IS NOT NULL AND (f.ts IS NULL OR
+                             epoch_us(x.ts) - epoch_us(x.bts)
+                             <= epoch_us(f.ts) - epoch_us(x.ts))
+                        THEN x.bs ELSE f.ctx_score END AS ctx_score,
+                   CASE WHEN x.bts IS NOT NULL AND (f.ts IS NULL OR
+                             epoch_us(x.ts) - epoch_us(x.bts)
+                             <= epoch_us(f.ts) - epoch_us(x.ts))
+                        THEN x.bl ELSE f.ctx_label END AS ctx_label
+            FROM (
+                SELECT t.conv_id, t.turn_idx, t.ts,
+                       b.ts AS bts, b.ctx_score AS bs, b.ctx_label AS bl
+                FROM transcripts t ASOF LEFT JOIN context b
+                  ON t.conv_id = b.conv_id AND t.ts >= b.ts
+            ) x ASOF LEFT JOIN context f
+              ON x.conv_id = f.conv_id AND x.ts <= f.ts
         """,
         # time-safe target encoding: strictly-before self join per
         # category + the folded one-division smoothing expression with

@@ -306,6 +306,7 @@ def main() -> None:
         "lifetime_features_chunked",
         "target_encoding_timesafe",
         "session_features",
+        "asof_nearest",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -62,7 +62,7 @@ def assert_asof_matches(got, exp):
     assert list(got.ctx_label.fillna("∅")) == list(exp.ctx_label.fillna("∅"))
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tolerance", [None, 600.0])
 @pytest.mark.parametrize("allow_exact", [True, False])
 def test_asof_join_matrix(spark, corpus, sdfs, direction, tolerance, allow_exact):
@@ -902,3 +902,37 @@ def test_session_features_hand_computed_and_plan(spark):
     plan = temporal.session_features(df, gap=1800.0)
     assert_max_exchanges(plan, 1)
     assert plan_stats(plan)["python_evals"] == 0
+
+
+def test_asof_nearest_tie_and_plan(spark):
+    """Equal-distance ties resolve BACKWARD (pd.merge_asof); both sweeps
+    share one exchange."""
+    import datetime as dt
+
+    from towhee_spark.plans import assert_max_exchanges
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 10)
+    s = dt.timedelta(seconds=1)
+    t = spark.createDataFrame(
+        [("c", 0, "user", "x", None, base)],
+        schema=TRANSCRIPT_SCHEMA)
+    c = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["c", "c"],
+            "ts": pd.Series([base - s, base + s]).astype("datetime64[us]"),
+            "ctx_score": [1.0, 2.0], "ctx_label": ["back", "fwd"]}),
+        schema=CONTEXT_SCHEMA)
+    r = asof_join(t, c, direction="nearest").collect()[0]
+    assert r["ctx_label"] == "back"  # tie → backward
+    # tolerance rules each side out independently before the pick
+    c2 = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["c", "c"],
+            "ts": pd.Series([base - 10 * s, base + s]).astype("datetime64[us]"),
+            "ctx_score": [1.0, 2.0], "ctx_label": ["far_back", "near_fwd"]}),
+        schema=CONTEXT_SCHEMA)
+    r2 = asof_join(t, c2, direction="nearest", tolerance=5.0).collect()[0]
+    assert r2["ctx_label"] == "near_fwd"
+    r3 = asof_join(t, c2, direction="nearest", tolerance=0.5).collect()[0]
+    assert r3["ctx_label"] is None
+    assert_max_exchanges(asof_join(t, c, direction="nearest"), 1)

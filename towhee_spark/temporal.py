@@ -121,8 +121,11 @@ def asof_join(
 
     direction='backward': nearest right row with ``r.ts <= l.ts``
     (``<`` when ``allow_exact_matches=False``); 'forward': nearest right row
-    with ``r.ts >= l.ts``.  ``tolerance`` (seconds) nulls the match when the
-    time distance exceeds it.  Semantics mirror ``pd.merge_asof``.
+    with ``r.ts >= l.ts``; 'nearest': whichever of the two is temporally
+    closer, equal distances resolving BACKWARD (the pd.merge_asof rule;
+    ``tolerance`` bounds the ABSOLUTE distance and each side is ruled out
+    independently before the pick). ``tolerance`` (seconds) nulls the match
+    when the time distance exceeds it.  Semantics mirror ``pd.merge_asof``.
 
     The nearest right row is attached ATOMICALLY (a null in the matched row
     stays null — no stale per-column fill). Ties on duplicate right (key, ts)
@@ -132,10 +135,13 @@ def asof_join(
     unique per (key, ts) for oracle-exact results.
 
     Implementation: union-tag + one struct-payload window sweep — one
-    shuffle, one sort, no Python.
+    shuffle, one sort, no Python ('nearest' runs BOTH sweeps over the one
+    union — same exchange, two sorts — and picks per row by exact-µs
+    distance).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
     keys = _as_list(on)
     rcols = list(right_cols) if right_cols else [
         c for c in right.columns if c not in set(keys) | {ts}
@@ -176,49 +182,75 @@ def asof_join(
     # (struct comparison is lexicographic over its fields).
     from pyspark.sql import types as T  # noqa: PLC0415
 
-    asc = direction == "backward"
-    tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
-    order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie]
-    # struct tie-break only when orderable — RECURSIVELY: a struct<...map>
-    # payload field passes a top-level isinstance check but still breaks
-    # the orderBy (code-review finding)
-    if _orderable(rhs.schema[_PAY].dataType):
-        # direction-dependent: backward resolves duplicate right (key, ts)
-        # rows to the MAX payload, forward to the MIN — the resolutions a
-        # single max/min-struct carry can express, keeping asof_join and
-        # asof_join_chunked identical on duplicate ties
-        order.append(F.col(_PAY).asc_nulls_first() if asc
-                     else F.col(_PAY).desc_nulls_last())
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-
-    filled = u.select(
-        *[c for c in u.columns if c != _PAY],
-        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
-    )
-
-    res = (
-        filled.filter(F.col(_SRC) == 1)
-        .withColumn(_RTS, F.col(_PAY)["__rts"])
-        .select(
-            "*", *[F.col(_PAY)[out_names[c]].alias(out_names[c]) for c in rcols]
+    def _sweep_payload(asc: bool):
+        tie = F.col(_SRC).asc() if allow_exact_matches else F.col(_SRC).desc()
+        order = [F.col(ts).asc() if asc else F.col(ts).desc(), tie]
+        # struct tie-break only when orderable — RECURSIVELY: a struct<...map>
+        # payload field passes a top-level isinstance check but still breaks
+        # the orderBy (code-review finding)
+        if _orderable(rhs.schema[_PAY].dataType):
+            # direction-dependent: backward resolves duplicate right (key, ts)
+            # rows to the MAX payload, forward to the MIN — the resolutions a
+            # single max/min-struct carry can express, keeping asof_join and
+            # asof_join_chunked identical on duplicate ties
+            order.append(F.col(_PAY).asc_nulls_first() if asc
+                         else F.col(_PAY).desc_nulls_last())
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    )
-    if tolerance is not None:
-        from pyspark.sql import types as T  # noqa: PLC0415
+        return F.last(_PAY, ignorenulls=True).over(w)
 
-        is_time = isinstance(ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    base_cols = [c for c in u.columns if c != _PAY]
+    is_time = isinstance(
+        ts_type, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    tol = None
+    if tolerance is not None:
+        tol = (F.lit(int(tolerance * 1_000_000)) if is_time
+               else F.lit(float(tolerance)))
+
+    if direction != "nearest":
+        filled = u.select(
+            *base_cols, _sweep_payload(direction == "backward").alias(_PAY))
+        res = filled.filter(F.col(_SRC) == 1) \
+            .withColumn(_RTS, F.col(_PAY)["__rts"])
+        if tol is not None:
+            tl = _time_value(F.col(ts), ts_type)
+            tr = _time_value(F.col(_RTS), ts_type)
+            dist = (tl - tr) if direction == "backward" else (tr - tl)
+            ok = F.col(_RTS).isNotNull() & (dist <= tol)
+            res = res.withColumn(_PAY, F.when(ok, F.col(_PAY))) \
+                .withColumn(_RTS, F.when(ok, F.col(_RTS)))
+    else:
+        # BOTH sweeps share the union and the key partitioning — one
+        # exchange, two sorts; the pick is exact integer µs distance with
+        # equal distances resolving backward (pd.merge_asof's rule), each
+        # side tolerance-ruled independently BEFORE the pick
+        filled = u.select(
+            *base_cols,
+            _sweep_payload(True).alias("__pb"),
+            _sweep_payload(False).alias("__pf"),
+        )
+        res = filled.filter(F.col(_SRC) == 1)
         tl = _time_value(F.col(ts), ts_type)
-        tr = _time_value(F.col(_RTS), ts_type)
-        tol = F.lit(int(tolerance * 1_000_000)) if is_time else F.lit(float(tolerance))
-        dist = (tl - tr) if direction == "backward" else (tr - tl)
-        ok = F.col(_RTS).isNotNull() & (dist <= tol)
-        for c in rcols:
-            res = res.withColumn(out_names[c], F.when(ok, F.col(out_names[c])))
-        res = res.withColumn(_RTS, F.when(ok, F.col(_RTS)))
+        db = tl - _time_value(F.col("__pb")["__rts"], ts_type)
+        df_ = _time_value(F.col("__pf")["__rts"], ts_type) - tl
+        b_ok = F.col("__pb").isNotNull() & (
+            (db <= tol) if tol is not None else F.lit(True))
+        f_ok = F.col("__pf").isNotNull() & (
+            (df_ <= tol) if tol is not None else F.lit(True))
+        chosen = (
+            F.when(b_ok & (~f_ok | (db <= df_)), F.col("__pb"))
+            .when(f_ok, F.col("__pf"))
+        )
+        res = (
+            res.withColumn(_PAY, chosen)
+            .withColumn(_RTS, F.col(_PAY)["__rts"])
+            .drop("__pb", "__pf")
+        )
+    res = res.select(
+        "*", *[F.col(_PAY)[out_names[c]].alias(out_names[c]) for c in rcols])
 
     keep = lcols + [out_names[c] for c in rcols]
     if matched_ts_col:
