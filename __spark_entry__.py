@@ -65,6 +65,26 @@ def q_asof_forward(spark, sf_dir):
     return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
 
 
+def q_multi_future_features(spark, sf_dir):
+    # multi-horizon LABELS in one exchange (multi_range_agg direction=
+    # 'forward'): the future_features question at 10 min AND 1 h, every
+    # rangeBetween frame sharing one partitionBy/orderBy. Oracle = one
+    # forward LEFT range join on the WIDEST band with CASE-gated
+    # conditional aggregates for the narrower horizon (the
+    # multi_range_features convention mirrored forward).
+    t, _ = _t_c(spark, sf_dir)
+    t = t.withColumn("tlen", F.length("text").cast("long"))
+    spine = t.where(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts")
+    out = temporal.multi_range_agg(
+        spine, t, on="conv_id", ts="ts",
+        windows={"10m": 600.0, "1h": 3600.0},
+        aggs={"n_next": ("count", "*"), "chars_next": ("sum", "tlen")},
+        direction="forward")
+    return out.select("conv_id", "turn_idx", "n_next_10m", "chars_next_10m",
+                      "n_next_1h", "chars_next_1h")
+
+
 def q_asof_nearest(spark, sf_dir):
     # direction='nearest' (pd.merge_asof's third mode): both sweeps share
     # the one union exchange; equal distances resolve backward. Oracle =
@@ -2517,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encoding_timesafe": q_target_encoding_timesafe,
         "session_features": q_session_features,
         "asof_nearest": q_asof_nearest,
+        "multi_future_features": q_multi_future_features,
     }
 
 
@@ -2982,6 +3003,27 @@ def _oracle_sql() -> dict[str, str]:
               ON e.conv_id = s.conv_id
              AND epoch_us(e.ts) >= epoch_us(s.ts) - 600000000
              AND epoch_us(e.ts) <  epoch_us(s.ts)
+            GROUP BY s.conv_id, s.turn_idx
+        """,
+        # multi-horizon forward labels: widest-band forward LEFT range
+        # join + CASE-gated conditional aggregates for the narrow horizon
+        "multi_future_features": f"""{_CTE}
+            SELECT s.conv_id, s.turn_idx,
+                   CAST(COUNT(CASE WHEN epoch_us(e.ts) <=
+                                        epoch_us(s.ts) + 600000000
+                              THEN e.ts END) AS BIGINT)  AS n_next_10m,
+                   CAST(SUM(CASE WHEN epoch_us(e.ts) <=
+                                      epoch_us(s.ts) + 600000000
+                            THEN length(e.text) END) AS BIGINT)
+                       AS chars_next_10m,
+                   CAST(COUNT(e.ts) AS BIGINT)           AS n_next_1h,
+                   CAST(SUM(length(e.text)) AS BIGINT)   AS chars_next_1h
+            FROM (SELECT conv_id, turn_idx, ts FROM transcripts
+                  WHERE role = 'user') s
+            LEFT JOIN transcripts e
+              ON e.conv_id = s.conv_id
+             AND epoch_us(e.ts) >  epoch_us(s.ts)
+             AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
             GROUP BY s.conv_id, s.turn_idx
         """,
         # nearest asof: backward + forward ASOF joins, pick by exact-µs

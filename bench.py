@@ -307,6 +307,7 @@ def main() -> None:
         "target_encoding_timesafe",
         "session_features",
         "asof_nearest",
+        "multi_future_features",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -646,3 +646,29 @@ def test_expanding_agg_chunked_matches_plain(spark, corpus, include_current):
                             broadcast_carry=False).select(*cols)
     assert plain.exceptAll(chunked).count() == 0
     assert chunked.exceptAll(plain).count() == 0
+
+
+def test_multi_range_agg_forward_matches_future_agg(spark, corpus):
+    from towhee_spark.plans import assert_max_exchanges
+    from towhee_spark.temporal import future_agg, multi_range_agg
+
+    _, sdf = corpus
+    spine = sdf.where(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts")
+    aggs = {"n": ("count", "*"), "s": ("sum", "tlen")}
+    multi = multi_range_agg(
+        spine, sdf, windows={"a": 300.0, "b": 1200.0}, aggs=aggs,
+        direction="forward")
+    for suffix, w in (("a", 300.0), ("b", 1200.0)):
+        single = future_agg(spine, sdf, horizon_seconds=w, aggs=aggs) \
+            .select("conv_id", "turn_idx", "n", "s")
+        m = multi.select("conv_id", "turn_idx",
+                         F.col(f"n_{suffix}").alias("n"),
+                         F.col(f"s_{suffix}").alias("s"))
+        assert m.exceptAll(single).count() == 0
+        assert single.exceptAll(m).count() == 0
+    assert_max_exchanges(multi, 1)
+    import pytest as pt
+    with pt.raises(ValueError, match="direction"):
+        multi_range_agg(spine, sdf, windows={"a": 300.0}, aggs=aggs,
+                        direction="sideways")

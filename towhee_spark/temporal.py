@@ -1058,6 +1058,7 @@ def multi_range_agg(
     aggs: dict | None = None,
     include_current: bool = False,
     spine_ts: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Multi-horizon trailing aggregates in ONE exchange: for every spine
     row, each agg from ``aggs`` over each trailing window from ``windows``
@@ -1080,6 +1081,10 @@ def multi_range_agg(
     window-impl rule). Float sums inherit one deterministic accumulation
     order but still differ from other engines' orders at ~1e-13 — gate
     float sums through integers or ROUND (repo float-parity rule).
+
+    ``direction="forward"`` flips every frame to :func:`future_agg`'s
+    ``(t, t+h]`` — multi-horizon LABELS ("converted within 1 h / 24 h /
+    7 d") in the same single exchange.
 
     Reference parity: Towhee's `time_window` (towhee/runtime/nodes/
     _window.py) aggregates one fixed window per node; a user stacks nodes
@@ -1112,8 +1117,12 @@ def multi_range_agg(
                 f"multi_range_agg needs a temporal ts column on the {side} "
                 "side (exact µs frame bounds); for numeric ts run "
                 "range_agg(impl='prefix') per window")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"multi_range_agg: unknown direction {direction!r}")
     return _range_agg_window(
-        spine, events, keys, ts, s_ts, wins, specs, include_current)
+        spine, events, keys, ts, s_ts, wins, specs, include_current,
+        direction=direction)
 
 
 def future_agg(
