@@ -65,6 +65,18 @@ def q_asof_forward(spark, sf_dir):
     return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
 
 
+def q_ecdf(spark, sf_dir):
+    # quantile normalization (features.ecdf_transform): ECDF from a
+    # frozen-value histogram + running sum over the TINY distinct-value
+    # table (never a global data window), broadcast join back; exact-
+    # integer cum_le / n with one ROUND-6 division.
+    from towhee_spark.functions import features as fe  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    out = fe.ecdf_transform(ev, "value")
+    return out.select("event_id", "ecdf")
+
+
 def q_multi_future_features(spark, sf_dir):
     # multi-horizon LABELS in one exchange (multi_range_agg direction=
     # 'forward'): the future_features question at 10 min AND 1 h, every
@@ -2538,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": q_session_features,
         "asof_nearest": q_asof_nearest,
         "multi_future_features": q_multi_future_features,
+        "ecdf_features": q_ecdf,
     }
 
 
@@ -3005,6 +3018,26 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,
+        # ECDF quantile normalization: distinct-frozen-value histogram +
+        # running sum, one ROUND-6 division of exact integers
+        "ecdf_features": """
+            WITH b AS (
+                SELECT event_id,
+                       CAST(ROUND(value * 1048576, 0) AS BIGINT) AS xf
+                FROM events
+            ),
+            c AS (SELECT xf, COUNT(*) AS n FROM b
+                  WHERE xf IS NOT NULL GROUP BY 1),
+            cum AS (SELECT xf, CAST(SUM(n) OVER (
+                        ORDER BY xf ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                        AS cle
+                    FROM c),
+            g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn FROM c)
+            SELECT b.event_id,
+                   CASE WHEN b.xf IS NOT NULL
+                        THEN ROUND(CAST(cum.cle AS DOUBLE)
+                                   / CAST(g.gn AS DOUBLE), 6) END AS ecdf
+            FROM b LEFT JOIN cum ON b.xf = cum.xf CROSS JOIN g""",
         # multi-horizon forward labels: widest-band forward LEFT range
         # join + CASE-gated conditional aggregates for the narrow horizon
         "multi_future_features": f"""{_CTE}

@@ -308,6 +308,7 @@ def main() -> None:
         "session_features",
         "asof_nearest",
         "multi_future_features",
+        "ecdf_features",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -407,3 +407,33 @@ def test_target_encode_timesafe_chunked_and_validation(spark):
     assert chunked.exceptAll(plain).count() == 0
     with pytest.raises(ValueError, match="smoothing"):
         fe.target_encode_timesafe(df, "cat", "y", smoothing=-1)
+
+
+# -------------------------------------------------------------- ecdf_transform
+
+
+def test_ecdf_transform_matches_scipy_style_ecdf(spark):
+    from towhee_spark.functions import features as fe
+
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0, None]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v double")
+    out = {r["i"]: r["ecdf"] for r in fe.ecdf_transform(df, "v").collect()}
+    nn = [v for v in vals if v is not None]
+    n = len(nn)
+    for i, v in enumerate(vals):
+        if v is None:
+            assert out[i] is None
+        else:
+            assert out[i] == round(sum(1 for x in nn if x <= v) / n, 6)
+    # ties share a rank; max maps to 1.0
+    assert out[1] == out[2] and out[4] == 1.0
+    # shuffled-stats path identical
+    big = spark.range(5000).select(
+        F.col("id").alias("i"), (F.col("id") % 97).cast("double").alias("v"))
+    a = fe.ecdf_transform(big, "v").select("i", "ecdf")
+    b = fe.ecdf_transform(big, "v", broadcast_stats=False).select("i", "ecdf")
+    assert a.exceptAll(b).count() == 0
+    import pytest
+    with pytest.raises(ValueError, match="bits"):
+        fe.ecdf_transform(df, "v", bits=0)

@@ -713,3 +713,62 @@ def target_encode_timesafe(
     te = F.when((n + F.lit(m)) > 0, _ratio6(num, den))
     return j.withColumn(out_col, te).drop(
         "__te_lf", "__te_n", "__te_s", "__gn", "__gs")
+
+
+def ecdf_transform(
+    df: DataFrame,
+    value: str = "value",
+    out_col: str = "ecdf",
+    bits: int = 20,
+    broadcast_stats: bool | None = True,
+) -> DataFrame:
+    """Quantile (rank) normalization: map each value to its empirical CDF
+    ``P(X <= x)`` over the corpus — the transform that makes any feature
+    distribution uniform on (0, 1] for rank-based models and
+    drift-robust scaling. NULL values map to NULL.
+
+    Distributed shape: the naive formulation (a global ``percent_rank``
+    window) sorts the whole corpus on ONE task — a scale-killer. Here
+    values freeze ONCE to ``ROUND(x·2^bits)`` BIGINTs, the ECDF table is
+    a hash aggregate per DISTINCT frozen value + a running sum over that
+    tiny table, and the apply is one equi-join back on the frozen value
+    (broadcast by default; ``broadcast_stats=False`` for a shuffled
+    join, None for AQE). Pick ``bits`` so the table stays bounded — it
+    has one row per distinct frozen value (2-decimal corpora: ≤
+    range·100 rows at bits=20; truly continuous data: lower bits, the
+    drift_psi binning posture). ``ecdf`` is exact-integer
+    ``cum_le / n`` with the repo's single ROUND-6 division; ties share
+    the frozen bucket, so equal values always get equal ranks."""
+    if not 1 <= bits <= 40:
+        raise ValueError("ecdf_transform: bits must be in [1, 40]")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    scale = 1 << bits
+    xf = F.round(F.col(value).cast("double") * F.lit(scale), 0).cast("long")
+    d = df.withColumn("__e_xf", xf)
+    counts = (
+        d.filter(F.col("__e_xf").isNotNull())
+        .groupBy("__e_xf").agg(F.count(F.lit(1)).alias("__e_n"))
+    )
+    w = Window.orderBy("__e_xf").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        "__e_xf", F.sum("__e_n").over(w).cast("long").alias("__e_cle"))
+    g = counts.agg(F.sum("__e_n").cast("long").alias("__e_gn"))
+    side = cum
+    if broadcast_stats is True:
+        side = F.broadcast(cum)
+    elif broadcast_stats is False:
+        side = cum.hint("shuffle_merge")
+    out = (
+        d.join(side, "__e_xf", "left")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__e_xf").isNotNull(),
+                _ratio6(F.col("__e_cle"), F.col("__e_gn"))),
+        )
+        .drop("__e_xf", "__e_cle", "__e_gn")
+    )
+    return out.select(*df.columns, out_col)
