@@ -65,6 +65,18 @@ def q_asof_forward(spark, sf_dir):
     return j.select("conv_id", "turn_idx", "ctx_score", "ctx_label")
 
 
+def q_join_coverage(spark, sf_dir):
+    # join-key coverage report (layout.join_coverage): all events vs the
+    # purchase subset on user_id — left_match_rate = share of events
+    # whose user ever purchased; right side is a subset so its rate is
+    # 1.0 (both branches carried). Exact counts, ROUND-6 rates.
+    from towhee_spark import layout  # noqa: PLC0415
+
+    ev = load_events(spark, sf_dir)
+    pur = ev.where(F.col("event_type") == "purchase")
+    return layout.join_coverage(ev, pur, on="user_id")
+
+
 def q_ecdf(spark, sf_dir):
     # quantile normalization (features.ecdf_transform): ECDF from a
     # frozen-value histogram + running sum over the TINY distinct-value
@@ -2551,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "multi_future_features": q_multi_future_features,
         "ecdf_features": q_ecdf,
+        "join_coverage": q_join_coverage,
     }
 
 
@@ -3018,6 +3031,41 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,
+        # join coverage: distinct-key left joins + flag sums on both
+        # sides, exact counts, single ROUND-6 divisions
+        "join_coverage": """
+            WITH dkr AS (SELECT DISTINCT user_id FROM events
+                         WHERE event_type = 'purchase'),
+            dkl AS (SELECT DISTINCT user_id FROM events),
+            l AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_left,
+                       CAST(SUM(CASE WHEN d.user_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_left_matched,
+                       CAST(SUM(CASE WHEN e.user_id IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_left_null_key
+                FROM events e LEFT JOIN dkr d ON e.user_id = d.user_id
+            ),
+            r AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_right,
+                       CAST(SUM(CASE WHEN d.user_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_right_matched,
+                       CAST(SUM(CASE WHEN p.user_id IS NULL
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_right_null_key
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                LEFT JOIN dkl d ON p.user_id = d.user_id
+            )
+            SELECT n_left, n_right, n_left_matched,
+                   ROUND(CAST(n_left_matched AS DOUBLE)
+                         / CAST(n_left AS DOUBLE), 6) AS left_match_rate,
+                   n_right_matched,
+                   ROUND(CAST(n_right_matched AS DOUBLE)
+                         / CAST(n_right AS DOUBLE), 6) AS right_match_rate,
+                   n_left_null_key, n_right_null_key
+            FROM l, r""",
         # ECDF quantile normalization: distinct-frozen-value histogram +
         # running sum, one ROUND-6 division of exact integers
         "ecdf_features": """

@@ -309,6 +309,7 @@ def main() -> None:
         "asof_nearest",
         "multi_future_features",
         "ecdf_features",
+        "join_coverage",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -415,3 +415,26 @@ def test_skew_report_counts_shares_and_nulls(spark):
         skew_report(df, [])
     with pytest.raises(ValueError, match="k must"):
         skew_report(df, ["k"], k=0)
+
+
+def test_join_coverage_hand_computed(spark):
+    from towhee_spark.layout import join_coverage
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (3, "d"), (None, "e")],
+        "k long, x string")
+    right = spark.createDataFrame(
+        [(2, "r1"), (2, "r2"), (9, "r3"), (None, "r4")], "k long, y string")
+    r = join_coverage(left, right, on="k").collect()[0]
+    assert (r["n_left"], r["n_right"]) == (5, 4)
+    assert r["n_left_matched"] == 2          # the two k=2 rows
+    assert r["left_match_rate"] == 0.4
+    assert r["n_right_matched"] == 2         # r1, r2 (k=9 and NULL miss)
+    assert r["right_match_rate"] == 0.5
+    assert (r["n_left_null_key"], r["n_right_null_key"]) == (1, 1)
+    # multi-key + broadcast hint path
+    l2 = left.withColumn("k2", F.lit(1))
+    r2 = right.withColumn("k2", F.lit(1))
+    r = join_coverage(l2, r2, on=["k", "k2"],
+                      broadcast_keys=True).collect()[0]
+    assert r["n_left_matched"] == 2

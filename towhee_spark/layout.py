@@ -379,3 +379,65 @@ def skew_report(
             "total", "n_distinct", "rank",
         )
     )
+
+
+def join_coverage(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    broadcast_keys: bool | None = None,
+) -> DataFrame:
+    """Join-key coverage diagnostic — the ONE-ROW report to read before
+    committing to a join: ``(n_left, n_right, n_left_matched,
+    left_match_rate, n_right_matched, right_match_rate, n_left_null_key,
+    n_right_null_key)``. Low match rates flag key-domain drift (string
+    vs int ids, zero-padded codes); null-key counts flag the rows an
+    inner join silently drops.
+
+    Plan: each side joins the OTHER side's distinct-key frame (left_semi
+    would lose the unmatched count, so it's a left join on distinct keys
+    + a flag sum), then two 1-row aggregates cross-join into the report.
+    Distinct-key frames are one hash agg each; ``broadcast_keys`` hints
+    the key-frame side of each join (None = AQE decides — right when
+    one side's key domain is huge). A NULL in any key column never
+    matches (SQL join semantics) and is tallied separately. Rates are
+    the repo's single ROUND-6 exact-integer division."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def _null_any(df):
+        cond = F.lit(False)
+        for k in keys:
+            cond = cond | F.col(k).isNull()
+        return cond
+
+    def _side(df, other, n_name, m_name, null_name):
+        dk = other.select(*keys).distinct().withColumn("__jc_hit", F.lit(1))
+        if broadcast_keys is True:
+            dk = F.broadcast(dk)
+        elif broadcast_keys is False:
+            dk = dk.hint("shuffle_merge")
+        j = df.join(dk, keys, "left")
+        return j.agg(
+            F.count(F.lit(1)).cast("long").alias(n_name),
+            F.coalesce(F.sum("__jc_hit"), F.lit(0)).cast("long")
+            .alias(m_name),
+            F.sum(_null_any(df).cast("long")).cast("long").alias(null_name),
+        )
+    l_stats = _side(left, right, "n_left", "n_left_matched",
+                    "n_left_null_key")
+    r_stats = _side(right, left, "n_right", "n_right_matched",
+                    "n_right_null_key")
+    return (
+        l_stats.crossJoin(F.broadcast(r_stats))
+        .select(
+            "n_left", "n_right", "n_left_matched",
+            F.round(F.col("n_left_matched").cast("double")
+                    / F.col("n_left").cast("double"), 6)
+            .alias("left_match_rate"),
+            "n_right_matched",
+            F.round(F.col("n_right_matched").cast("double")
+                    / F.col("n_right").cast("double"), 6)
+            .alias("right_match_rate"),
+            "n_left_null_key", "n_right_null_key",
+        )
+    )
