@@ -720,3 +720,11 @@ def test_stratified_sample_validation(spark):
         curation.stratified_sample(df, -5, "lang")
     with pytest.raises(ValueError, match="chunk_bits"):
         curation.stratified_sample(df, 5, "lang", chunk_bits=0)
+
+
+def test_stratified_sample_rank_col_collision_raises(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"),
+                                F.lit("x").alias("lang"),
+                                F.lit(0).alias("rank"))
+    with pytest.raises(ValueError, match="rank_col"):
+        curation.stratified_sample(df, 5, "lang", rank_col="rank")

@@ -438,3 +438,15 @@ def test_join_coverage_hand_computed(spark):
     r = join_coverage(l2, r2, on=["k", "k2"],
                       broadcast_keys=True).collect()[0]
     assert r["n_left_matched"] == 2
+
+
+def test_join_coverage_empty_side_reports_instead_of_crashing(spark):
+    from towhee_spark.layout import join_coverage
+
+    left = spark.createDataFrame([(1, "a")], "k long, x string")
+    empty = spark.createDataFrame([], "k long, y string")
+    r = join_coverage(empty, left, on="k").collect()[0]
+    assert (r["n_left"], r["left_match_rate"]) == (0, None)
+    assert r["n_right"] == 1 and r["right_match_rate"] == 0.0
+    r2 = join_coverage(left, empty, on="k").collect()[0]
+    assert r2["n_right"] == 0 and r2["right_match_rate"] is None

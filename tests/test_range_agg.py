@@ -672,3 +672,42 @@ def test_multi_range_agg_forward_matches_future_agg(spark, corpus):
     with pt.raises(ValueError, match="direction"):
         multi_range_agg(spine, sdf, windows={"a": 300.0}, aggs=aggs,
                         direction="sideways")
+
+
+def test_null_ts_rows_empty_history_everywhere(spark):
+    """Code-review regression: NULL-ts rows share a window peer group —
+    every range-family op must give them an EMPTY result and keep them
+    out of all baselines, on plain AND chunked paths."""
+    import datetime as dt
+
+    from towhee_spark.temporal import (
+        expanding_agg, future_agg, range_quantile, range_zscore)
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    rows = [("u", 0, None, 100.0), ("u", 1, base, 5.0),
+            ("u", 2, base + s, 7.0), ("u", 3, None, 50.0)]
+    df = spark.createDataFrame(
+        rows, "k string, i int, ts timestamp, v double")
+    aggs = {"n": ("count", "*"), "s": ("sum", "v"), "mx": ("max", "v")}
+    for chunk in (None, 3600.0):
+        out = {r["i"]: (r["n"], r["s"], r["mx"]) for r in expanding_agg(
+            df, on="k", ts="ts", aggs=aggs, chunk_seconds=chunk).collect()}
+        assert out[0] == (0, None, None), chunk   # empty history, no self
+        assert out[3] == (0, None, None), chunk
+        assert out[1] == (0, None, None), chunk   # 100.0 never leaks in
+        assert out[2] == (1, 5.0, 5.0), chunk
+    fa = {r["i"]: (r["n"], r["s"]) for r in future_agg(
+        df, df, on="k", ts="ts", horizon_seconds=3600.0,
+        aggs={"n": ("count", "*"), "s": ("sum", "v")}).collect()}
+    assert fa[0] == (0, None) and fa[3] == (0, None)
+    assert fa[1] == (1, 7.0)                       # NULL-ts events excluded
+    rq = {r["i"]: r["quantile"] for r in range_quantile(
+        df, df, on="k", ts="ts", window_seconds=3600.0, value="v",
+        qs=0.5).collect()}
+    assert rq[0] is None and rq[3] is None and rq[2] == 5.0
+    zs = {r["i"]: (r["z_n"], r["z"]) for r in range_zscore(
+        df, on="k", ts="ts", value="v", window_seconds=3600.0,
+        min_n=1).collect()}
+    assert zs[0] == (0, None) and zs[3] == (0, None)
+    assert zs[2][0] == 1

@@ -845,6 +845,10 @@ def stratified_sample(
             raise ValueError("stratified_sample: default_quota must be >= 0")
         quota_col = F.lit(int(default_quota)) if q is None \
             else q.otherwise(F.lit(int(default_quota)))
+    if rank_col is not None and rank_col in df.columns:
+        raise ValueError(
+            f"stratified_sample: rank_col {rank_col!r} already exists — "
+            "rename it (the asof_join suffix-clash convention)")
     out = df.withColumn("__ss_h", hash60(id_col, salt))
     if chunk_bits is None:
         w = Window.partitionBy(strata_col).orderBy("__ss_h", id_col)

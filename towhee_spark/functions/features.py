@@ -755,13 +755,10 @@ def ecdf_transform(
     cum = counts.select(
         "__e_xf", F.sum("__e_n").over(w).cast("long").alias("__e_cle"))
     g = counts.agg(F.sum("__e_n").cast("long").alias("__e_gn"))
-    side = cum
-    if broadcast_stats is True:
-        side = F.broadcast(cum)
-    elif broadcast_stats is False:
-        side = cum.hint("shuffle_merge")
+    from towhee_spark.temporal import carry_join  # noqa: PLC0415
+
     out = (
-        d.join(side, "__e_xf", "left")
+        carry_join(d, cum, ["__e_xf"], broadcast=broadcast_stats)
         .crossJoin(F.broadcast(g))
         .withColumn(
             out_col,

@@ -411,12 +411,10 @@ def join_coverage(
         return cond
 
     def _side(df, other, n_name, m_name, null_name):
+        from towhee_spark.temporal import carry_join  # noqa: PLC0415
+
         dk = other.select(*keys).distinct().withColumn("__jc_hit", F.lit(1))
-        if broadcast_keys is True:
-            dk = F.broadcast(dk)
-        elif broadcast_keys is False:
-            dk = dk.hint("shuffle_merge")
-        j = df.join(dk, keys, "left")
+        j = carry_join(df, dk, keys, broadcast=broadcast_keys)
         return j.agg(
             F.count(F.lit(1)).cast("long").alias(n_name),
             F.coalesce(F.sum("__jc_hit"), F.lit(0)).cast("long")
@@ -431,12 +429,17 @@ def join_coverage(
         l_stats.crossJoin(F.broadcast(r_stats))
         .select(
             "n_left", "n_right", "n_left_matched",
-            F.round(F.col("n_left_matched").cast("double")
-                    / F.col("n_left").cast("double"), 6)
+            F.when(  # an EMPTY side is the pathology this report exists
+                # to surface — report NULL rate, never DIVIDE_BY_ZERO
+                F.col("n_left") > 0,
+                F.round(F.col("n_left_matched").cast("double")
+                        / F.col("n_left").cast("double"), 6))
             .alias("left_match_rate"),
             "n_right_matched",
-            F.round(F.col("n_right_matched").cast("double")
-                    / F.col("n_right").cast("double"), 6)
+            F.when(
+                F.col("n_right") > 0,
+                F.round(F.col("n_right_matched").cast("double")
+                        / F.col("n_right").cast("double"), 6))
             .alias("right_match_rate"),
             "n_left_null_key", "n_right_null_key",
         )

@@ -1281,7 +1281,8 @@ def range_quantile(
         *keys, epoch_us(ts).alias("__rq_t"), F.lit(0).alias("__rq_s"),
         *[F.lit(None).cast(spine.schema[c].dataType).alias(c)
           for c in spine.columns if c not in keys],
-        F.col(value).alias("__rq_v"))
+        F.when(F.col(ts).isNotNull(), F.col(value)).alias("__rq_v"),
+    )
     sp_cols = [c for c in spine.columns if c not in keys]
     sp_wide = spine.select(
         *keys, epoch_us(s_ts).alias("__rq_t"), F.lit(1).alias("__rq_s"),
@@ -1320,7 +1321,11 @@ def _range_agg_window(spine, events, keys, ts, s_ts, w, specs,
     vals = []
     for i, (_, fn, col) in enumerate(specs):
         src = F.lit(1) if col is None else F.col(col)
-        vals.append(src.alias(f"__ra_v{i}"))
+        # NULL-ts rows form their own window peer group (they never enter
+        # valid rows' range frames, but they see EACH OTHER) — null their
+        # contributions so a NULL-ts spine row reports an empty window,
+        # matching the SQL oracles' epoch_us band (NULL never qualifies)
+        vals.append(F.when(F.col(ts).isNotNull(), src).alias(f"__ra_v{i}"))
     ev = events.select(
         *[F.col(k) for k in keys], epoch_us(ts).alias("__ra_t"),
         F.lit(0).alias("__ra_s"), *vals)
@@ -1373,15 +1378,20 @@ def _range_agg_prefix(spine, events, keys, ts, s_ts, w, specs,
     # per-event contributions: for every agg a value sum and a non-null
     # count (the count recovers SQL NULL-on-empty and builds avg)
     contrib = []
+    has_ts = F.col(ts).isNotNull()  # NULL-ts events never qualify (oracle band)
     for i, (_, fn, col) in enumerate(specs):
         if col is None:
-            cnt = F.lit(1).cast("long")
+            cnt = F.when(has_ts, F.lit(1).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
             val = F.lit(0).cast("long")
         else:
-            cnt = F.when(F.col(col).isNotNull(), F.lit(1).cast("long")) \
+            cnt = F.when(has_ts & F.col(col).isNotNull(),
+                         F.lit(1).cast("long")) \
                 .otherwise(F.lit(0).cast("long"))
             val = F.coalesce(F.col(col).cast("double"), F.lit(0.0)) \
                 if fn == "avg" else F.coalesce(F.col(col), F.lit(0))
+            val = F.when(has_ts, val).otherwise(
+                F.lit(0.0) if fn == "avg" else F.lit(0))
         contrib.append(cnt.alias(f"__ra_c{i}"))
         contrib.append(val.alias(f"__ra_x{i}"))
 
@@ -2395,7 +2405,10 @@ def range_zscore(
     dec = "decimal(38,0)"
     scale = 1 << bits
     xf = F.round(F.col(value).cast("double") * F.lit(scale), 0).cast("long")
-    d = df.withColumn("__zs_xf", xf).withColumn("__zs_t", epoch_us(ts))
+    # NULL-ts rows sit in their own window peer group: null their frozen
+    # value so they score NULL and never enter any baseline
+    d = df.withColumn("__zs_t", epoch_us(ts)) \
+        .withColumn("__zs_xf", F.when(F.col("__zs_t").isNotNull(), xf))
     hi = 0 if include_current else -1
     frame = (
         Window.partitionBy(*keys).orderBy("__zs_t")
@@ -2439,8 +2452,7 @@ def expanding_agg(
     closes it). ``aggs`` is range_agg's contract; empty history yields
     count 0 and NULL elsewhere. Ties (equal µs) are OUT under the strict
     bound and IN under ``include_current`` — value-range frames, so tied
-    rows always agree. NULL-ts rows sort first (empty history) —
-    filter them if that's wrong for the use case.
+    rows always agree.
 
     Hot-key path (``chunk_seconds=``): an expanding aggregate needs NO
     inverse, so unlike range_agg's prefix sweep the chunked carry is
@@ -2452,7 +2464,8 @@ def expanding_agg(
 
     Plan: one key exchange + one WindowExec (chunked: (key, chunk)
     exchange + tiny carry agg). Temporal ts only — the strict bound
-    needs an exact −1 µs frame offset."""
+    needs an exact −1 µs frame offset. NULL-ts rows report an empty
+    history (count 0, NULL aggregates) and never enter any baseline."""
     from pyspark.sql import types as T  # noqa: PLC0415
 
     if not aggs:
@@ -2466,7 +2479,12 @@ def expanding_agg(
     d = df.withColumn("__xa_t", epoch_us(ts))
 
     def _src(col):
-        return F.lit(1) if col is None else F.col(col)
+        base = F.lit(1) if col is None else F.col(col)
+        # NULL-ts rows share a window peer group: null their contributions
+        # so they report an EMPTY history (count 0 / NULL aggregates) and
+        # never enter any baseline — identical on the chunked path, whose
+        # NULL chunk then carries nothing
+        return F.when(F.col("__xa_t").isNotNull(), base)
 
     if chunk_seconds is None:
         frame = (
@@ -2528,7 +2546,9 @@ def expanding_agg(
         tag = need[(fn, col)]
         lc, cc = F.col(f"{tag}_loc"), F.col(f"{tag}_car")
         if fn == "count":
-            return (lc + cc).cast("long")
+            # NULL-ts rows live in a NULL chunk, which a join on the chunk
+            # key can never match — their carry is NULL, not 0
+            return (lc + F.coalesce(cc, F.lit(0))).cast("long")
         if fn == "sum":
             return F.when(
                 lc.isNotNull() | cc.isNotNull(),
