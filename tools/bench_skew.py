@@ -132,6 +132,29 @@ def main() -> None:
     res["bf_window_sec"] = timed(lambda: force(bfill(corpus, ["tool"])))
     res["bf_chunked_sec"] = timed(
         lambda: force(bfill_chunked(corpus, ["tool"], chunk_seconds=3600.0)))
+    # expanding lifetime aggregates: bare-key range window vs chunked carry
+    # (min/max carry is legal for expanding frames — session-3)
+    from towhee_spark.temporal import expanding_agg
+
+    xa_aggs = {"n": ("count", "*"), "mx": ("max", "turn_idx")}
+    res["xa_window_sec"] = timed(lambda: force(expanding_agg(
+        corpus, on="conv_id", ts="ts", aggs=xa_aggs)))
+    res["xa_chunked_sec"] = timed(lambda: force(expanding_agg(
+        corpus, on="conv_id", ts="ts", aggs=xa_aggs, chunk_seconds=3600.0)))
+
+    # exact-quota stratified sampling: every role stratum holds ~25% of the
+    # corpus — the bare row_number serializes each onto one task; the
+    # hash-bucket chunked rank fans each stratum 2^6 ways
+    from towhee_spark.functions.curation import stratified_sample
+
+    sid = corpus.withColumn(
+        "sid", F.concat_ws("#", F.col("conv_id"),
+                           F.col("turn_idx").cast("string")))
+    res["ss_window_sec"] = timed(lambda: force(stratified_sample(
+        sid, 50_000, "role", id_col="sid")))
+    res["ss_chunked_sec"] = timed(lambda: force(stratified_sample(
+        sid, 50_000, "role", id_col="sid", chunk_bits=6)))
+
     res["locf_speedup"] = round(res["locf_window_sec"] / res["locf_chunked_sec"], 2)
     res["asof_speedup"] = round(res["asof_window_sec"] / res["asof_chunked_sec"], 2)
     res["tw_speedup"] = round(res["tw_exact_window_sec"] / res["tw_exact_chunked_sec"], 2)
@@ -139,6 +162,8 @@ def main() -> None:
     res["sess_speedup"] = round(res["sess_window_sec"] / res["sess_chunked_sec"], 2)
     res["ll_speedup"] = round(res["ll_window_sec"] / res["ll_chunked_sec"], 2)
     res["bf_speedup"] = round(res["bf_window_sec"] / res["bf_chunked_sec"], 2)
+    res["xa_speedup"] = round(res["xa_window_sec"] / res["xa_chunked_sec"], 2)
+    res["ss_speedup"] = round(res["ss_window_sec"] / res["ss_chunked_sec"], 2)
     print(json.dumps(res))
 
 
