@@ -77,6 +77,22 @@ def q_join_coverage(spark, sf_dir):
     return layout.join_coverage(ev, pur, on="user_id")
 
 
+def q_rows_features(spark, sf_dir):
+    # last-N-events trailing aggregates (temporal.rows_agg): count/exact
+    # frozen sum/max over each event's previous 5 same-user rows, total
+    # order (ts, event_id). Oracle = independent rank-range self join.
+    ev = load_events(spark, sf_dir)
+    ev = ev.withColumn(
+        "xf", F.round(F.col("value").cast("double") * F.lit(1 << 20), 0)
+        .cast("long"))
+    out = temporal.rows_agg(
+        ev, on="user_id", ts="ts", n=5,
+        aggs={"n_last5": ("count", "*"), "sum_xf5": ("sum", "xf"),
+              "max_v5": ("max", "value")},
+        order_extra=("event_id",))
+    return out.select("event_id", "n_last5", "sum_xf5", "max_v5")
+
+
 def q_ecdf(spark, sf_dir):
     # quantile normalization (features.ecdf_transform): ECDF from a
     # frozen-value histogram + running sum over the TINY distinct-value
@@ -2564,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_future_features": q_multi_future_features,
         "ecdf_features": q_ecdf,
         "join_coverage": q_join_coverage,
+        "rows_features": q_rows_features,
     }
 
 
@@ -3031,6 +3048,24 @@ def _oracle_sql() -> dict[str, str]:
              AND epoch_us(e.ts) <  epoch_us(s.ts)
             GROUP BY s.conv_id, s.turn_idx
         """,
+        # last-N-events aggregates: independent rank-range self join on
+        # the same (ts, event_id) total order
+        "rows_features": """
+            WITH b AS (
+                SELECT event_id, user_id, value,
+                       CAST(ROUND(value * 1048576, 0) AS BIGINT) AS xf,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT s.event_id,
+                   CAST(COUNT(e.rn) AS BIGINT) AS n_last5,
+                   CAST(SUM(e.xf) AS BIGINT)   AS sum_xf5,
+                   MAX(e.value)                AS max_v5
+            FROM b s LEFT JOIN b e
+              ON e.user_id = s.user_id
+             AND e.rn BETWEEN s.rn - 5 AND s.rn - 1
+            GROUP BY 1""",
         # join coverage: distinct-key left joins + flag sums on both
         # sides, exact counts, single ROUND-6 divisions
         "join_coverage": """

@@ -310,6 +310,7 @@ def main() -> None:
         "multi_future_features",
         "ecdf_features",
         "join_coverage",
+        "rows_features",
     ]:
         timed_df(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -711,3 +711,36 @@ def test_null_ts_rows_empty_history_everywhere(spark):
         min_n=1).collect()}
     assert zs[0] == (0, None) and zs[3] == (0, None)
     assert zs[2][0] == 1
+
+
+# ---------------------------------------------------------------- rows_agg
+
+
+def test_rows_agg_hand_computed_and_plan(spark):
+    import datetime as dt
+
+    from towhee_spark.plans import assert_max_exchanges
+    from towhee_spark.temporal import rows_agg
+
+    base = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=60)
+    rows = [("u", i, base + i * s, float(v))
+            for i, v in enumerate([1, 2, 4, 8, 16])]
+    df = spark.createDataFrame(rows, "k string, i int, ts timestamp, v double")
+    out = {r["i"]: (r["n"], r["s"], r["a"]) for r in rows_agg(
+        df, on="k", ts="ts", n=2,
+        aggs={"n": ("count", "*"), "s": ("sum", "v"), "a": ("avg", "v")},
+        order_extra=("i",)).collect()}
+    assert out[0] == (0, None, None)
+    assert out[1] == (1, 1.0, 1.0)
+    assert out[4] == (2, 12.0, 6.0)        # last 2 of [1,2,4,8] = 4+8
+    inc = {r["i"]: r["s"] for r in rows_agg(
+        df, on="k", ts="ts", n=2, aggs={"s": ("sum", "v")},
+        include_current=True, order_extra=("i",)).collect()}
+    assert inc[4] == 28.0                  # 4+8+16
+    plan = rows_agg(df, on="k", ts="ts", n=2, aggs={"n": ("count", "*")})
+    assert_max_exchanges(plan, 1)
+    with pytest.raises(ValueError, match="n must"):
+        rows_agg(df, n=0, aggs={"n": ("count", "*")})
+    with pytest.raises(ValueError, match="aggs"):
+        rows_agg(df, on="k")

@@ -2615,3 +2615,57 @@ def session_features(
         .withColumn("session_start_us", start)
         .withColumn("us_into_session", t_us - start)
     )
+
+
+def rows_agg(
+    df: DataFrame,
+    on: str | Sequence[str] = "conv_id",
+    ts: str = "ts",
+    n: int = 10,
+    aggs: dict | None = None,
+    include_current: bool = False,
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing LAST-N-EVENTS aggregates: each row gains count / sum /
+    min / max / avg over its key's previous ``n`` rows — the count-based
+    twin of :func:`range_agg` ("mean of this user's last 10 purchase
+    amounts"), preferable when event cadence varies so a fixed time
+    window holds wildly different sample sizes. ``include_current=True``
+    closes the frame at the row itself (last n+1 incl. self).
+
+    Positional frames need a TOTAL order to be deterministic: rows are
+    ordered by ``(ts, *order_extra)`` — pass a unique tiebreaker (an id
+    column) whenever timestamps can collide, or tied rows may swap
+    between runs (the oracle convention; the gate orders by
+    (ts, event_id)). Fewer than ``n`` prior rows aggregate whatever
+    exists; zero prior rows give count 0 / NULL.
+
+    Plan: one key exchange + one WindowExec, all aggregates sharing the
+    ROWS frame. Mega-key note: a positional frame cannot value-chunk
+    (the last N spans chunk borders by up to N rows) — for a mega-key
+    either bound the history by TIME instead (range_agg's chunked
+    prefix) or pre-rank with :func:`chunked_row_number` and gather via
+    last_k_join's rank-bucket join."""
+    if n < 1:
+        raise ValueError("rows_agg: n must be >= 1")
+    if not aggs:
+        raise ValueError("rows_agg: aggs= is required (name -> (fn, col))")
+    specs = _range_specs(aggs)
+    keys = _as_list(on)
+    extras = [F.col(c) for c in order_extra]
+    hi = 0 if include_current else -1
+    frame = (
+        Window.partitionBy(*keys).orderBy(F.col(ts), *extras)
+        .rowsBetween(-n, hi))
+    out = df
+    for name, fn, col in specs:
+        src = F.lit(1) if col is None else F.col(col)
+        if fn == "count":
+            c = F.count(src).over(frame).cast("long")
+        elif fn == "avg":
+            cnt = F.count(src).over(frame)
+            c = F.when(cnt > 0, F.sum(src).over(frame) / cnt)
+        else:
+            c = getattr(F, fn)(src).over(frame)
+        out = out.withColumn(name, c)
+    return out
