@@ -564,7 +564,8 @@ def embedding_neardup_pairs(
 
     ``dim`` is required: the hyperplanes are plan constants, and inferring
     the width would trigger a hidden Spark job at plan-construction time."""
-    from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
+    from towhee_spark.kernels import (  # noqa: PLC0415
+        cosine_with_norms_expr, norm_expr)
     from towhee_spark.functions.similarity import _bucket_expr  # noqa: PLC0415
 
     if dim is None:
@@ -621,12 +622,17 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms hoisted per row onto the join inputs (norm_expr note): the
+    # candidate-bounded verify then folds only the dot per pair
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   norm_expr(F.col(vec_col)).alias("__na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   norm_expr(F.col(vec_col)).alias("__nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(cosine_with_norms_expr(
+            F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1205,19 +1211,26 @@ def semdedup(
         ivf_assign,
         ivf_train,
     )
-    from towhee_spark.kernels import cosine_expr  # noqa: PLC0415
+    from towhee_spark.kernels import (  # noqa: PLC0415
+        cosine_with_norms_expr, norm_expr)
 
     cents = centroids if centroids is not None else ivf_train(
         emb, id_col, vec_col, nlist)
-    assigned = ivf_assign(emb, cents, id_col, vec_col, impl).cache()
+    # the per-row norm rides the CACHED assignment so the per-cell
+    # quadratic cosine pays only the dot fold per pair (norm_expr note)
+    assigned = ivf_assign(emb, cents, id_col, vec_col, impl).withColumn(
+        "__nrm", norm_expr(F.col(vec_col))).cache()
     a = assigned.select(F.col(id_col).alias("__aid"),
-                        F.col(vec_col).alias("__av"), "cell")
+                        F.col(vec_col).alias("__av"),
+                        F.col("__nrm").alias("__an"), "cell")
     b = assigned.select(F.col(id_col).alias("__bid"),
-                        F.col(vec_col).alias("__bv"), "cell")
+                        F.col(vec_col).alias("__bv"),
+                        F.col("__nrm").alias("__bn"), "cell")
     close = (
         a.join(b, "cell")
         .where(F.col("__aid") < F.col("__bid"))
-        .where(F.round(cosine_expr(F.col("__av"), F.col("__bv")), 6)
+        .where(F.round(cosine_with_norms_expr(
+            F.col("__av"), F.col("__bv"), F.col("__an"), F.col("__bn")), 6)
                >= F.lit(float(threshold)))
     )
     dups = close.groupBy(F.col("__bid").alias(id_col)).agg(

@@ -19,7 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from towhee_spark.kernels import cosine_expr
+from towhee_spark.kernels import cosine_with_norms_expr, norm_expr  # noqa: F401
 
 
 def brute_force_topk(
@@ -55,13 +55,19 @@ def brute_force_topk(
     task ever sorts a query's whole index scan. (score desc, match_id asc)
     is a total order, so the result is identical to the one-window plan;
     shards=None restores it. For a shuffle-free scan, see scan_topk."""
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
-    ix = index.select(F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"))
+    # norms hoisted per row onto both join inputs (kernels.norm_expr):
+    # the cross join then folds only the dot per (query, match) pair
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
+                       norm_expr(F.col(q_vec)).alias("__qn"))
+    ix = index.select(F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
+                      norm_expr(F.col(i_vec)).alias("__in"))
     joined = ix.join(F.broadcast(q)) if broadcast_queries else q.join(F.broadcast(ix))
     scored = joined.select(
         "query_id",
         "match_id",
-        F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+        F.round(cosine_with_norms_expr(
+            F.col("__qv"), F.col("__iv"), F.col("__qn"), F.col("__in")),
+            6).alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))
@@ -207,10 +213,13 @@ def scan_topk(
     # cosine_expr brute_force_topk uses, so final scores/ranks are
     # bit-identical to the SQL-oracle ordering (ADVICE: a dot product
     # landing on a 1e-6 rounding boundary could otherwise flip a rank)
-    qside = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"))
+    qside = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
+                           norm_expr(F.col(q_vec)).alias("__qn"))
     rescored = pruned.join(F.broadcast(qside), "query_id").select(
         "query_id", "match_id",
-        F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+        F.round(cosine_with_norms_expr(
+            F.col("__qv"), F.col("__iv"), F.col("__qn"),
+            norm_expr(F.col("__iv"))), 6).alias("score"),
     )
     return _global_topk(rescored, k, shards=None)
 
@@ -300,15 +309,17 @@ def lsh_topk(
 
     ix = index.select(
         F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
+        norm_expr(F.col(i_vec)).alias("__in"),
         bucket_of(F.col(i_vec)).alias("bucket"),
     )
     q0 = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
+        norm_expr(F.col(q_vec)).alias("__qn"),
         bucket_of(F.col(q_vec)).alias("__b0"),
     )
     probe_offsets = [0] + [1 << p for p in range(min(probes - 1, planes))]
     q = q0.select(
-        "query_id", "__qv",
+        "query_id", "__qv", "__qn",
         F.explode(F.array(*[
             F.col("__b0").bitwiseXOR(F.lit(off)) for off in probe_offsets
         ])).alias("bucket"),
@@ -317,7 +328,9 @@ def lsh_topk(
         ix.join(q, "bucket")
         .select(
             "query_id", "match_id",
-            F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+            F.round(cosine_with_norms_expr(
+                F.col("__qv"), F.col("__iv"), F.col("__qn"), F.col("__in")),
+                6).alias("score"),
         )
         .dropDuplicates(["query_id", "match_id"])
     )
@@ -418,17 +431,30 @@ def ivf_train(
 
 
 def _ivf_cells_of(cents: list[tuple], impl: str, id_type):
-    """(vector Column, n) → array<struct<d, c>> of the n best cells by
-    (ROUND(cos,6) DESC, cid ASC) — shared by ivf_assign and ivf_topk."""
+    """(vector Column, n[, vn]) → array<struct<d, c>> of the n best cells
+    by (ROUND(cos,6) DESC, cid ASC) — shared by ivf_assign and ivf_topk.
+
+    expr path float discipline: each centroid's norm is replayed in
+    Python (kernels.py_norm — the identical double left-fold over the
+    identical literal values) and inlined as ONE double literal, and the
+    row vector's norm can be hoisted to a column via ``vn`` — so the
+    per-(row, centroid) interpreted work is the dot fold only, not
+    dot + two norm folds. Values are bit-identical to the bare
+    cosine_expr form."""
     if impl == "expr":
-        def cells_of(vc, n):
+        from towhee_spark.kernels import py_norm  # noqa: PLC0415
+
+        def cells_of(vc, n, vn=None):
+            rn = vn if vn is not None else norm_expr(vc)
             # array< struct(1-cos6, cid) > sorted asc == (cos desc, cid asc);
             # 1-x keeps the sort key non-negative (no -0.0 edge) and is
             # order-equivalent to DESC on x (IEEE: monotone, tie-preserving)
             entries = [
                 F.struct(
                     (F.lit(1.0) - F.round(
-                        cosine_expr(vc, F.array(*[F.lit(float(x)) for x in cv])),
+                        cosine_with_norms_expr(
+                            vc, F.array(*[F.lit(float(x)) for x in cv]),
+                            rn, F.lit(py_norm(cv))),
                         6)).alias("d"),
                     F.lit(cid).alias("c"),
                 )
@@ -446,7 +472,7 @@ def _ivf_cells_of(cents: list[tuple], impl: str, id_type):
         cid_arr = np.array([c for c, _ in cents])
         cmat = np.array([v for _, v in cents], dtype=np.float64)
 
-        def cells_of(vc, n):
+        def cells_of(vc, n, vn=None):
             return centroid_cells_kernel(cmat, cid_arr, n, id_type)(vc)
         return cells_of
     raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
@@ -470,9 +496,18 @@ def ivf_assign(
         raise ValueError(
             "ivf_assign: index already has a 'cell' column — rename it first")
     cells_of = _ivf_cells_of(centroids, impl, index.schema[i_id].dataType)
-    return index.withColumn(
-        "cell",
-        F.element_at(cells_of(F.col(i_vec), 1), 1).getField("c"),
+    # hoist the row norm to a column so the expr path folds one norm per
+    # ROW, not one per (row, centroid) — referenced nlist times, so
+    # CollapseProject leaves it materialized (non-cheap, multi-use)
+    return (
+        index.withColumn("__ivf_vn", norm_expr(F.col(i_vec)))
+        .withColumn(
+            "cell",
+            F.element_at(
+                cells_of(F.col(i_vec), 1, F.col("__ivf_vn")), 1
+            ).getField("c"),
+        )
+        .drop("__ivf_vn")
     )
 
 
@@ -522,11 +557,17 @@ def ivf_topk(
     src = assigned if assigned is not None else ivf_assign(
         index, cents, i_id, i_vec, impl)
     ix = src.select(
-        F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"), "cell")
+        F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
+        norm_expr(F.col(i_vec)).alias("__in"), "cell")
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
+        norm_expr(F.col(q_vec)).alias("__qn"),
+    ).select(
+        "query_id", "__qv", "__qn",
         F.explode(
-            F.transform(cells_of(F.col(q_vec), nprobe), lambda s: s.getField("c"))
+            F.transform(
+                cells_of(F.col("__qv"), nprobe, F.col("__qn")),
+                lambda s: s.getField("c"))
         ).alias("cell"),
     )
     # no (query, match) dedup needed: each index vector lives in EXACTLY one
@@ -534,7 +575,9 @@ def ivf_topk(
     # pair twice — the dropDuplicates LSH needs would be a pure extra shuffle
     scored = ix.join(q, "cell").select(
         "query_id", "match_id",
-        F.round(cosine_expr(F.col("__qv"), F.col("__iv")), 6).alias("score"),
+        F.round(cosine_with_norms_expr(
+            F.col("__qv"), F.col("__iv"), F.col("__qn"), F.col("__in")),
+            6).alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("match_id"))

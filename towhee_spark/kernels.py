@@ -373,14 +373,47 @@ def np_normalize(vecs: pd.Series) -> pd.Series:
     ])
 
 
-def cosine_expr(a, b):
-    """Native (JVM, codegen) cosine similarity between two array<float/double>
-    columns: zip_with dot product + aggregate norms — no Python at all."""
+def norm_expr(a):
+    """sqrt(Σ x²) left-fold — the EXACT norm subexpression cosine_expr
+    uses, exposed so per-PAIR call sites can hoist it per ROW. Array HOF
+    lambdas run in the interpreted evaluator (no codegen, no CSE), so a
+    join that scores candidate pairs with bare cosine_expr re-folds both
+    operands' norms per PAIR; attaching norm_expr as a column on each
+    join input computes it once per input row and leaves only the dot
+    fold per pair (~3× less interpreted work at dim 64). Bit-identical:
+    same fold, same operand order."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def py_norm(v) -> float:
+    """norm_expr replayed in Python for a CONSTANT vector (centroid /
+    plane literals): float64 left-fold acc + x*x in element order, then
+    sqrt — IEEE-identical to what the interpreted evaluator computes, so
+    the norm of a literal array can be inlined as ONE double literal
+    instead of a per-row aggregate fold."""
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    import math  # noqa: PLC0415
+
+    return math.sqrt(acc)
+
+
+def cosine_with_norms_expr(a, b, na, nb):
+    """cosine_expr with the two norms supplied by the caller (columns
+    hoisted per row, or literals for constant vectors): same dot fold,
+    same zero-norm guard, same single division — bit-identical values."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
     return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_expr(a, b):
+    """Native (JVM, codegen) cosine similarity between two array<float/double>
+    columns: zip_with dot product + aggregate norms — no Python at all.
+    Prefer cosine_with_norms_expr + hoisted norm_expr columns when this
+    is evaluated per candidate PAIR (see norm_expr)."""
+    return cosine_with_norms_expr(a, b, norm_expr(a), norm_expr(b))
 
 
 def dot_expr(a, b):
