@@ -164,6 +164,16 @@ def test_bpe_train_matches_python_reference(spark, docs):
     assert got == want
 
 
+def test_bpe_train_distributed_local_lockstep(spark, docs):
+    """collect_words=0 forces the distributed per-round loop; the default
+    collects the word table and trains driver-side — identical ordered
+    merge lists (same pair counts, same (c DESC, pair ASC) argmax, same
+    non-overlapping left-to-right packed replace)."""
+    dist = tok.bpe_train(docs, n_merges=16, collect_words=0)
+    local = tok.bpe_train(docs, n_merges=16)
+    assert dist == local
+
+
 def test_bpe_encode_lockstep_and_roundtrip(spark, docs):
     """expr and arrow encodes agree; concatenated pieces reconstruct the
     normalized words exactly (BPE is lossless — no [UNK])."""

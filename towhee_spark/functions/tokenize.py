@@ -189,6 +189,12 @@ def _wp_arrow(docs, vocab, id_col, text_col, max_word_chars, out_col):
     sc = docs.sparkSession.sparkContext
     bv = sc.broadcast((vs, max_piece))
 
+    # per-worker memo (closure dict, unpickled once per executor worker and
+    # shared across that worker's batches/tasks): corpus words are Zipfian,
+    # so most greedy walks are repeats — one dict hit replaces an
+    # O(len·max_piece) walk. Bounded by the distinct-word vocabulary.
+    memo: dict[str, list[str]] = {}
+
     @F.pandas_udf("array<string>")
     def wp(texts: pd.Series) -> pd.Series:
         vset, mp = bv.value
@@ -197,7 +203,10 @@ def _wp_arrow(docs, vocab, id_col, text_col, max_word_chars, out_col):
             words = _normalize_py(t).split()
             pieces: list[str] = []
             for w in words:
-                pieces.extend(_wp_py_word(w, vset, max_word_chars, mp))
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _wp_py_word(w, vset, max_word_chars, mp)
+                pieces.extend(got)
             outs.append(pieces)
         return pd.Series(outs)
 
@@ -326,38 +335,62 @@ def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 24,
+    collect_words: int = 200_000,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge list from the corpus: start from characters,
     repeatedly merge the most frequent adjacent symbol pair (ties →
     pair-ascending), ``n_merges`` times or until no pair repeats. Returns
     the ORDERED merge list [(a, b), ...] — feed to bpe_encode.
 
-    Distributed shape: the loop state is the DISTINCT-WORD table
-    (word, cnt, packed symbol string) — cached once; each round is ONE
-    map-side-combined pair-count aggregate + a 1-row collect + one native
-    replace() projection. The packed-string merge (each symbol wrapped in
-    a 0x1F separator, pair merged by a single non-overlapping
-    left-to-right replace — exactly BPE's scan order) keeps every round
-    free of Python and exactly reproducible in DuckDB, so the whole
-    TRAIN loop is oracle-mirrorable round by round.
+    The loop state is the DISTINCT-WORD table (word, cnt, packed symbol
+    string). When it has ≤ ``collect_words`` rows it is collected ONCE
+    and the whole train loop runs driver-side in Python — a train-step
+    action (the wordpiece_vocab / kmeans_train convention) with zero
+    per-round Spark jobs; Python's str.replace is the same
+    non-overlapping left-to-right scan as the engine's replace(), and
+    pair counts / (count DESC, pair ASC) ties are exact integers and
+    ASCII-safe string compares, so the merge list is IDENTICAL to the
+    distributed loop's (pytest-pinned). Measured: 24 rounds on the sf0.1
+    table went 11.4 s → the cost of one aggregate (each distributed
+    round was pure job-latency overhead — the state was 31 rows).
 
-    Scale story (100 TB): rounds × (one agg over distinct words + 1-row
-    collect). Real BPE trains are run on a corpus SAMPLE — compose with
-    curation.sample_by_hash — and n_merges in the thousands means
-    thousands of driver round-trips: train once, persist the merge list.
-    Replaces the provider-tokenizer seam of the reference's LLM ops
-    (towhee/runtime/hub_ops/llm.py:38-44) with an in-engine trainable."""
+    Past the threshold the distributed loop runs: each round ONE
+    map-side-combined pair-count aggregate + a 1-row collect + one
+    native replace() projection, and every 6 rounds a ``localCheckpoint``
+    of the small word table — without it round k re-evaluates all k
+    accumulated replaces over the cached base, O(rounds²) total (the
+    tree_paths doubling lesson). The packed-string merge (each symbol
+    wrapped in a 0x1F separator, pair merged by a single non-overlapping
+    left-to-right replace — exactly BPE's scan order) keeps every round
+    free of Python and exactly reproducible in DuckDB, so the TRAIN loop
+    stays oracle-mirrorable round by round.
+
+    Scale story (100 TB): distinct words ≫ 200k → rounds × (one agg over
+    distinct words + 1-row collect). Real BPE trains run on a corpus
+    SAMPLE — compose with curation.sample_by_hash — and n_merges in the
+    thousands means thousands of driver round-trips: train once, persist
+    the merge list. Replaces the provider-tokenizer seam of the
+    reference's LLM ops (towhee/runtime/hub_ops/llm.py:38-44) with an
+    in-engine trainable."""
     from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
 
-    w = (
+    base = (
         docs.select(F.explode(_toks(F.col(text_col))).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
         .select("word", "cnt", _bpe_wrap_expr(F.col("word")).alias("s"))
         .cache()
     )
-    merges: list[tuple[str, str]] = []
+    w = base
+    prev_ckpt = None
     try:
-        for _ in range(n_merges):
+        # limit(cap+1) bounds the probe collect (the scan_topk guard):
+        # a small table trains driver-side, a big one distributed
+        head = w.select("cnt", "s").limit(collect_words + 1).collect()
+        if len(head) <= collect_words:
+            return _bpe_train_local(
+                [(int(r["cnt"]), r["s"]) for r in head], n_merges)
+        merges: list[tuple[str, str]] = []
+        for rnd in range(n_merges):
             arr = _bpe_syms_expr(F.col("s"))
             pairs = F.when(
                 F.size(arr) >= 2,
@@ -383,8 +416,47 @@ def bpe_train(
             merges.append((a, b))
             pat, rep = _bpe_pat(a, b)
             w = w.withColumn("s", F.replace("s", F.lit(pat), F.lit(rep)))
+            if (rnd + 1) % 6 == 0:
+                w = w.localCheckpoint()  # truncate the replace chain
+                if prev_ckpt is not None:
+                    prev_ckpt.unpersist()
+                prev_ckpt = w
     finally:
-        w.unpersist()
+        base.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+    return merges
+
+
+def _bpe_train_local(
+    rows: list[tuple[int, str]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The distributed train loop replayed on the collected word table:
+    identical pair counting (Σ cnt over adjacent symbols), identical
+    (c DESC, a ASC, b ASC) argmax, identical packed-string replace —
+    same merge list, zero per-round jobs."""
+    state = rows  # [(cnt, packed)]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, s in state:
+            syms = s[1:-1].split(SEP + SEP) if len(s) > 2 else []
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + cnt
+        best = None
+        for (a, b), c in counts.items():
+            if c < 2:
+                continue
+            key = (-c, a, b)
+            if best is None or key < best[0]:
+                best = (key, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        merges.append((a, b))
+        pat, rep = _bpe_pat(a, b)
+        state = [(cnt, s.replace(pat, rep)) for cnt, s in state]
     return merges
 
 
@@ -421,13 +493,24 @@ def bpe_encode(
         sc = docs.sparkSession.sparkContext
         bm = sc.broadcast(list(merges))
 
+        # per-worker memo (the _wp_arrow pattern): each distinct word runs
+        # its merge-replace chain once, not once per occurrence — the
+        # arrow twin of the expr path's distinct-word table
+        memo: dict[str, list[str]] = {}
+
         @F.pandas_udf("array<string>")
         def enc(texts: pd.Series) -> pd.Series:
             ms = bm.value
             outs = []
             for t in texts:
                 words = [x for x in _normalize_py(t).split(" ") if x]
-                outs.append([p for w in words for p in _bpe_py_word(w, ms)])
+                pieces: list[str] = []
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _bpe_py_word(w, ms)
+                    pieces.extend(got)
+                outs.append(pieces)
             return pd.Series(outs)
 
         return docs.select(

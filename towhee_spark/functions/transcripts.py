@@ -538,9 +538,13 @@ def conv_neardup_pairs(
         normalize_text(text_col).alias("shingle"),
     ).distinct()
     if method == "lsh":
+        # verify_impl="intersect": conversations are FEW large shingles
+        # (one per distinct turn text) — the array-intersect verify wins
+        # 2× over the explode form there (see _verify_pairs_exact_jaccard)
         return _dd.minhash_lsh_pairs(
             df, key, text_col, num_hashes=num_hashes, bands=bands,
-            threshold=threshold, verify="exact", shingles_df=sh)
+            threshold=threshold, verify="exact", shingles_df=sh,
+            verify_impl="intersect")
     if method != "exact":
         raise ValueError(f"conv_neardup_pairs: unknown method {method!r}")
     sh_cached = sh.cache()
