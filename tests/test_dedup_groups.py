@@ -91,11 +91,34 @@ def test_fixpoint_is_a_star_per_node(spark):  # noqa: F811
 
 
 def test_nonconvergence_raises(spark):  # noqa: F811
+    # collect_edges=0 forces the distributed star loop (the local
+    # union-find path has no convergence concept)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a: long, id_b: long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=1)
+        dedup.connected_components(pairs, max_iter=1, collect_edges=0)
+
+
+def test_cc_distributed_local_lockstep(spark):  # noqa: F811
+    """collect_edges=0 forces the star loop; the default collects the
+    edge set and solves with union-find — identical (id, component)
+    tables on path and random graphs."""
+    rng = random.Random(17)
+    cases = [[(i, i + 1) for i in range(63)]]
+    cases.append([(rng.randrange(150), rng.randrange(150))
+                  for _ in range(200)])
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        dist = sorted(
+            (r["id"], r["component"])
+            for r in dedup.connected_components(
+                pairs, collect_edges=0).collect())
+        local = sorted(
+            (r["id"], r["component"])
+            for r in dedup.connected_components(pairs).collect())
+        assert dist == local
 
 
 def test_strip_duplicate_spans_surgery(spark):

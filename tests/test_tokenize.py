@@ -164,6 +164,17 @@ def test_bpe_train_matches_python_reference(spark, docs):
     assert got == want
 
 
+def test_wordpiece_vocab_distributed_local_lockstep(spark, docs):
+    """collect_words=0 forces the two-job distributed rankings; the
+    default derives both from the collected word-count table — identical
+    vocab (same occurrence-weighted counts, same (c DESC, key ASC)
+    orders)."""
+    dist = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8,
+                               collect_words=0)
+    local = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
+    assert dist == local
+
+
 def test_bpe_train_distributed_local_lockstep(spark, docs):
     """collect_words=0 forces the distributed per-round loop; the default
     collects the word table and trains driver-side — identical ordered

@@ -679,6 +679,30 @@ def embedding_neardup_pairs(
 # pair set → duplicate groups (connected components)
 
 
+def _cc_local(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find over a collected edge list → sorted (id, component)
+    rows for every node appearing in the edges, component = the minimum
+    member id — the definitionally identical output of the star loop."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # with min-root unions the root IS the component minimum
+    return sorted((n, find(n)) for n in parent)
+
+
 def _star_fingerprint(edges: DataFrame) -> tuple[int, int]:
     """(row count, pmod-bounded hash sum) of an edge set — the convergence
     check for connected_components. pmod keeps the SUM inside BIGINT under
@@ -732,6 +756,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    collect_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of an undirected pair graph via alternating
     large-star / small-star (Kiveris et al.) — the step every dedup tier
@@ -742,18 +767,28 @@ def connected_components(
     ``component`` = the minimum node id in its component. Join back to the
     corpus (see :func:`dedup_groups`) to pick up singletons.
 
-    Scale: O(log n) rounds, each round two grouped aggregations + one
-    distinct — never materializes a component as a single row or task, so a
-    100M-doc duplicate cluster still fans out across the cluster. Each
-    round ends in ``localCheckpoint`` (lineage truncation — without it the
-    plan doubles per round and the optimizer chokes around round 10; swap
-    for ``checkpoint()`` + a checkpoint dir on a real cluster if executor
-    loss matters). Convergence is detected by an edge-set fingerprint, so
-    this function RUNS Spark jobs when called — it is an iterative
-    algorithm, not an action-free plan builder like the rest of this
-    module; callers composing it into lazy plans get a frame whose inputs
-    are already materialized star edges."""
-    edges = (
+    An edge set of ≤ ``collect_edges`` rows (the bpe_train threshold
+    convention; 1M edges = 16 MB of longs) is collected ONCE and solved
+    with driver-side union-find — the same (id, min-of-component) output
+    by definition, pytest-pinned against the star loop — because each
+    distributed round costs 2 grouped aggregates + a distinct + a
+    fingerprint collect regardless of size: at sf0.1's 256-edge graph
+    the rounds were 2.4 s of pure job latency, the union-find is
+    microseconds.
+
+    Scale (past the threshold): O(log n) rounds, each round two grouped
+    aggregations + one distinct — never materializes a component as a
+    single row or task, so a 100M-doc duplicate cluster still fans out
+    across the cluster. Each round ends in ``localCheckpoint`` (lineage
+    truncation — without it the plan doubles per round and the optimizer
+    chokes around round 10; swap for ``checkpoint()`` + a checkpoint dir
+    on a real cluster if executor loss matters). Convergence is detected
+    by an edge-set fingerprint, so this function RUNS Spark jobs when
+    called — it is an iterative algorithm, not an action-free plan
+    builder like the rest of this module; callers composing it into lazy
+    plans get a frame whose inputs are already materialized star edges
+    (or a driver-local component table below the threshold)."""
+    edge_plan = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
             F.col(b_col).cast("long").alias("v"),
@@ -764,8 +799,15 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
+    if collect_edges and collect_edges > 0:
+        head = edge_plan.limit(collect_edges + 1).collect()
+        if len(head) <= collect_edges:
+            return pairs.sparkSession.createDataFrame(
+                _cc_local([(r["u"], r["v"]) for r in head]) or
+                [],  # createDataFrame needs the schema below for empty
+                "id long, component long")
+    edges = edge_plan.localCheckpoint()
     prev = _star_fingerprint(edges)
     if prev[0] == 0:
         return edges.select(

@@ -70,6 +70,7 @@ def wordpiece_vocab(
     text_col: str = "text",
     n_words: int = 64,
     n_suffix: int = 16,
+    collect_words: int = 200_000,
 ) -> list[str]:
     """Train a deterministic WordPiece-ish vocab from the corpus (ONE
     action — the ivf_train/kmeans_train "train step" convention):
@@ -86,33 +87,61 @@ def wordpiece_vocab(
     Counts are over word OCCURRENCES (the exploded token stream), so
     both rankings are frequency-weighted exactly like the DuckDB mirror
     (_tokenize_sql) — every step is a count + total-order top-N, no
-    floats anywhere. Returns a sorted de-duplicated list[str]."""
+    floats anywhere. Returns a sorted de-duplicated list[str].
+
+    Train cost: ONE distinct-word count aggregate; when that table fits
+    ``collect_words`` rows (the bpe_train threshold convention) both
+    rankings are derived driver-side from it — integer counts, the same
+    (c DESC, key ASC) total orders, ASCII-safe compares — instead of two
+    separate corpus jobs (measured 0.83 s → 0.45 s per train at sf0.1,
+    re-paid by every *_full bench row that retrains at plan build)."""
     from towhee_spark.functions.ranking import _toks  # noqa: PLC0415
 
     w = docs.select(
         F.explode(_toks(F.col(text_col))).alias("word"))
-    top = (
-        # a corpus word that itself starts with '##' would be ambiguous
-        # with a continuation piece (the vocab is a flat string set) —
-        # excluded BEFORE the top-N so the SQL mirror's LIMIT sees the
-        # same candidate stream
-        w.where(~F.col("word").startswith("##"))
-        .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("word").asc())
-        .limit(n_words)
-        .collect()
-    )
-    top_words = [r["word"] for r in top]
-    suf = (
-        w.where(F.length("word") >= 3)
-        .select(F.substring(F.col("word"), -2, 2).alias("t"))
-        .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.col("c").desc(), F.col("t").asc())
-        .limit(n_suffix)
-        .collect()
-    )
+    wc = (w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+          .limit(collect_words + 1).collect())
+    if len(wc) <= collect_words:
+        counts = [(r["word"], int(r["c"])) for r in wc]
+        # occurrence-weighted top words, '##'-prefixed corpus words
+        # excluded BEFORE the top-N (ambiguous with continuation pieces)
+        top_words = [
+            word for word, _ in sorted(
+                ((word, c) for word, c in counts
+                 if not word.startswith("##")),
+                key=lambda t: (-t[1], t[0]))[:n_words]
+        ]
+        tails: dict[str, int] = {}
+        for word, c in counts:
+            if len(word) >= 3:
+                t = word[-2:]
+                tails[t] = tails.get(t, 0) + c
+        suf_tails = [t for t, _ in sorted(
+            tails.items(), key=lambda kv: (-kv[1], kv[0]))[:n_suffix]]
+    else:
+        top = (
+            # a corpus word that itself starts with '##' would be ambiguous
+            # with a continuation piece (the vocab is a flat string set) —
+            # excluded BEFORE the top-N so the SQL mirror's LIMIT sees the
+            # same candidate stream
+            w.where(~F.col("word").startswith("##"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("word").asc())
+            .limit(n_words)
+            .collect()
+        )
+        top_words = [r["word"] for r in top]
+        suf = (
+            w.where(F.length("word") >= 3)
+            .select(F.substring(F.col("word"), -2, 2).alias("t"))
+            .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("t").asc())
+            .limit(n_suffix)
+            .collect()
+        )
+        suf_tails = [r["t"] for r in suf]
     vocab = set(top_words)
-    vocab.update("##" + r["t"] for r in suf)
+    vocab.update("##" + t for t in suf_tails)
     for word in top_words:
         for ch in word:
             vocab.add(ch)
