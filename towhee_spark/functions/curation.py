@@ -365,6 +365,7 @@ def dsir_logratio_table(
     salt: str = "feat",
     smoothing: float = 1.0,
     scale_bits: int = 20,
+    raw_bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """The DSIR importance model (Xie et al. 2023, arXiv:2302.03169):
     hashed-n-gram bag-of-words distributions p (target) and q (raw), one
@@ -380,7 +381,12 @@ def dsir_logratio_table(
 
     The plan is action-free: corpus totals ride 1-row broadcast
     crossJoins (the bm25 stats shape); both count aggregates are
-    map-side-combined hash aggregates over the exploded features."""
+    map-side-combined hash aggregates over the exploded features.
+
+    ``raw_bucket_counts`` substitutes a precomputed (bucket, cnt) frame
+    for the raw side (dsir_logweights derives it from its cached per-doc
+    feature frame so the raw corpus is feature-hashed ONCE, not twice —
+    the md5 hash60 per feature is the dominant per-pass cost)."""
     from towhee_spark.functions.classifier import feature_array  # noqa: PLC0415 (cycle)
 
     def bucket_counts(df):
@@ -398,7 +404,8 @@ def dsir_logratio_table(
     # each count frame feeds TWO consumers (the per-bucket join and its
     # corpus total); cache so the explode+aggregate runs once per corpus
     ct = bucket_counts(target).cache()
-    cq = bucket_counts(raw).cache()
+    cq = (raw_bucket_counts if raw_bucket_counts is not None
+          else bucket_counts(raw)).cache()
     tt = ct.agg(F.sum("cnt").alias("__tt"))
     tq = cq.agg(F.sum("cnt").alias("__tq"))
     lr = (
@@ -441,8 +448,6 @@ def dsir_logweights(
     ``logratios`` (a dsir_logratio_table result, possibly read back from
     parquet) to train once and reuse — the 100 TB shape: fit the model on
     samples, then ONE broadcast join + hash aggregate over the corpus."""
-    lr = logratios if logratios is not None else dsir_logratio_table(
-        raw, target, text_col, dim, salt, smoothing, scale_bits)
     from towhee_spark.functions.classifier import feature_array  # noqa: PLC0415
 
     feats = raw.select(
@@ -452,6 +457,20 @@ def dsir_logweights(
         id_col,
         F.pmod(hash60(F.col("feat"), salt), F.lit(dim)).cast("int").alias("bucket"),
     )
+    extra_deps: list[DataFrame] = []
+    if logratios is not None:
+        lr = logratios
+    else:
+        # the raw corpus is feature-hashed ONCE: the cached per-doc
+        # bucket frame feeds both the model's raw-side counts and the
+        # per-document accumulation (identical counts — the same explode
+        # minus the id column)
+        feats = feats.cache()
+        extra_deps.append(feats)
+        lr = dsir_logratio_table(
+            raw, target, text_col, dim, salt, smoothing, scale_bits,
+            raw_bucket_counts=feats.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("cnt")))
     agg = (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
@@ -469,7 +488,8 @@ def dsir_logweights(
             "logweight",
             F.col("lw_scaled") / F.lit(float(1 << scale_bits)))
     )
-    out._cached_deps = list(getattr(lr, "_cached_deps", []))  # noqa: SLF001
+    out._cached_deps = (  # noqa: SLF001
+        list(getattr(lr, "_cached_deps", [])) + extra_deps)
     return out
 
 

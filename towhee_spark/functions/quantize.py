@@ -34,17 +34,23 @@ def quantize_embeddings(
             raise ValueError(
                 f"quantize_embeddings: column {c!r} already exists — rename it")
     v = F.col(i_vec).cast("array<double>")
-    # materialize mx into scale_col FIRST and reference the COLUMN inside
-    # the codes lambda: embedding the array_max subtree in the lambda
-    # would re-run the O(dim) max for every element in the interpreted
-    # HOF evaluator — O(dim²) per row (review finding; the CLAUDE.md
-    # no-CSE trap)
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    with_scale = df.withColumn(
+    # materialize mx into its OWN column first and reference the COLUMN
+    # everywhere: embedding the array_max subtree in the codes lambda
+    # would re-run the O(dim) max per element (the CLAUDE.md no-CSE
+    # trap), and referencing it twice in the scale CASE (condition +
+    # value) re-ran the O(dim) fold twice per row — as a multi-use
+    # non-cheap alias CollapseProject keeps it materialized once
+    mx_col = "__qz_mx"
+    if mx_col in df.columns:
+        raise ValueError(
+            f"quantize_embeddings: column {mx_col!r} already exists — rename it")
+    mx0 = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    mx = F.col(mx_col)
+    with_scale = df.withColumn(mx_col, mx0).withColumn(
         scale_col,
         F.when(v.isNull(), F.lit(None).cast("double"))
         .when(mx > 0, mx).otherwise(F.lit(0.0)),
-    )
+    ).drop(mx_col)
     sc = F.col(scale_col)
     codes = F.transform(
         v, lambda x: F.floor(x * F.lit(127.0) / sc + F.lit(0.5)).cast("int")

@@ -38,6 +38,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate synthesizes a size(arr)>0 filter below
+        # every explode/posexplode and pushdown INLINES the generator's
+        # expression into it — for HOF-derived arrays (quantize codes,
+        # tokenizer piece streams) the interpreted transform chain then
+        # re-evaluates per row in the filter, the projection AND the
+        # generate: measured 2.1 s -> 0.4 s on the quantized_embeddings
+        # gate, -0.3..-0.6 s on each tokenize-family gate at sf0.1. The
+        # rule is semantics-free (Generate itself skips empty arrays), so
+        # excluding it never changes results.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
