@@ -2393,31 +2393,74 @@ def q_cohort_retention(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's per-round correctness run covers the FIRST
     # 50 entries. Rotation policy: keys that have NEVER appeared in a driver
-    # CORRECTNESS artifact go first, then the stalest previously-covered
-    # keys fill the remainder of the window. Final (r05) rotation: 53 keys
-    # have never been driver-covered but only 50 fit, so the window is the
-    # 50 never-covered keys EXCEPT the three whose evidence is already
-    # carried by a driver-covered sibling — token_budget_wp (composes
-    # driver-covered tokenize + token_budget machinery),
-    # truncate_context_chunked and range_features_prefix_chunked (share
-    # their unchunked sibling's oracle verbatim and are pinned equal to the
-    # sibling by pytest). Everything past position 50 has a green driver
-    # artifact (r03/r04) or sibling-equality evidence, and is
-    # replica-re-verified via tools/check_correctness.py.
+    # CORRECTNESS artifact go first, then the keys most in need of fresh
+    # driver evidence fill the remainder. r06 rotation (VERDICT r05 ask
+    # #1): the 24 keys absent from every CORRECTNESS_r01-r05 artifact
+    # (computed from the artifacts, not by hand) lead, followed by the 26
+    # gates whose code paths this optimization round touched. After the
+    # r06 artifact every queries() key has driver-side green evidence
+    # within the r05+r06 artifact pair; everything past position 50 is
+    # additionally replica-verified via tools/check_correctness.py.
     return {
-        # --- never-driver-covered keys (driver coverage target for r05):
-        # --- the 10 tokenizer-batch keys + the 19 transcript-curation keys
-        # --- added this round. After r05's artifact these are the only
-        # --- keys whose ONLY prior evidence was the local gate replica. ---
+        # --- r06 window (first 50 = driver correctness coverage): the
+        # --- 24 never-driver-covered session-3 keys (VERDICT r05 ask #1),
+        # --- then the 26 queries whose code paths this optimization round
+        # --- touched (fuzzy hist filter, cosine norm hoisting, tokenizer
+        # --- trains, CC union-find, resample frame fix, arrow embed
+        # --- kernels) so the driver re-verifies every optimized path. ---
+        "token_budget_wp": q_token_budget_wp,
+        "truncate_context_chunked": q_truncate_context_chunked,
+        "range_features_prefix_chunked": q_range_features_prefix_chunked,
+        "multi_range_features": q_multi_range_features,
+        "stratified": q_stratified,
+        "stratified_chunked": q_stratified_chunked,
+        "class_weights": q_class_weights,
+        "cohort_retention": q_cohort_retention,
+        "future_features": q_future_features,
+        "future_features_prefix": q_future_features_prefix,
+        "range_quantiles": q_range_quantiles,
+        "feature_matrix": q_feature_matrix,
+        "calendar_features": q_calendar_features,
+        "skew_report": q_skew_report,
+        "range_zscore": q_range_zscore,
+        "lifetime_features": q_lifetime_features,
+        "lifetime_features_chunked": q_lifetime_features_chunked,
+        "target_encoding_timesafe": q_target_encoding_timesafe,
+        "session_features": q_session_features,
+        "asof_nearest": q_asof_nearest,
+        "multi_future_features": q_multi_future_features,
+        "ecdf_features": q_ecdf,
+        "join_coverage": q_join_coverage,
+        "rows_features": q_rows_features,
+        # --- optimized-this-round keys (window part 2) ---
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "resampled": q_resampled,
+        "semdedup": q_semdedup,
+        "embedding_neardup": q_embedding_neardup,
+        "minhash_lsh": q_minhash_lsh,
+        "conv_neardup": q_conv_neardup,
+        "dedup_groups": q_dedup_groups,
+        "dedup_best": q_dedup_best,
+        "dedup_survivors": q_dedup_survivors,
+        "quantized_embeddings": q_quantized_embeddings,
+        "dsir_select": q_dsir,
         "tokenize": q_tokenize,
-        "ann_recall": q_ann_recall,
         "bpe_tokenize": q_bpe_tokenize,
-        "unigram_ppl_wp": q_unigram_ppl_wp,
         "encode_ids": q_encode_ids,
-        "pack_wp": q_pack_wp,
         "chunk_ids": q_chunk_ids,
+        "pack_wp": q_pack_wp,
         "packed_shards": q_packed_shards,
         "packed_spans": q_packed_spans,
+        "unigram_ppl_wp": q_unigram_ppl_wp,
+        "embed_text": q_embed_text,
+        "rag_search": q_rag_search,
+        "rag_search_lsh": q_rag_search_lsh,
+        "similarity_topk": q_similarity_topk,
+        "ivf_topk": q_ivf_topk,
+        "lsh_topk": q_lsh_topk,
+        "ivfsq_topk": q_ivfsq_topk,
+        # --- past the 50-slot window: all driver-covered in r01-r05 ---
+        "ann_recall": q_ann_recall,
         "domain_mixture": q_domain_mixture,
         "hard_negatives": q_hard_negatives,
         "hll_registers": q_hll_registers,
@@ -2432,12 +2475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canned_responses": q_canned_responses,
         "self_repetition": q_self_repetition,
         "conv_dedup": q_conv_dedup,
-        "conv_neardup": q_conv_neardup,
         "sft_corpus": q_sft_corpus,
         "length_bias": q_length_bias,
         "refusals": q_refusals,
-        # --- never-driver-covered keys added later this round (the
-        # --- range/point-in-time/tree temporal batch) ---
         "range_features": q_range_features,
         "range_features_prefix": q_range_features_prefix,
         "pit_enrich": q_pit_enrich,
@@ -2446,14 +2486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sliding": q_hll_sliding,
         "last_k_ctx": q_last_k_ctx,
         "tree_flatten": q_tree_flatten,
-        # --- never-driver-covered tabular feature-engineering batch (this
-        # --- session) fills the rest of the window ---
         "target_encoding": q_target_encoding,
         "target_encoding_loo": q_target_encoding_loo,
         "hashed_features": q_hashed_features,
         "scaled_features": q_scaled_features,
-        "resampled": q_resampled,
-        "fuzzy_pairs": q_fuzzy_pairs,
         "funnel": q_funnel,
         "pmi_pairs": q_pmi_pairs,
         "ewma_features": q_ewma,
@@ -2463,14 +2499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "time_folds": q_time_folds,
         "leakage_audit": q_leakage_audit,
-        # --- past the 50-entry driver window: every key below has a green
-        # --- driver artifact (r03/r04) or is pytest-pinned equal to a
-        # --- driver-covered sibling; all are replica-re-verified via
-        # --- tools/check_correctness.py ---
-        "token_budget_wp": q_token_budget_wp,
-        "truncate_context_chunked": q_truncate_context_chunked,
-        "range_features_prefix_chunked": q_range_features_prefix_chunked,
-        "multi_range_features": q_multi_range_features,
         "bfill_chunked": q_bfill_chunked,
         "sessionize": q_sessionize,
         "sessionize_chunked": q_sessionize_chunked,
@@ -2479,10 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "towhee_time_window_exact_chunked": q_towhee_time_window_exact_chunked,
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "scan_topk": q_scan_topk,
-        "embedding_neardup": q_embedding_neardup,
         "chunk_text": q_chunk_text,
-        "rag_search": q_rag_search,
-        "rag_search_lsh": q_rag_search_lsh,
         "session_stats": q_session_stats,
         "towhee_map": q_towhee_map,
         "towhee_filter": q_towhee_filter,
@@ -2508,13 +2533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "embedding_norms": q_embedding_norms,
-        "similarity_topk": q_similarity_topk,
         "conv_prompt": q_conv_prompt,
         "quality_score": q_quality,
-        "ivfsq_topk": q_ivfsq_topk,
-        "quantized_embeddings": q_quantized_embeddings,
         "shard_layout": q_shard_layout,
-        "dedup_best": q_dedup_best,
         "pooled_embeddings": q_pooled_embeddings,
         "strip_spans": q_strip_spans,
         "quality_quantile": q_quality_quantile,
@@ -2523,32 +2544,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "bloom_decontaminate": q_bloom_decontaminate,
         "kmeans_assign": q_kmeans,
-        "semdedup": q_semdedup,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "classifier_score": q_classifier,
-        "dsir_select": q_dsir,
         "bigram_ppl": q_bigram_ppl,
         "simhash_permuted": q_simhash_permuted,
         "pack_sequences": q_pack_sequences,
         "token_budget": q_token_budget,
         "neardup_static": q_neardup_static,
-        "dedup_groups": q_dedup_groups,
-        "dedup_survivors": q_dedup_survivors,
         "duplicate_spans": q_duplicate_spans,
         "unigram_ppl": q_unigram_ppl,
         "rerank": q_rerank,
-        "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
-        "lsh_topk": q_lsh_topk,
-        "ivf_topk": q_ivf_topk,
         "bm25_topk": q_bm25,
         "rrf_hybrid": q_rrf_hybrid,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "sample_by_hash": q_sample_by_hash,
         "gopher_quality": q_gopher_quality,
-        "embed_text": q_embed_text,
         "flagship": flagship,
         "asof_backward": q_asof_backward,
         "asof_static": q_asof_static,
@@ -2561,26 +2574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_chunked": q_asof_chunked,
         "bfill": q_bfill,
         "lag_lead_chunked": q_lag_lead_chunked,
-        "stratified": q_stratified,
-        "stratified_chunked": q_stratified_chunked,
-        "class_weights": q_class_weights,
-        "cohort_retention": q_cohort_retention,
-        "future_features": q_future_features,
-        "future_features_prefix": q_future_features_prefix,
-        "range_quantiles": q_range_quantiles,
-        "feature_matrix": q_feature_matrix,
-        "calendar_features": q_calendar_features,
-        "skew_report": q_skew_report,
-        "range_zscore": q_range_zscore,
-        "lifetime_features": q_lifetime_features,
-        "lifetime_features_chunked": q_lifetime_features_chunked,
-        "target_encoding_timesafe": q_target_encoding_timesafe,
-        "session_features": q_session_features,
-        "asof_nearest": q_asof_nearest,
-        "multi_future_features": q_multi_future_features,
-        "ecdf_features": q_ecdf,
-        "join_coverage": q_join_coverage,
-        "rows_features": q_rows_features,
     }
 
 

@@ -711,17 +711,22 @@ def tree_paths(
                 .otherwise(F.col("__path")).alias("__path"),
             ))
     # assert_true returns NULL when the predicate holds and throws at
-    # execution otherwise; weaving it through when() keeps it in the plan
-    # (the pool_embeddings convention — a free-standing column is pruned)
+    # execution otherwise. The guard must live in a FILTER, not woven
+    # into the __path projection: whole-stage codegen evaluates project
+    # outputs lazily on consumption, so a downstream join that DROPS a
+    # row (the leaves_only anti-join — a cycle makes every node a
+    # parent) would skip the woven assert entirely. It only ever fired
+    # because InferFiltersFromGenerate used to synthesize a
+    # size(__path)>0 filter that consumed the expression below the join;
+    # with that rule excluded (session defaults, r06) the latent gap
+    # surfaced. A Filter predicate is evaluated for EVERY row.
     guard = F.assert_true(
         F.col("__ptr").isNull(),
         F.concat(
             F.lit(f"tree_paths: node deeper than max_depth={max_depth} "
                   f"(or a parent cycle) at id="),
             F.col("__id").cast("string")))
-    guarded = st.select(
-        "__c", "__id",
-        F.when(guard.isNull(), F.col("__path")).alias("__path"))
+    guarded = st.where(guard.isNull()).select("__c", "__id", "__path")
     if leaves_only:
         parents = df.where(F.col(parent_col).isNotNull()).select(
             F.col(conv).alias("__pc"), F.col(parent_col).alias("__pid"))
