@@ -1888,13 +1888,18 @@ def q_packed_shards(spark, sf_dir):
     pieces = tok.wordpiece_tokenize(
         docs, vocab, impl="expr", max_word_chars=8
     ).select("doc_id", "pieces").cache()
-    enc = tok.encode_ids(pieces, tok.piece_id_table(pieces), impl="expr")
+    # materialize_packs reads enc TWICE (layout cumsum + payload join) —
+    # cache the narrow (doc_id, ids) frame so the encode transform and
+    # the cached-pieces read run once per invocation (packing.py:189)
+    enc = tok.encode_ids(
+        pieces, tok.piece_id_table(pieces), impl="expr"
+    ).select("doc_id", "ids").cache()
     out = materialize_packs(enc, seq_len=64).select(
         "pack_id", "n_fill",
         F.array_join(
             F.transform(F.col("ids"), lambda x: x.cast("string")),
             ",").alias("ids_csv"))
-    return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
+    return dedup._with_cached_deps(out, pieces, enc)  # noqa: SLF001
 
 
 def q_packed_spans(spark, sf_dir):
@@ -1911,7 +1916,10 @@ def q_packed_spans(spark, sf_dir):
     pieces = tok.wordpiece_tokenize(
         docs, vocab, impl="expr", max_word_chars=8
     ).select("doc_id", "pieces").cache()
-    enc = tok.encode_ids(pieces, tok.piece_id_table(pieces), impl="expr")
+    # cache the narrow encoded frame: materialize_packs reads it twice
+    enc = tok.encode_ids(
+        pieces, tok.piece_id_table(pieces), impl="expr"
+    ).select("doc_id", "ids").cache()
     out = (
         materialize_packs(enc, seq_len=64, with_spans=True)
         .select("pack_id", F.explode("doc_spans").alias("s"))
@@ -1920,7 +1928,7 @@ def q_packed_spans(spark, sf_dir):
             F.col("s.off").alias("off"),
             F.col("s.len").alias("span_len"))
     )
-    return dedup._with_cached_deps(out, pieces)  # noqa: SLF001
+    return dedup._with_cached_deps(out, pieces, enc)  # noqa: SLF001
 
 
 def q_ann_recall(spark, sf_dir):
