@@ -290,6 +290,22 @@ def test_bloom_decontaminate_sized_filter_equals_exact(spark, sfdocs):
     assert bloom == exact
 
 
+def test_bloom_decontaminate_inline_equals_join_path(spark, sfdocs):
+    """The inlined constant-bitmap filter (m_bits <= inline_bits_max)
+    emits row-identical output to the broadcast-join path — same
+    bloom_build bits, same deterministic FP set, at a deliberately
+    undersized m_bits so real FPs flow through both."""
+    corpus = sfdocs.filter(F.col("doc_id") >= 10)
+    bench = sfdocs.filter(F.col("doc_id") < 10)
+    kw = dict(n=3, threshold=1, m_bits=2048, k=3)
+    inline = sorted(curation.bloom_decontaminate(
+        corpus, bench, inline_bits_max=1 << 17, **kw).collect())
+    joined = sorted(curation.bloom_decontaminate(
+        corpus, bench, inline_bits_max=0, **kw).collect())
+    assert inline == joined
+    assert inline, "fixture produced no contamination — test is vacuous"
+
+
 def test_bloom_build_shape_and_validation(spark):
     vals = spark.createDataFrame([(f"s{i}",) for i in range(100)], "shingle string")
     bl = curation.bloom_build(vals, "shingle", m_bits=1024, k=3).collect()

@@ -219,6 +219,7 @@ def bloom_decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
     salt: str = "bloom",
+    inline_bits_max: int = 1 << 17,
 ) -> DataFrame:
     """:func:`decontaminate` with a Bloom-filter benchmark set — the
     100 TB shape for benchmark suites too large to broadcast verbatim:
@@ -238,7 +239,22 @@ def bloom_decontaminate(
     its bit is set, and a shingle is maybe-present iff all k DISTINCT
     probe indexes survive — counted per (doc, shingle) on the pruned
     stream only, so both aggregates are contamination-sized, not
-    corpus-sized."""
+    corpus-sized.
+
+    When ``m_bits <= inline_bits_max`` the filter INLINES instead: the
+    built bitmap (≤ m_bits/32 rows) is collected once — a train-step
+    action, the encode_ids/kmeans convention — and expanded to one
+    constant ``array<boolean>`` literal of m_bits elements, so the whole
+    membership test is k ``element_at`` lookups in ONE codegen filter
+    over the shingle stream: no ×k probe explode, no join, no
+    per-(doc, shingle) pre-aggregate. Each probe position feeds exactly
+    ONE element_at (never a word index + a bit mask), so even after
+    predicate pushdown rewrites the filter, each of the k md5 hashes is
+    evaluated once per shingle — the same hash count as the join path.
+    The default cap (2^17 bits = a 128 Ki-element constant) keeps the
+    plan literal ~128 KB; past it (the 2^26-bit production sizing) the
+    broadcast-join path below is unchanged. Both paths emit identical
+    rows (pytest pins them; the bit map is the same bloom_build)."""
     from towhee_spark.functions.dedup import shingles  # noqa: PLC0415
 
     if threshold < 1:
@@ -249,6 +265,38 @@ def bloom_decontaminate(
     )
     bloom = bloom_build(b_sh, "shingle", m_bits=m_bits, k=k, salt=salt)
     d_sh = shingles(docs, id_col, text_col, n=n, distinct=False)
+    if m_bits <= inline_bits_max:
+        # k-row-ish collect (≤ m_bits/32 words): expand set bits to a
+        # boolean array indexed by bit position (word*32 + bit)
+        bools = [False] * m_bits
+        for r in bloom.collect():
+            bits = r["bits"]
+            base = r["word"] << 5
+            while bits:
+                low = bits & -bits
+                bools[base + low.bit_length() - 1] = True
+                bits ^= low
+        arr = F.lit(bools)
+        cond = None
+        for i in range(k):
+            probe = F.element_at(
+                arr,
+                (F.pmod(hash60(F.col("shingle"), f"{salt}{i}"),
+                        F.lit(m_bits)) + 1).cast("int"))
+            cond = probe if cond is None else (cond & probe)
+        # two-stage tail, same shape as the join path: dedupe the
+        # surviving (doc, shingle) bag first (map-side partial agg), then
+        # the per-doc count — a single countDistinct+min aggregate would
+        # plan an Expand (x2 rows into the shuffle), measurably worse
+        # when an undersized filter lets most of the stream through
+        surv = d_sh.where(cond).groupBy("id", "shingle").agg(F.lit(1))
+        return (
+            surv.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("hits"),
+                 F.min("shingle").alias("sample_shingle"))
+            .filter(F.col("hits") >= threshold)
+            .select(F.col("id").alias(id_col), "hits", "sample_shingle")
+        )
     probes = d_sh.select(
         "id", "shingle",
         F.explode(F.array(*[
