@@ -1764,9 +1764,14 @@ def q_token_budget_wp(spark, sf_dir):
     vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
     # the budget op reads its input TWICE (stratum totals, then the hash
     # filter) — cache the narrow count frame so the wp pipeline runs once
-    # (tagged for release via the dedup cached-deps convention)
+    # (tagged for release via the dedup cached-deps convention).
+    # impl="arrow" here and in every downstream wp-consumer gate (budget /
+    # ppl / encode / chunk / pack×3): the memoized Arrow kernel emits the
+    # IDENTICAL piece stream (pytest pins arrow == expr; strings, no float
+    # surface) at ~3.7× the chain speed — q_tokenize itself stays on
+    # impl="expr" so the native join-plan keeps direct driver coverage
     counts = tok.wordpiece_tokenize(
-        docs, vocab, impl="expr", max_word_chars=8
+        docs, vocab, impl="arrow", max_word_chars=8
     ).select("doc_id", "n_tokens").cache()
     out = curation.sample_to_token_budget(
         docs.join(counts, "doc_id"),
@@ -1802,7 +1807,7 @@ def q_unigram_ppl_wp(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
-    pieces = tok.wordpiece_tokenize(docs, vocab, impl="expr",
+    pieces = tok.wordpiece_tokenize(docs, vocab, impl="arrow",
                                     max_word_chars=8)
     return lm.unigram_perplexity(pieces, tokens_col="pieces")
 
@@ -1818,7 +1823,7 @@ def q_encode_ids(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
     pieces = tok.wordpiece_tokenize(
-        docs, vocab, impl="expr", max_word_chars=8
+        docs, vocab, impl="arrow", max_word_chars=8
     ).select("doc_id", "pieces").cache()
     idt = tok.piece_id_table(pieces)
     out = (
@@ -1841,7 +1846,7 @@ def q_pack_wp(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
     counts = tok.wordpiece_tokenize(
-        docs, vocab, impl="expr", max_word_chars=8
+        docs, vocab, impl="arrow", max_word_chars=8
     ).select("doc_id", "n_tokens")
     return pack_sequences(counts, seq_len=64, count_col="n_tokens").select(
         "doc_id", "pack_id", "tok_begin", "tok_end", "pack_off")
@@ -1857,7 +1862,7 @@ def q_chunk_ids(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
     pieces = tok.wordpiece_tokenize(
-        docs, vocab, impl="expr", max_word_chars=8
+        docs, vocab, impl="arrow", max_word_chars=8
     ).select("doc_id", "pieces").cache()
     idt = tok.piece_id_table(pieces)
     enc = tok.encode_ids(pieces, idt, impl="expr")
@@ -1886,7 +1891,7 @@ def q_packed_shards(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
     pieces = tok.wordpiece_tokenize(
-        docs, vocab, impl="expr", max_word_chars=8
+        docs, vocab, impl="arrow", max_word_chars=8
     ).select("doc_id", "pieces").cache()
     # materialize_packs reads enc TWICE (layout cumsum + payload join) —
     # cache the narrow (doc_id, ids) frame so the encode transform and
@@ -1914,7 +1919,7 @@ def q_packed_spans(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     vocab = tok.wordpiece_vocab(docs, n_words=24, n_suffix=8)
     pieces = tok.wordpiece_tokenize(
-        docs, vocab, impl="expr", max_word_chars=8
+        docs, vocab, impl="arrow", max_word_chars=8
     ).select("doc_id", "pieces").cache()
     # cache the narrow encoded frame: materialize_packs reads it twice
     enc = tok.encode_ids(

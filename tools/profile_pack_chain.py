@@ -26,7 +26,7 @@ def force(df):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(f"local[{cpus}]", app="profile_pack_chain")
+    spark = get_spark("profile_pack_chain", master=f"local[{cpus}]")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
     print(f"docs: {n}")
