@@ -1437,6 +1437,19 @@ def fuzzy_pairs(
         F.abs(F.col("__ha0") - F.col("__hb0")),
     )
     d = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    # the candidate enumeration + per-pair prefilter work all runs in the
+    # PROBE side's tasks — a small single-file corpus scans as ONE split,
+    # serializing the whole O(band²) pair stream onto one core (measured:
+    # every stage of the sf0.1 gate ran 1 task). Fan the probe side out to
+    # the session's parallelism when the input has fewer partitions (a
+    # tiny exchange of the doc rows; user-specified repartitions are not
+    # AQE-coalesced); at scale the input already has >= that many splits
+    # and this is a no-op. The dictionary side is pinned broadcast so the
+    # planner can never flip which side streams.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if left.rdd.getNumPartitions() < par:
+        left = left.repartition(par)
+    right = F.broadcast(right)
     pairs = (
         left.join(right, on=cond, how="inner")
         .where(once)
