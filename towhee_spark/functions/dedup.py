@@ -71,6 +71,12 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     filter branch (cheap scan reuse) instead of a per-row conditional
     array."""
     toks = F.split(normalize_text(text_col), " ")
+    # NOT fanned out (layout.fan_out): A/B'd at sf0.1 — the shingle-family
+    # per-row hash work is sub-second on one core at this size, and the
+    # extra exchange + 32-task overhead LOST ~0.2 s on every warm
+    # cached-consumer row (dedup_ngram 1.20→1.41, decontaminate
+    # 0.59→0.81); only multi-second single-task CPU stages clear the bar
+    # (fuzzy_pairs' candidate stream: 4.5×)
     base = df.select(
         F.col(id_col).alias("id"), toks.alias("__toks"),
         F.size(toks).alias("__sz"),
@@ -1440,15 +1446,12 @@ def fuzzy_pairs(
     # the candidate enumeration + per-pair prefilter work all runs in the
     # PROBE side's tasks — a small single-file corpus scans as ONE split,
     # serializing the whole O(band²) pair stream onto one core (measured:
-    # every stage of the sf0.1 gate ran 1 task). Fan the probe side out to
-    # the session's parallelism when the input has fewer partitions (a
-    # tiny exchange of the doc rows; user-specified repartitions are not
-    # AQE-coalesced); at scale the input already has >= that many splits
-    # and this is a no-op. The dictionary side is pinned broadcast so the
-    # planner can never flip which side streams.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if left.rdd.getNumPartitions() < par:
-        left = left.repartition(par)
+    # every stage of the sf0.1 gate ran 1 task; 3.3 → 0.7 s after the
+    # fan-out). The dictionary side is pinned broadcast so the planner
+    # can never flip which side streams.
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
+    left = fan_out(left)
     right = F.broadcast(right)
     pairs = (
         left.join(right, on=cond, how="inner")

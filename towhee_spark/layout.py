@@ -40,6 +40,30 @@ def repartition_by_key(
     return out
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW-scan frame up to the session's
+    parallelism so CPU-bound per-row stages (shingle explode + hash
+    partial-aggregates, tokenizer/embedding kernels, per-pair
+    prefilters) spread across cores.
+
+    Why it exists: Spark assigns parquet splits by ROW GROUP — a corpus
+    written as one file with one row group scans as ONE partition no
+    matter what `maxPartitionBytes`/`openCostInBytes` say, and every
+    expression evaluated before the first exchange then runs on one
+    core (measured: the whole sf0.1 fuzzy_pairs candidate stream, and
+    every shingle-family partial aggregate, ran 1 task on local[32] —
+    4.5× on fuzzy_pairs after the fan-out). At warehouse scale inputs
+    carry >= parallelism splits and this is a NO-OP (the guard compares
+    the frame's actual partition count); the exchange it adds on small
+    inputs moves only the narrow pre-explode rows. User repartitions
+    are never AQE-coalesced, so the fan-out survives adaptive re-plans.
+    """
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def hot_keys(
     df: DataFrame, key: str = "conv_id", threshold: int = 100_000
 ) -> DataFrame:
