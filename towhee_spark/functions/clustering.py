@@ -143,7 +143,11 @@ def kmeans_assign(
         raise ValueError(
             f"kmeans_assign: index already has column(s) {sorted(clash)} — "
             "rename them first")
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
     cells_of = _ivf_cells_of(centroids, impl, index.schema[i_id].dataType)
+    # per-row cell folds evaluate in the scan stage (layout.fan_out note)
+    index = fan_out(index)
     vec = F.col(i_vec)
     if dict(index.dtypes).get(i_vec) != "array<double>":
         vec = vec.cast("array<double>")

@@ -618,6 +618,14 @@ def embedding_neardup_pairs(
             "action-free"
         )
     bank = neardup_planes(tables, block_planes, dim, seed)
+    # the signature folds (tables × planes interpreted dots per row on the
+    # expr impl) and the verify side's norm folds all evaluate in the
+    # input's scan stage — one task on a single-row-group corpus file.
+    # Fan the vectors out first (layout.fan_out: no-op at scale; the three
+    # readers below share one ReusedExchange)
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
+    df = fan_out(df)
     vec = F.col(vec_col)
     if impl == "arrow":
         from towhee_spark.kernels import hyperplane_bucket_kernel  # noqa: PLC0415

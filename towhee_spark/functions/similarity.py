@@ -59,6 +59,9 @@ def brute_force_topk(
     # the cross join then folds only the dot per (query, match) pair
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
                        norm_expr(F.col(q_vec)).alias("__qn"))
+    # NOT fanned out (layout.fan_out): A/B'd at sf0.1 — no row improved
+    # (the two-phase shard ranking already parallelizes past the scan) and
+    # compositions over tiny indexes (ann_recall) paid the extra exchange
     ix = index.select(F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
                       norm_expr(F.col(i_vec)).alias("__in"))
     joined = ix.join(F.broadcast(q)) if broadcast_queries else q.join(F.broadcast(ix))
@@ -307,7 +310,11 @@ def lsh_topk(
     else:
         raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
 
-    ix = index.select(
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
+    # bucket/norm folds + the per-pair rerank all evaluate in the index
+    # scan stage — fan a small single-split index out first (no-op at scale)
+    ix = fan_out(index).select(
         F.col(i_id).alias("match_id"), F.col(i_vec).alias("__iv"),
         norm_expr(F.col(i_vec)).alias("__in"),
         bucket_of(F.col(i_vec)).alias("bucket"),
@@ -495,12 +502,16 @@ def ivf_assign(
         # withColumn would silently clobber a domain column of that name
         raise ValueError(
             "ivf_assign: index already has a 'cell' column — rename it first")
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
     cells_of = _ivf_cells_of(centroids, impl, index.schema[i_id].dataType)
     # hoist the row norm to a column so the expr path folds one norm per
     # ROW, not one per (row, centroid) — referenced nlist times, so
-    # CollapseProject leaves it materialized (non-cheap, multi-use)
+    # CollapseProject leaves it materialized (non-cheap, multi-use).
+    # fan_out: the nlist interpreted cell folds per row evaluate in the
+    # scan stage — one task on a single-split corpus (no-op at scale)
     return (
-        index.withColumn("__ivf_vn", norm_expr(F.col(i_vec)))
+        fan_out(index).withColumn("__ivf_vn", norm_expr(F.col(i_vec)))
         .withColumn(
             "cell",
             F.element_at(
@@ -743,8 +754,11 @@ def pq_encode(
     if "codes" in index.columns:
         raise ValueError(
             "pq_encode: index already has a 'codes' column — rename it first")
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
     codes_of, _ = _pq_codes_of(codebooks, m, impl)
-    return index.withColumn("codes", codes_of(F.col(i_vec)))
+    # per-row subspace argmin folds run in the scan stage (fan_out note)
+    return fan_out(index).withColumn("codes", codes_of(F.col(i_vec)))
 
 
 def pq_adc_topk(
