@@ -93,7 +93,13 @@ def linear_classifier_score(
     the threshold is one too (0.0 is)."""
     if weights is None:
         weights = hash_weights(docs.sparkSession, dim)
-    feats = docs.select(
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
+    # the feature explode + per-feature md5 hash evaluate in the scan
+    # stage — one task on a single-row-group corpus (layout.fan_out:
+    # no-op at scale). Order-safe: weights are exact binary fractions
+    # (ints/1024), so the per-doc double sums are order-free.
+    feats = fan_out(docs).select(
         F.col(id_col),
         F.explode(feature_array(F.col(text_col), include_bigrams)).alias("feat"),
     ).select(

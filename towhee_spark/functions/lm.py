@@ -34,10 +34,14 @@ def doc_token_counts(
     column (wordpiece_tokenize / bpe_encode ``pieces``) — the model-token
     passthrough, same shape as sample_to_token_budget(count_col=) and
     pack_sequences(count_col=); ``text_col`` is ignored when set."""
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
     tok = (F.explode(F.col(tokens_col)) if tokens_col is not None
            else F.explode(F.split(normalize_text(text_col), " ")))
+    # token explode + the partial (id, token) aggregate evaluate in the
+    # scan stage — one task on a single-row-group corpus (fan_out note)
     return (
-        df.select(F.col(id_col).cast("long").alias("id"), tok.alias("token"))
+        fan_out(df).select(F.col(id_col).cast("long").alias("id"), tok.alias("token"))
         .filter(F.col("token") != "")
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -122,8 +126,10 @@ def doc_bigram_counts(
     arrays_zip pattern (two shifted slices zipped then exploded; all
     whole-stage codegen, never an indexed-transform lambda). Docs with
     < 2 tokens contribute nothing."""
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
     toks = F.split(normalize_text(text_col), " ")
-    base = df.select(
+    base = fan_out(df).select(
         F.col(id_col).cast("long").alias("id"),
         F.filter(toks, lambda t: t != "").alias("__toks"),
     ).select("id", "__toks", F.size("__toks").alias("__sz"))

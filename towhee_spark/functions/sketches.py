@@ -67,8 +67,12 @@ def cms_build(
         )
         for r in range(depth)
     ]))
+    from towhee_spark.layout import fan_out  # noqa: PLC0415
+
+    # depth md5 probes per value + the partial cell aggregate evaluate in
+    # the scan stage — one task on a single-row-group corpus (fan_out note)
     return (
-        df.select(probes.alias("__p"), w.alias("__w"))
+        fan_out(df).select(probes.alias("__p"), w.alias("__w"))
         .groupBy(F.col("__p.r").alias("r"), F.col("__p.c").alias("c"))
         .agg(F.sum("__w").cast("long").alias("cnt"))
     )
