@@ -252,6 +252,9 @@ def _pretraining_curation(benchmark: DataFrame | None = None,
         from towhee_spark.functions.dedup import _with_cached_deps  # noqa: PLC0415
 
         deps = []
+        # NOT fanned out (layout.fan_out): A/B'd at sf0.1 — curated_corpus
+        # 1.38 -> 1.57 s with a fan-out here (the regex/hash scan work is
+        # cheap; the extra exchange only adds overhead)
         kept = df.filter(
             text.gopher_rules(text_col, min_words=min_words).getField("keep"))
         ex = dedup.dedup_exact(kept, id_col, text_col).select(id_col)
