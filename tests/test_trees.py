@@ -74,6 +74,29 @@ def test_random_forest_vs_python_walk(spark):
     assert got == python_walk(rows)
 
 
+def test_local_equals_distributed(spark):
+    """The driver-local walk (collect_nodes cap, the CC/bpe_train
+    convention) emits row-identical output to the pointer-doubling
+    plan on a random forest, and raises the same max_depth guard."""
+    rng = random.Random(23)
+    rows = []
+    for conv in range(10):
+        n = rng.randint(1, 40)
+        for i in range(n):
+            parent = None if i == 0 else rng.randint(0, i - 1)
+            rows.append((f"c{conv}", i, parent))
+    df = spark.createDataFrame(rows, SCHEMA)
+    loc = sorted(tuple(r) for r in tree_paths(df, max_depth=64).collect())
+    dist = sorted(tuple(r) for r in tree_paths(
+        df, max_depth=64, collect_nodes=0).collect())
+    assert loc == dist
+    loc_all = sorted(tuple(r) for r in tree_paths(
+        df, max_depth=64, leaves_only=False).collect())
+    dist_all = sorted(tuple(r) for r in tree_paths(
+        df, max_depth=64, leaves_only=False, collect_nodes=0).collect())
+    assert loc_all == dist_all
+
+
 def test_cycle_and_depth_guard(spark):
     cyc = spark.createDataFrame([("c", 1, 2), ("c", 2, 1)], SCHEMA)
     with pytest.raises(Exception, match="max_depth"):
@@ -94,12 +117,13 @@ def test_lineage_truncation_plan_shapes(spark):
     mode: ceil(log2(max_depth+1)) doubling self-joins, each side
     duplicating the previous round (why truncation is the default)."""
     df = spark.createDataFrame([("c", 0, None)], SCHEMA)
-    plan = tree_paths(df, max_depth=64)._jdf.queryExecution() \
-        .optimizedPlan().toString()
+    plan = tree_paths(df, max_depth=64, collect_nodes=0)._jdf \
+        .queryExecution().optimizedPlan().toString()
     assert plan.count("Join LeftOuter") == 1
     assert "LogicalRDD" in plan
     assert plan.count("Join LeftAnti") == 1
-    decl = tree_paths(df, max_depth=7, truncate_lineage=False) \
+    decl = tree_paths(df, max_depth=7, truncate_lineage=False,
+                      collect_nodes=0) \
         ._jdf.queryExecution().optimizedPlan().toString()
     # 3 rounds (2^3 = 8 > 7): exponential nesting -> 2^3 - 1 = 7 joins
     # (createDataFrame scans are LogicalRDDs too, so only count joins)
