@@ -274,3 +274,31 @@ def test_ivfsq_all_zero_index_vector_dropped(spark):
         exclude_self=False).collect()
     assert sorted(r.match_id for r in out) == [1, 2]
     assert all(r.match_id != 3 for r in out)
+
+
+def test_kmeans_train_local_matches_distributed(spark, embs):
+    """Driver-local Lloyd replay (collect_vectors probe, the bpe_train /
+    connected_components convention) must produce EXACTLY the distributed
+    loop's centroids — same floats, same labels — for both impls.
+    collect_vectors=0 forces the distributed loop (the probe row count
+    always exceeds the cap)."""
+    for impl in ("expr", "arrow"):
+        local = clustering.kmeans_train(embs, k=4, iters=3, impl=impl)
+        dist = clustering.kmeans_train(embs, k=4, iters=3, impl=impl,
+                                       collect_vectors=0)
+        assert local == dist, impl
+
+
+def test_kmeans_train_local_ragged_falls_back(spark):
+    """Vectors the local replica does not cover (NULL components) must
+    fall back to the distributed loop rather than diverge or crash."""
+    # ids chosen so the md5-lowest init sample (ids 6, 7) never picks the
+    # NULL-component vector (id 3 hashes highest of these four)
+    df = spark.createDataFrame(
+        [(6, [1.0, 0.0]), (7, [0.8, 0.2]), (1, [0.0, 1.0]),
+         (3, [None, 0.5])],
+        "vec_id long, embedding array<double>")
+    local = clustering.kmeans_train(df, k=2, iters=2, impl="expr")
+    dist = clustering.kmeans_train(df, k=2, iters=2, impl="expr",
+                                   collect_vectors=0)
+    assert local == dist
