@@ -2052,7 +2052,13 @@ def q_rag_search(spark, sf_dir):
     from towhee_spark.kernels import embed_text_parity_udf  # noqa: PLC0415
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = embed_text_parity_udf(dim=32)
+    # asNondeterministic: the zero-vector filter references the UDF's
+    # output column, and filter pushdown would otherwise evaluate the
+    # embed kernel TWICE per row (one ArrowEvalPython below the pushed
+    # filter + one in the projection — guide §4.4; measured 4 → 2 Python
+    # stages, identical rows). The VALUES stay deterministic; the marker
+    # only forbids the optimizer from duplicating the call.
+    emb = embed_text_parity_udf(dim=32).asNondeterministic()
     ch = text.chunk_text("text", size=12, overlap=4)
     cindex = (
         docs.select("doc_id", F.explode(ch).alias("c"))
@@ -2097,7 +2103,9 @@ def q_rag_search_lsh(spark, sf_dir, impl="expr"):
     from towhee_spark.kernels import embed_text_parity_udf  # noqa: PLC0415
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = embed_text_parity_udf(dim=32)
+    # asNondeterministic: same §4.4 duplicate-evaluation guard as
+    # q_rag_search (the zero-vector filter reads the UDF output)
+    emb = embed_text_parity_udf(dim=32).asNondeterministic()
     ch = text.chunk_text("text", size=12, overlap=4)
     cindex = (
         docs.select("doc_id", F.explode(ch).alias("c"))
