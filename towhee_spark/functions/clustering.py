@@ -220,7 +220,12 @@ def kmeans_train(
     latency on a 2k-row gate table — measured 1.50 s → 0.17 s for the
     2-iteration train at sf0.1. Past the cap (or on ragged/non-finite
     inputs the replica rejects) the unchanged distributed loop runs —
-    one map-side-combined aggregate per round, the 100 TB shape."""
+    one map-side-combined aggregate per round, the 100 TB shape.
+
+    Sizing note: the probe collects up to ``collect_vectors`` full
+    (id, vector) rows, so size it such that rows·dim·8 bytes stays well
+    under ``spark.driver.maxResultSize`` (100k × dim 64 ≈ 51 MB; for
+    dim ≥ 512 lower the cap, or pass 0 to always train distributed)."""
     scale = 1 << scale_bits
     e = (
         index.select(
